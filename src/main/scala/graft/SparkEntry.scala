@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All registered query modules; each covers a slice of SURVEY.md §2. */
   def modules: Seq[QueryModule] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    TrackingQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

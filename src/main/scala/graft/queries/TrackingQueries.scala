@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.core.{GraftQuery, QueryModule}
+import graft.tracking._
+import org.apache.spark.sql.functions._
+
+/** Tracking-engine operators (SURVEY.md §2 M8-M11, W1, A6, P3) oracled
+  * against DuckDB over the deterministic synthetic tracking table. The
+  * Spark side runs the *library* code (graft.tracking); the oracle runs
+  * hand-derived SQL with identical arithmetic. */
+object TrackingQueries extends QueryModule {
+  import Cols._
+
+  private def withCtes(parts: String*)(select: String): String =
+    s"WITH ${parts.mkString(",\n")}\n$select"
+
+  override def queries: Seq[GraftQuery] = Seq(
+    // ----- W1 + P5 + P3: full kinematics chain (no smoothing) -----
+    GraftQuery(
+      "q_trk_kinematics",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        Kinematics(trk, TrackingSettings(), None, None)
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(Vx), col(Vy), col(Speed).as("v"), col(Ax), col(Ay), col(Acceleration).as("a"))
+      },
+      Some(withCtes(SyntheticTracking.cte, SyntheticTracking.velCte)(
+        "SELECT game_id, period_id, frame_id, id, vx, vy, v, ax, ay, a FROM vel")),
+      headline = true),
+
+    // ----- A6: Savitzky-Golay smoothing as native FIR window -----
+    GraftQuery(
+      "q_trk_savgol",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        Kinematics.withVelocity(trk, Some(SavGol.DefaultPlayer), Some(SavGol.DefaultBall))
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(Vx).as("vx_s"))
+      },
+      Some {
+        val over = "w"
+        val player = SavGol.DefaultPlayer.sql("vx", over, "cnt", "rn")
+        val ball = SavGol.DefaultBall.sql("vx", over, "cnt", "rn")
+        withCtes(SyntheticTracking.cte, SyntheticTracking.velCte,
+          """vidx AS (
+            |  SELECT *, count(*) OVER (PARTITION BY game_id, id, period_id) AS cnt,
+            |         row_number() OVER (PARTITION BY game_id, id, period_id ORDER BY ts_us) AS rn
+            |  FROM vel
+            |)""".stripMargin)(
+          s"""SELECT game_id, period_id, frame_id, id,
+             |  CASE WHEN id = 'ball' THEN ($ball) ELSE ($player) END AS vx_s
+             |FROM vidx
+             |WINDOW w AS (PARTITION BY game_id, id, period_id ORDER BY ts_us)""".stripMargin)
+      }),
+
+    // ----- M8: possession / ball-carrier inference -----
+    GraftQuery(
+      "q_trk_possession",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        Possession.inferBallCarrier(trk, TrackingSettings())
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(BallOwningTeamId), col(IsBallCarrier))
+      },
+      Some(withCtes(SyntheticTracking.cte, SyntheticTracking.possessionCte)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  owning AS ball_owning_team_id,
+          |  coalesce(id = carrier, false) AS is_ball_carrier
+          |FROM poss WHERE owning IS NOT NULL""".stripMargin)),
+      headline = true),
+
+    // ----- M9: goalkeeper inference (downstream of possession) -----
+    GraftQuery(
+      "q_trk_gk",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val withPoss = Possession.inferBallCarrier(trk, TrackingSettings())
+        Goalkeepers.infer(withPoss, TrackingSettings())
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(PositionName))
+      },
+      Some(withCtes(SyntheticTracking.cte, SyntheticTracking.possessionCte,
+        """gbase AS (
+          |  SELECT * FROM poss WHERE owning IS NOT NULL
+          |),
+          |gdist AS (
+          |  SELECT *,
+          |    CASE WHEN team_id = 'ball' THEN NULL
+          |      ELSE sqrt((x - (-52.5))*(x - (-52.5)) + y*y) END AS dl,
+          |    CASE WHEN team_id = 'ball' THEN NULL
+          |      ELSE sqrt((x - 52.5)*(x - 52.5) + y*y) END AS dr
+          |  FROM gbase
+          |),
+          |gmin AS (
+          |  SELECT *, min(dl) OVER wt AS mdl, min(dr) OVER wt AS mdr
+          |  FROM gdist
+          |  WINDOW wt AS (PARTITION BY game_id, period_id, frame_id, team_id)
+          |)""".stripMargin)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  CASE WHEN team_id = 'ball' THEN NULL
+          |       WHEN team_id = owning THEN (CASE WHEN dl = mdl THEN 'GK' END)
+          |       ELSE (CASE WHEN dr = mdr THEN 'GK' END) END AS position_name
+          |FROM gmin""".stripMargin))),
+
+    // ----- M10: orientation flip to ball-owning -----
+    GraftQuery(
+      "q_trk_flip",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val withPoss = Possession.inferBallCarrier(trk, TrackingSettings())
+        Orientation.toBallOwning(withPoss, homeTeamId = "home")
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(X), col(Y))
+      },
+      Some(withCtes(SyntheticTracking.cte, SyntheticTracking.possessionCte)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  CASE WHEN owning <> 'home' THEN x * -1 ELSE x END AS x,
+          |  CASE WHEN owning <> 'home' THEN y * -1 ELSE y END AS y
+          |FROM poss WHERE owning IS NOT NULL""".stripMargin))),
+
+    // ----- M11/F4: graph id assembly -----
+    GraftQuery(
+      "q_trk_graphid",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        Labels.addGraphIds(trk, Seq(GameId, FrameId))
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"), col(GraphId))
+      },
+      Some(withCtes(SyntheticTracking.cte)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  concat_ws('-', game_id, frame_id) AS graph_id
+          |FROM tracking""".stripMargin))))
+}
