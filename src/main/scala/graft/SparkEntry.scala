@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{RelationalQueries, TrackingQueries}
+import graft.queries.{ModelQueries, RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered query modules; each covers a slice of SURVEY.md §2. */
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    TrackingQueries)
+    TrackingQueries,
+    ModelQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,193 @@
+package graft.models
+
+import graft.tracking.{Cols, TrackingSettings}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pressing Intensity (arXiv:2501.04712) — Time-to-Intercept /
+  * Probability-to-Intercept matrices per frame.
+  *
+  * Reference: `unravel/soccer/models/pressing_intensity.py:136-565` and
+  * `models/utils.py:4-99`, which run a NumPy kernel per frame via
+  * `map_groups`. Here the whole model is a **within-frame pair join**
+  * with native column arithmetic — no UDF, no per-frame Python/Scala
+  * callback — so it scales horizontally with the frame-key shuffle and
+  * stays inside whole-stage codegen.
+  *
+  * TTI per (row i = defending side, col j = possession side), all 3D
+  * (`models/utils.py:74-97`):
+  * {{{
+  *   u_j   = (p1_j + v1_j) - p1_j
+  *   d2_i  = p2_i + v2_i
+  *   angle = acos( u_j·(d2_i - p1_j) / (|u_j| |d2_i - p1_j| + 1e-10) )
+  *   tti   = |u_j|·angle/π + t_r + |d2_i - (p1_j + v1_j·t_r)| / v_max
+  * }}}
+  * PTI = 1/(1+exp(clip(-π/√3/σ·(θ - tti), ±700))) (`utils.py:4-14`).
+  */
+object PressingIntensity {
+  import Cols._
+
+  final case class Params(
+      method: String = "teams",        // teams | full
+      ballMethod: String = "max",      // include | exclude | max
+      orient: String = "ball_owning",  // ball_owning | pressing | home_away | away_home
+      speedThreshold: Option[Double] = None,
+      reactionTime: Double = 0.7,
+      timeThreshold: Double = 1.5,
+      sigma: Double = 0.45) {
+    require(Set("teams", "full")(method), "method should be 'teams' or 'full'")
+    require(Set("include", "exclude", "max")(ballMethod),
+      "ball_method should be 'include', 'exclude' or 'max'")
+    require(Set("ball_owning", "pressing", "home_away", "away_home")(orient),
+      "orient should be 'ball_owning', 'pressing', 'home_away', 'away_home'")
+  }
+
+  private val frameKeys = Seq(GameId, PeriodId, FrameId)
+
+  /** Long-format pair table: one row per (frame, row object, col object)
+    * with `tti`/`pti`, plus the 0-based matrix indices `row_idx`/
+    * `col_idx` that reproduce the reference's node ordering (possession
+    * side ordered players-then-ball by id; defending side by id). This
+    * is the scalable core; [[matrices]] folds it to the nested form. */
+  def pairs(
+      df: DataFrame,
+      settings: TrackingSettings = TrackingSettings(),
+      params: Params = Params()): DataFrame = {
+    val isBall = col(TeamId) === Ball
+    val isOwning = col(TeamId) === col(BallOwningTeamId)
+
+    // side membership (pressing_intensity.py:164-251)
+    val (colSide, rowSide) = params.method match {
+      case "teams" => params.ballMethod match {
+        case "exclude" => (isOwning && !isBall, !isOwning && !isBall)
+        case _         => (isOwning || isBall, !(isOwning || isBall))
+      }
+      case "full" =>
+        val all = if (params.ballMethod == "exclude") !isBall else lit(true)
+        (all, all)
+    }
+
+    // node order within a side replicates the reference's stable frame
+    // sort (owning first, ball last, id ascending within group)
+    val sideIdx: Column = {
+      val w = Window.partitionBy(frameKeys.map(col): _*)
+        .orderBy(isBall.cast("int").asc, isOwning.cast("int").desc, col(ObjectId).asc)
+      row_number().over(w) - 1
+    }
+    def side(member: Column): DataFrame =
+      df.filter(member)
+        .withColumn("__idx", sideIdx)
+        .select(frameKeys.map(col) ++ Seq(col(Timestamp), col(ObjectId), col("__idx"),
+          isBall.as("__is_ball"), col(IsBallCarrier).as("__carrier"),
+          col(X), col(Y), col(Z), col(Vx), col(Vy), col(Vz), col(Speed),
+          col(BallOwningTeamId)): _*)
+
+    val c = side(colSide).toDF(
+      frameKeys ++ Seq("ts", "c_id", "c_idx", "c_ball", "c_carrier",
+        "c_x", "c_y", "c_z", "c_vx", "c_vy", "c_vz", "c_v", "c_boti"): _*)
+    val r = side(rowSide).toDF(
+      frameKeys ++ Seq("ts2", "r_id", "r_idx", "r_ball", "r_carrier",
+        "r_x", "r_y", "r_z", "r_vx", "r_vy", "r_vz", "r_v", "r_boti"): _*)
+
+    val joined = r.join(c, frameKeys)
+
+    // --- TTI (models/utils.py:74-99, replicated operation-for-operation)
+    val ux = (col("c_x") + col("c_vx")) - col("c_x")
+    val uy = (col("c_y") + col("c_vy")) - col("c_y")
+    val uz = (col("c_z") + col("c_vz")) - col("c_z")
+    val uMag = sqrt(ux * ux + uy * uy + uz * uz)
+    val d2x = col("r_x") + col("r_vx")
+    val d2y = col("r_y") + col("r_vy")
+    val d2z = col("r_z") + col("r_vz")
+    val vxx = d2x - col("c_x"); val vyy = d2y - col("c_y"); val vzz = d2z - col("c_z")
+    val vMag = sqrt(vxx * vxx + vyy * vyy + vzz * vzz)
+    val dot = ux * vxx + uy * vyy + uz * vzz
+    val angle = acos(dot / (uMag * vMag + lit(1e-10)))
+    val rt = lit(params.reactionTime)
+    val dx = d2x - (col("c_x") + col("c_vx") * rt)
+    val dy = d2y - (col("c_y") + col("c_vy") * rt)
+    val dz = d2z - (col("c_z") + col("c_vz") * rt)
+    val dMag = sqrt(dx * dx + dy * dy + dz * dz)
+    val ttiRaw = uMag * angle / lit(math.Pi) + rt + dMag / lit(settings.maxPlayerSpeed)
+
+    val withTti = joined.withColumn("__tti", ttiRaw)
+
+    // --- ball_method = "max": fold the ball column into the carrier
+    // column (elementwise min), then drop ball col (and ball row in
+    // "full") — pressing_intensity.py:153-160, 279-287
+    val merged = if (params.ballMethod == "max") {
+      val wRow = Window.partitionBy((frameKeys :+ "r_id").map(col): _*)
+      val ballTti = max(when(col("c_ball"), col("__tti"))).over(wRow)
+      val m = withTti
+        .withColumn("__tti",
+          when(col("c_carrier"), least(col("__tti"), ballTti)).otherwise(col("__tti")))
+        .filter(!col("c_ball"))
+      if (params.method == "full") m.filter(!col("r_ball")) else m
+    } else withTti
+
+    // --- PTI from (merged) TTI, then full-method diagonal = 0 on TTI
+    // only (reference fills the tti diagonal *after* computing pti)
+    val expArg = lit(-math.Pi) / lit(math.sqrt(3.0)) / lit(params.sigma) *
+      (lit(params.timeThreshold) - col("__tti"))
+    val pti = lit(1.0) / (lit(1.0) + exp(least(greatest(expArg, lit(-700.0)), lit(700.0))))
+    val withPti = merged.withColumn("__pti", pti)
+    val diag = if (params.method == "full")
+      withPti.withColumn("__tti", when(col("r_id") === col("c_id"), 0.0).otherwise(col("__tti")))
+    else withPti
+
+    // --- speed-threshold masking zeroes pti rows/cols (:299-301)
+    val maskedPti = params.speedThreshold match {
+      case Some(th) =>
+        diag.withColumn("__pti",
+          when(col("r_v") < th || col("c_v") < th, 0.0).otherwise(col("__pti")))
+      case None => diag
+    }
+
+    // --- orientation transpose (:303-326): swap rows and columns
+    val transposed = params.orient match {
+      case "pressing" => lit(true)
+      case "home_away" => col("r_boti") === lit(settings.homeTeamId.getOrElse(""))
+      case "away_home" => col("r_boti") =!= lit(settings.homeTeamId.getOrElse(""))
+      case _ => lit(false)
+    }
+    maskedPti.select(
+      (frameKeys.map(col) :+ col("ts").as(Timestamp)) ++ Seq(
+        when(transposed, col("c_id")).otherwise(col("r_id")).as("row_id"),
+        when(transposed, col("r_id")).otherwise(col("c_id")).as("col_id"),
+        when(transposed, col("c_idx")).otherwise(col("r_idx")).as("row_idx"),
+        when(transposed, col("r_idx")).otherwise(col("c_idx")).as("col_idx"),
+        col("__tti").as("tti"), col("__pti").as("pti")): _*)
+  }
+
+  /** Nested per-frame output matching the reference schema
+    * (`pressing_intensity.py:328-337`): `time_to_intercept` /
+    * `probability_to_intercept` ARRAY<ARRAY<DOUBLE>> in row-major node
+    * order plus `rows`/`columns` label arrays. */
+  def matrices(pairsDf: DataFrame): DataFrame = {
+    val sorted = array_sort(col("cells"))
+    pairsDf
+      .groupBy((frameKeys :+ Timestamp).map(col): _*)
+      .agg(collect_list(struct(col("row_idx"), col("col_idx"), col("row_id"),
+        col("col_id"), col("tti"), col("pti"))).as("cells"))
+      .withColumn("cells", sorted)
+      .withColumn("n_cols", size(array_distinct(transform(col("cells"), _.getField("col_idx")))))
+      .withColumn("n_rows", (size(col("cells")) / col("n_cols")).cast("int"))
+      .select(
+        (frameKeys :+ Timestamp).map(col) ++ Seq(
+          transform(sequence(lit(0), col("n_rows") - 1), i =>
+            transform(sequence(lit(0), col("n_cols") - 1), j =>
+              element_at(col("cells"), (i * col("n_cols") + j + 1).cast("int")).getField("tti")))
+            .as("time_to_intercept"),
+          transform(sequence(lit(0), col("n_rows") - 1), i =>
+            transform(sequence(lit(0), col("n_cols") - 1), j =>
+              element_at(col("cells"), (i * col("n_cols") + j + 1).cast("int")).getField("pti")))
+            .as("probability_to_intercept"),
+          transform(sequence(lit(0), col("n_rows") - 1), i =>
+            element_at(col("cells"), (i * col("n_cols") + 1).cast("int")).getField("row_id"))
+            .as("rows"),
+          transform(sequence(lit(0), col("n_cols") - 1), j =>
+            element_at(col("cells"), (j + 1).cast("int")).getField("col_id"))
+            .as("columns")): _*)
+  }
+}
