@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{ModelQueries, RelationalQueries, TrackingQueries}
+import graft.queries.{GraphQueries, ModelQueries, RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,7 +11,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     TrackingQueries,
-    ModelQueries)
+    ModelQueries,
+    GraphQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

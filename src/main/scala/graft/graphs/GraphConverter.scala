@@ -1,0 +1,226 @@
+package graft.graphs
+
+import graft.tracking.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frame → graph tensors (G1-G10), Spark-first.
+  *
+  * Reference: `unravel/soccer/graphs/graph_converter.py` runs a NumPy
+  * callback per frame (`map_groups`). Here:
+  *  - node features are row-local `Column`s (Features.scala) with the
+  *    per-frame ball position supplied by a window aggregate (no join);
+  *  - the adjacency predicate and edge features live on a within-frame
+  *    pair self-join;
+  *  - matrices are assembled with `collect_list` + `array_sort` +
+  *    `transform`, keyed by an explicit node index that replicates the
+  *    reference's sort (`graph_converter.py:214-222`): possession
+  *    players, then defenders, then ball, each by object id;
+  *  - padding (G8) regenerates missing rows relationally — the
+  *    reference's driver-side `iter_rows` loop disappears.
+  */
+object GraphConverter {
+  import Cols._
+
+  private val frameKeys = Seq(GameId, PeriodId, FrameId)
+  private def wFrame = Window.partitionBy(frameKeys.map(col): _*)
+
+  /** Node-order value of the reference sort expression:
+    * ball → 2, possession player → -1, defender → 0. */
+  private def sortValue: Column = {
+    val isBall = col(TeamId) === Ball
+    val owning = (col(BallOwningTeamId) === col(TeamId)) && !isBall
+    isBall.cast("int") * 2 - owning.cast("int")
+  }
+
+  /** Adds `node_idx` (0-based position in the frame's node order). */
+  def withNodeIndex(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(frameKeys.map(col): _*)
+      .orderBy(sortValue.asc, col(ObjectId).asc)
+    df.withColumn("node_idx", row_number().over(w) - 1)
+  }
+
+  /** G9: keep frames with exactly 3 distinct team ids (2 teams + ball)
+    * — one window pass, no join (`graph_converter.py:224-238`). */
+  def removeIncompleteFrames(df: DataFrame): DataFrame =
+    df.withColumn("__nteams", size(collect_set(col(TeamId)).over(wFrame)))
+      .filter(col("__nteams") === 3)
+      .drop("__nteams")
+
+  /** G8: pad every frame to 11 players per team + 1 ball, then keep only
+    * frames that reach exactly 11/11/1 (`graph_converter.py:240-440`).
+    * Padding rows are regenerated relationally with the reference's
+    * dtype defaults (`utils/utils.py:81-95`): "" for strings, 0 for
+    * numerics, false for booleans. */
+  def padFrames(
+      df: DataFrame,
+      labelCol: String = Label,
+      graphIdCol: String = GraphId): DataFrame = {
+    val keepCols = Seq(Timestamp, BallState, labelCol, graphIdCol).filter(df.columns.contains)
+    val groupCols = frameKeys ++ Seq(TeamId, BallOwningTeamId)
+
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        keepCols.map(c => first(col(c)).as(c)): _*)
+      .withColumn("__target", when(col(TeamId) === Ball, 1).otherwise(11))
+      .withColumn("__repeats", col("__target") - col("__cnt"))
+
+    val playerPad = counts.filter(col("__repeats") > 0)
+      .withColumn("__seq", explode(sequence(lit(1), col("__repeats").cast("int"))))
+      .drop("__cnt", "__target", "__repeats", "__seq")
+
+    // frames with no ball row at all get one synthetic ball row
+    val framesAll = df.select((frameKeys :+ BallOwningTeamId).map(col) ++ keepCols.map(col): _*).dropDuplicates(frameKeys)
+    val framesWithBall = df.filter(col(TeamId) === Ball).select(frameKeys.map(col): _*).dropDuplicates()
+    val ballPad = framesAll.join(framesWithBall, frameKeys, "left_anti")
+      .withColumn(TeamId, lit(Ball))
+
+    val pads = playerPad.unionByName(ballPad, allowMissingColumns = true)
+
+    // fill remaining columns with dtype defaults
+    val defaults: Map[String, Column] = df.schema.fields.map { f =>
+      f.name -> (f.dataType.typeName match {
+        case "boolean" => lit(false)
+        case "double" | "float" => lit(0.0).cast(f.dataType)
+        case "integer" | "long" => lit(0).cast(f.dataType)
+        case "string" => lit("")
+        case _ => lit(null).cast(f.dataType)
+      })
+    }.toMap
+    val positioned = pads.withColumn(PositionName,
+      when(col(TeamId) === Ball, lit(Ball)).otherwise(lit("")))
+    val completed = df.columns.foldLeft(positioned) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, defaults(c))
+    }.select(df.columns.map(col): _*)
+
+    val padded = df.unionByName(completed)
+
+    // completeness: exactly 1 ball, 11 owning, 11 defending
+    val isBall = col(TeamId) === Ball
+    val isOwning = col(TeamId) === col(BallOwningTeamId)
+    padded
+      .withColumn("__nb", sum(isBall.cast("int")).over(wFrame))
+      .withColumn("__no", sum(isOwning.cast("int")).over(wFrame))
+      .withColumn("__nd", sum((!isBall && !isOwning).cast("int")).over(wFrame))
+      .filter(col("__nb") === 1 && col("__no") === 11 && col("__nd") === 11)
+      .drop("__nb", "__no", "__nd")
+  }
+
+  /** O5 frame sampling (`graph_converter.py:206-212`). */
+  def sample(df: DataFrame, rate: Double): DataFrame =
+    df.filter(col(FrameId) % (1.0 / rate) === 0)
+
+  /** G10: fail fast if any frame carries >1 graph_id or label
+    * (`graph_converter.py:610-623`). */
+  def validateIntegrity(df: DataFrame, cols: Seq[String]): Unit = {
+    val present = cols.filter(df.columns.contains)
+    if (present.nonEmpty) {
+      val bad = df.groupBy(frameKeys.map(col): _*)
+        .agg(present.map(c => countDistinct(col(c)).as(c)).head,
+          present.map(c => countDistinct(col(c)).as(c)).tail: _*)
+        .filter(present.map(c => col(c) > 1).reduce(_ || _))
+        .limit(1).count()
+      require(bad == 0,
+        s"graph integrity violation: a frame has multiple values for ${present.mkString(",")}")
+    }
+  }
+
+  /** Per-node features: adds the ball-position helper columns and
+    * `x_features` ARRAY<DOUBLE> (+ `node_idx`). */
+  def withNodeFeatures(
+      df: DataFrame,
+      settings: GraphSettings,
+      features: Seq[Features.NodeFeature] = Nil): DataFrame = {
+    val feats = if (features.nonEmpty) features else Features.defaultNodeFeatures(settings)
+    val isBall = col(TeamId) === Ball
+    // ball position default (0,0,0) when absent (features/utils.py:235-242)
+    val base = df
+      .withColumn("__ball_x", coalesce(max(when(isBall, nanvl(col(X), lit(1e-10)))).over(wFrame), lit(0.0)))
+      .withColumn("__ball_y", coalesce(max(when(isBall, nanvl(col(Y), lit(1e-10)))).over(wFrame), lit(0.0)))
+      .withColumn("__ball_z", coalesce(max(when(isBall, nanvl(col(Z), lit(1e-10)))).over(wFrame), lit(0.0)))
+    withNodeIndex(base)
+      .withColumn("x_features", array(Features.nodeFeatureColumns(settings, feats): _*))
+      .drop("__ball_x", "__ball_y", "__ball_z")
+  }
+
+  /** Within-frame pair table with the adjacency value `a` and
+    * `e_features` ARRAY<DOUBLE>; `i_*` is the matrix row node, `j_*`
+    * the column node. */
+  def pairs(
+      df: DataFrame,
+      settings: GraphSettings,
+      features: Seq[Features.EdgeFeature] = Nil): DataFrame = {
+    import GraphSettings._
+    val feats = if (features.nonEmpty) features else Features.defaultEdgeFeatures(settings)
+    val indexed = withNodeIndex(df)
+    val cols = Seq(ObjectId, TeamId, BallOwningTeamId, IsBallCarrier,
+      X, Y, Z, Vx, Vy, Vz, Speed, "node_idx")
+    def sided(prefix: String): DataFrame =
+      indexed.select(frameKeys.map(col) ++ cols.map(c => col(c).as(s"${prefix}_$c")): _*)
+    val p = sided("i").join(sided("j"), frameKeys)
+
+    val iTeam = col(s"i_$TeamId"); val jTeam = col(s"j_$TeamId")
+    val iBall = iTeam === Ball; val jBall = jTeam === Ball
+    val owning = col(s"i_$BallOwningTeamId")
+    val base: Column = settings.adjacencyMatrixType match {
+      case Dense => lit(true)
+      case DenseAp => (iTeam === owning) && (jTeam === owning)
+      case DenseDp =>
+        val iDef = !iBall && iTeam =!= owning
+        val jDef = !jBall && jTeam =!= owning
+        iDef && jDef
+      case SplitByTeam => iTeam === jTeam
+      case other => throw new NotImplementedError(s"$other matrix not implemented for Soccer...")
+    }
+    val connected: Column = settings.adjacencyMatrixConnectType match {
+      case ConnectBall => base || iBall || jBall
+      case ConnectBallCarrier =>
+        base || (col(s"i_$IsBallCarrier") && jBall) || (iBall && col(s"j_$IsBallCarrier"))
+      case ConnectNone => base
+    }
+    p.withColumn("a", connected.cast("int"))
+      .withColumn("e_features", array(Features.edgeFeatureColumns(settings, feats): _*))
+  }
+
+  /** Full conversion to the nested per-frame graph schema
+    * (FIXTURES.md §6): keys, a, x, e, object_ids, graph_id, label,
+    * ball_owning_team_id. Shapes live in the array type — the
+    * reference's `*_shape_*` columns are recoverable via `size()`. */
+  def graphFrames(
+      df: DataFrame,
+      settings: GraphSettings,
+      labelCol: String = Label,
+      graphIdCol: String = GraphId): DataFrame = {
+    val prepared = if (settings.pad) padFrames(df, labelCol, graphIdCol)
+      else removeIncompleteFrames(df)
+
+    val nodes = withNodeFeatures(prepared, settings)
+    val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(prepared.columns.contains)
+    val nodeAgg = nodes
+      .groupBy(frameKeys.map(col): _*)
+      .agg(
+        array_sort(collect_list(struct(col("node_idx"), col("x_features"), col(ObjectId))))
+          .as("__nodes"),
+        optCols.map(c => first(col(c)).as(c)): _*)
+      .withColumn("x", transform(col("__nodes"), _.getField("x_features")))
+      .withColumn("object_ids", transform(col("__nodes"), _.getField(ObjectId)))
+      .drop("__nodes")
+
+    val pairAgg = pairs(prepared, settings)
+      .groupBy(frameKeys.map(col): _*)
+      .agg(
+        array_sort(collect_list(struct(col("i_node_idx"), col("j_node_idx"), col("a"))))
+          .as("__a_cells"),
+        array_sort(collect_list(when(col("a") === 1,
+          struct(col("i_node_idx"), col("j_node_idx"), col("e_features"))))).as("__e_cells"))
+      .withColumn("__n", size(array_distinct(transform(col("__a_cells"), _.getField("j_node_idx")))))
+      .withColumn("a", transform(sequence(lit(0), col("__n") - 1), i =>
+        transform(sequence(lit(0), col("__n") - 1), j =>
+          element_at(col("__a_cells"), (i * col("__n") + j + 1).cast("int")).getField("a"))))
+      .withColumn("e", transform(col("__e_cells"), _.getField("e_features")))
+      .drop("__a_cells", "__e_cells", "__n")
+
+    nodeAgg.join(pairAgg, frameKeys)
+  }
+}

@@ -54,6 +54,7 @@ object SyntheticTracking {
       |    CASE WHEN l_linenumber = 7 THEN 'ball' ELSE CAST(l_linenumber AS VARCHAR) END AS id,
       |    CASE WHEN l_linenumber = 7 THEN 'ball'
       |         WHEN l_linenumber % 2 = 0 THEN 'home' ELSE 'away' END AS team_id,
+      |    CAST(NULL AS VARCHAR) AS position_name,
       |    CAST(l_partkey % 1050 AS DOUBLE)/10.0 - 52.5 AS x,
       |    CAST((l_suppkey*97 + l_partkey*31) % 680 AS DOUBLE)/10.0 - 34.0 AS y,
       |    CASE WHEN l_linenumber = 7 THEN CAST(l_partkey % 30 AS DOUBLE)/10.0 ELSE 0.0 END AS z
