@@ -182,13 +182,25 @@ object GraphQueries extends QueryModule {
           |FROM ea""".stripMargin))),
 
     // ----- G8 + full nested assembly (rows-only check) -----
+    // The nested ARRAY<ARRAY<DOUBLE>> tensors are serialized with to_json
+    // (floats rounded to 6 first) so the driver's pandas-side sort/hash
+    // sees plain strings — numpy arrays are unhashable and crashed the
+    // round-1 check. The tensor layout itself is golden-tested in
+    // GraphConverterSpec.
     GraftQuery(
       "q_graph_frames",
       (s, d) => {
         val dat = Possession.inferBallCarrier(
           Kinematics(SyntheticTracking.df(s, d), TrackingSettings(), None, None),
           TrackingSettings())
-        GraphConverter.graphFrames(dat, GraphSettings(pad = true))
+        val g = GraphConverter.graphFrames(dat, GraphSettings(pad = true))
+        def round2(c: String) =
+          transform(col(c), r => transform(r, v => round(v, 6)))
+        g.select(col(GameId), col(PeriodId), col(FrameId),
+          to_json(round2("x")).as("x_json"),
+          to_json(round2("e")).as("e_json"),
+          to_json(col("a")).as("a_json"),
+          to_json(col("object_ids")).as("object_ids_json"))
       },
       None,
       headline = true))

@@ -134,6 +134,9 @@ object ModelQueries extends QueryModule {
          |FROM fdiag""".stripMargin)),
 
     // ----- M3 nested matrix assembly (no SQL oracle: rows-only) -----
+    // Matrices/label arrays serialized via to_json (floats rounded to 6)
+    // so the driver's pandas sort/hash sees hashable strings instead of
+    // numpy arrays (the round-1 crash). Layout is covered in ScalaTest.
     GraftQuery(
       "q_pi_matrices",
       (s, d) => {
@@ -141,7 +144,14 @@ object ModelQueries extends QueryModule {
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         val pairs = PressingIntensity.pairs(dat, TrackingSettings(), PressingIntensity.Params())
-        PressingIntensity.matrices(pairs)
+          .withColumn("tti", round(col("tti"), 6))
+          .withColumn("pti", round(col("pti"), 6))
+        val m = PressingIntensity.matrices(pairs)
+        m.select(col(GameId), col(PeriodId), col(FrameId),
+          to_json(col("time_to_intercept")).as("tti_json"),
+          to_json(col("probability_to_intercept")).as("pti_json"),
+          to_json(col("rows")).as("rows_json"),
+          to_json(col("columns")).as("columns_json"))
       },
       None))
 }
