@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{GraphQueries, ModelQueries, RelationalQueries, TrackingQueries}
+import graft.queries.{GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries,
     TrackingQueries,
     ModelQueries,
-    GraphQueries)
+    GraphQueries,
+    LlmQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

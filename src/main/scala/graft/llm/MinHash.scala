@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures + banded LSH for near-duplicate detection at scale.
+  *
+  * Pipeline (all relational — designed for the 100 TB path):
+  *
+  *  1. [[signatures]] — explode each document's distinct shingles, hash
+  *     them once, and fold `numHashes` permuted minima in ONE partial-agg
+  *     groupBy (map-side combine keeps the shuffle at one row per
+  *     document, independent of document length).
+  *  2. [[candidatePairs]] — banded LSH: the signature is cut into
+  *     `bands` bands of `rows` values; documents colliding on a whole
+  *     band become candidates. The band key IS the shuffle key — a
+  *     self-equi-join per band, never an all-pairs product. With b=4,
+  *     r=3 the collision curve crosses ~(1/b)^(1/r) ≈ 0.63 Jaccard.
+  *  3. [[nearDuplicates]] — exact Jaccard verification, but ONLY on the
+  *     candidate pairs: shingle-hash semi-join, intersection counts via
+  *     groupBy, never materializing full cross products.
+  *
+  * At 1000 executors each stage is a plain shuffle on (band, key) or
+  * (doc pair) keys; skew is bounded because a band bucket of k docs
+  * costs k² only within that bucket (salt the band key if a degenerate
+  * corpus makes one bucket huge).
+  *
+  * Semantics follow the standard MinHash/LSH construction (Broder 1997);
+  * the reference repo has no dedup surface — this family comes from the
+  * engine brief's training-data-pipeline requirements.
+  */
+object MinHash {
+  import TextHash.Prime
+
+  /** Fixed permutation constants: mh_i(h) = (A(i)*h + B(i)) mod Prime. */
+  val A: Seq[Long] = Seq(7L, 23L, 61L, 89L, 127L, 199L, 283L, 397L, 541L, 691L, 829L, 983L)
+  val B: Seq[Long] = Seq(11L, 37L, 71L, 101L, 151L, 223L, 311L, 433L, 577L, 719L, 863L, 1013L)
+  val NumHashes: Int = 12
+  val Bands: Int = 4
+  val Rows: Int = 3
+
+  /** Distinct (id, shingle hash) pairs for a document table. */
+  def shingleHashes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hash: Column => Column): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(array_distinct(Shingles.shingles(Shingles.tokens(col(textCol)), n))).as("shingle"))
+      .select(col(idCol), hash(col("shingle")).as("h"))
+
+  /** One row per document: `idCol, mh0..mh{numHashes-1}`. Documents with
+    * zero shingles (shorter than n tokens) are absent. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n, hash)
+    sh.groupBy(col(idCol))
+      .agg(
+        min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
+  }
+
+  /** Banded-LSH candidate pairs (id_a < id_b), distinct across bands. */
+  def candidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+    val bandRows = (0 until Bands).map { b =>
+      sig.select(
+        col(idCol),
+        lit(b).as("band"),
+        struct((0 until Rows).map(r => col(s"mh${b * Rows + r}").as(s"k$r")): _*).as("key"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.toDF(Seq("id_a", "band", "key"): _*)
+    val r = bandRows.toDF(Seq("id_b", "band", "key"): _*)
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs with exact shingle-set Jaccard, kept when
+    * `jaccard >= threshold`. Output: id_a, id_b, inter, size_a, size_b,
+    * jaccard (exact rational arithmetic until the final division). */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.2,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n, hash).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairs = candidatePairs(signatures(docs, idCol, textCol, n, hash), idCol)
+    val inter = pairs
+      .join(sh.toDF("id_a", "h"), "id_a")
+      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), "id_a")
+      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over ARRAY<FLOAT> columns.
+  *
+  * Two paths, as a production pipeline needs both:
+  *
+  *  - [[topKCosine]] — exact brute-force top-k: broadcast the (small)
+  *    query set against the full corpus, one corpus scan, per-query
+  *    row_number. The corpus side never shuffles; cost is
+  *    O(|corpus|·|queries|) dot products inside whole-stage codegen.
+  *    Right answer when |queries| is small — the typical eval/probe
+  *    workload even at 100 TB corpus scale.
+  *  - [[withLshBucket]] — random-hyperplane LSH (sign of projections on
+  *    fixed pseudo-random planes) assigning every vector a bucket id.
+  *    ANN search then shuffles once on the bucket key and does
+  *    brute-force only within buckets (expected corpus/2^bits fraction
+  *    each) — the scale path for all-pairs-ish workloads.
+  *
+  * All arithmetic is element-ordered double folds so results are
+  * bit-reproducible across engines (the DuckDB oracle mirrors the same
+  * fold; see the *Sql helpers).
+  */
+object Similarity {
+
+  /** Ordered left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB mirror of [[dot]]: same element order, same fold. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
+    * @param queries (idCol, vecCol) table — must be broadcast-small */
+  def topKCosine(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 6).as("cos_sim"))
+  }
+
+  /** Plane constants for [[withLshBucket]]: plane p weights dimension d
+    * with ((Ap(p)*d + Bp(p)) mod 97)/97 - 0.5 — fixed, engine-neutral. */
+  val Ap: Seq[Long] = Seq(3L, 17L, 29L, 43L, 59L, 73L, 87L, 95L)
+  val Bp: Seq[Long] = Seq(5L, 13L, 31L, 41L, 53L, 67L, 79L, 91L)
+  val PlaneBits: Int = 8
+
+  private def planeWeight(p: Int, d: Column): Column =
+    ((d * Ap(p) + Bp(p)) % 97).cast("double") / 97.0 - 0.5
+
+  /** Adds `bucket` — the LSH bucket id in [0, 2^PlaneBits). */
+  def withLshBucket(emb: DataFrame, vecCol: String): DataFrame = {
+    def proj(p: Int): Column =
+      aggregate(
+        zip_with(col(vecCol), sequence(lit(1L), size(col(vecCol)).cast("long")),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0.0),
+        (acc, x) => acc + x)
+    val bucket = (0 until PlaneBits)
+      .map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** DuckDB mirror of the [[withLshBucket]] bucket expression. */
+  def lshBucketSql(vec: String): String =
+    (0 until PlaneBits).map { p =>
+      val w = s"(CAST((d * ${Ap(p)} + ${Bp(p)}) % 97 AS DOUBLE) / 97.0 - 0.5)"
+      val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, len($vec)), " +
+        s"d -> CAST(($vec)[d] AS DOUBLE) * $w)), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram-free language ID, and whole-document
+  * fingerprints. Everything is per-row column algebra (no shuffle) until
+  * an explicit aggregate, so the operators ride the source partitioning
+  * at any scale; aggregates are integer-sum based (exact, order-free)
+  * with a single final division to avoid float-accumulation
+  * nondeterminism across partitions.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword marker lists for the heuristic language
+    * scorer. (A real pipeline ships larger lists; the mechanism —
+    * argmax over per-language token-hit counts — is the operator.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "le", "he", "shi"))
+
+  val Stopwords: Seq[String] = Seq("a", "the")
+
+  def tokenCount(text: Column): Column = size(Shingles.tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(Shingles.tokens(text)))
+
+  /** Number of tokens exactly matching any word in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(Shingles.tokens(text),
+      t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax over [[LangMarkers]] hit counts,
+    * ties and zero-hit documents resolve to "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, words) => lang -> markerHits(text, words) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      // first language (in declaration order) achieving the max wins;
+      // later entries only claim strictly when the earlier pick lost
+      when(score === best && score > 0 && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Per-document quality score in [0,1]:
+    * 0.4·min(tokens/100,1) + 0.4·(distinct/tokens) + 0.2·(1 − stopRatio). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val diversity = distinctTokenCount(text).cast("double") / n
+    val stopRatio = markerHits(text, Stopwords).cast("double") / n
+    lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
+  }
+
+  /** Whole-document rolling-hash fingerprint (exact-dup key). */
+  def fingerprint(text: Column, hash: Column => Column = TextHash.polyHash): Column =
+    hash(lower(text))
+
+  /** Exact-duplicate clustering: every row gets its cluster's canonical
+    * (minimum) id and the cluster size, keyed by [[fingerprint]].
+    * A groupBy on the fingerprint — the canonical exact-dedup shuffle —
+    * then a broadcast-friendly join back. */
+  def exactDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val withFp = docs.select(col(idCol), fingerprint(col(textCol), hash).as("fp"))
+    val clusters = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cluster_size"))
+    withFp.join(clusters, "fp")
+      .select(col(idCol), col("fp"), col("canonical_id"), col("cluster_size"))
+  }
+
+  // ----- DuckDB mirrors -----
+
+  def markerHitsSql(toksExpr: String, words: Seq[String]): String = {
+    val cond = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"len(list_filter($toksExpr, t -> $cond))"
+  }
+
+  /** Nested-CASE mirror of [[langId]] over a token-list expression. */
+  def langIdSql(toksExpr: String): String = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerHitsSql(toksExpr, words) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scores.foldLeft("'und'") { case (acc, (lang, s)) =>
+      s"(CASE WHEN $s = $best AND $s > 0 AND $acc = 'und' THEN '$lang' ELSE $acc END)"
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.core.{GraftQuery, QueryModule, Tables}
+import graft.llm._
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators over the `documents` /
+  * `embeddings` tables: dedup (exact, MinHash+LSH, SimHash), similarity
+  * search (exact top-k + LSH buckets), text analysis (token stats,
+  * language ID, quality score), and multimodal-column plumbing.
+  *
+  * These have no counterpart in the reference repo (a sports-tracking
+  * library); they come from the engine brief's 100 TB curation
+  * requirements. Every query is pure DataFrame algebra with a DuckDB
+  * oracle that mirrors the arithmetic bit-for-bit (ordered double folds,
+  * integer aggregates, shared hash definitions in [[graft.llm.TextHash]]).
+  *
+  * Scale design notes live with the operators: [[graft.llm.MinHash]]
+  * (banded LSH — candidate generation shuffles on band keys, never
+  * all-pairs), [[graft.llm.Similarity]] (broadcast probe set / bucketed
+  * ANN), [[graft.llm.TextStats]] (shuffle-free row algebra),
+  * [[graft.llm.Multimodal]] (partition-local decode, no payload shuffle).
+  */
+object LlmQueries extends QueryModule {
+
+  private val P = TextHash.Prime
+
+  // ---- shared DuckDB fragments (mirror graft.llm column algebra) ----
+  private val toksSql = Shingles.tokensSql("text")
+  private def polySql(e: String) = TextHash.polyHashSql(e)
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ----- text analysis: token counts, language ID, quality score -----
+    GraftQuery(
+      "q_doc_text_stats",
+      (s, d) => {
+        val toks = Shingles.tokens(col("text"))
+        Tables.documents(s, d)
+          .filter(size(toks) > 0)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            TextStats.langId(col("text")).as("lang_guess"),
+            round(TextStats.qualityScore(col("text")), 6).as("quality"))
+      },
+      Some {
+        val q = "0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +
+          " + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))" +
+          " + 0.2 * (1.0 - CAST(" +
+          TextStats.markerHitsSql("toks", TextStats.Stopwords) +
+          " AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |  len(toks) AS n_tokens,
+           |  len(list_distinct(toks)) AS n_distinct,
+           |  ${TextStats.langIdSql("toks")} AS lang_guess,
+           |  round($q, 6) AS quality
+           |FROM t WHERE len(toks) > 0""".stripMargin
+      }),
+
+    // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
+    GraftQuery(
+      "q_doc_lang_agg",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  sum(n_chars) AS total_chars,
+             |  min(n_chars) AS min_chars,
+             |  max(n_chars) AS max_chars,
+             |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+             |FROM documents GROUP BY lang, source""".stripMargin)),
+
+    // ----- exact dedup: fingerprint groupBy → canonical id + size -----
+    GraftQuery(
+      "q_doc_exact_dedup",
+      (s, d) => TextStats.exactDupClusters(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH fps AS (SELECT doc_id, ${polySql("lower(text)")} AS fp FROM documents),
+              |cl AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS cluster_size
+              |       FROM fps GROUP BY fp)
+              |SELECT f.doc_id, f.fp, cl.canonical_id, cl.cluster_size
+              |FROM fps f JOIN cl USING (fp)""".stripMargin)),
+
+    // ----- MinHash signatures (one shuffle row per doc) -----
+    GraftQuery(
+      "q_doc_minhash_sig",
+      (s, d) => MinHash.signatures(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val mins = (0 until MinHash.NumHashes)
+          .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
+          .mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+           |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+           |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u)
+           |SELECT doc_id, $mins FROM shx GROUP BY doc_id""".stripMargin
+      }),
+
+    // ----- MinHash + banded LSH near-duplicate pairs with exact Jaccard -----
+    GraftQuery(
+      "q_doc_minhash_dedup",
+      (s, d) => MinHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.01),
+      Some {
+        val mins = (0 until MinHash.NumHashes)
+          .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
+          .mkString(", ")
+        val bandCollide = (0 until MinHash.Bands).map { b =>
+          (0 until MinHash.Rows)
+            .map(r => s"a.mh${b * MinHash.Rows + r} = b.mh${b * MinHash.Rows + r}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+           |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+           |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
+           |sig AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCollide)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |          FROM cand c
+           |          JOIN shx x ON x.doc_id = c.id_a
+           |          JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
+           |          GROUP BY c.id_a, c.id_b)
+           |SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           |       round($jac, 6) AS jaccard
+           |FROM inter i
+           |JOIN sizes sa ON sa.doc_id = i.id_a
+           |JOIN sizes sb ON sb.doc_id = i.id_b
+           |WHERE $jac >= 0.01""".stripMargin
+      },
+      headline = true),
+
+    // ----- SimHash fingerprints (shuffle-free per-doc bits) -----
+    GraftQuery(
+      "q_doc_simhash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
+      Some {
+        val hashes = s"list_transform(toks, t -> ${polySql("t")})"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+           |SELECT doc_id, ${SimHash.simhashSql(hashes)} AS simhash FROM t""".stripMargin
+      }),
+
+    // ----- exact top-k cosine neighbors (broadcast probe set) -----
+    GraftQuery(
+      "q_emb_topk_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.topKCosine(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val cos = Similarity.cosineSql("q.qv", "c.cv")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cos AS cosv
+           |       FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 5""".stripMargin
+      },
+      headline = true),
+
+    // ----- random-hyperplane LSH bucket assignment (ANN scale path) -----
+    GraftQuery(
+      "q_emb_lsh_buckets",
+      (s, d) =>
+        Similarity.withLshBucket(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("bucket"), col("label")),
+      Some(s"""SELECT vec_id, ${Similarity.lshBucketSql("embedding")} AS bucket, label
+              |FROM embeddings""".stripMargin)),
+
+    // ----- multimodal: binary payload → partition-local feature extract -----
+    GraftQuery(
+      "q_media_features",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("feature_idx", "value")))
+          .select(col("media_id"), col("feature_idx").cast("long"),
+            col("value").cast("double").as("value"))
+      },
+      Some("""SELECT doc_id AS media_id, k AS feature_idx,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    generate_series(1 + k, len(text), 8), i -> ascii(text[i:i]))), 0) AS DOUBLE) AS value
+             |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin))
+  )
+}

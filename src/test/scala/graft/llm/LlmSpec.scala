@@ -1,0 +1,97 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely unrelated text here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "ab")                                           // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("shingles: 3-grams of tokens; short docs empty") {
+    val r = docs.select($"doc_id",
+      Shingles.shingles(Shingles.tokens($"text"), 3).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1).head === "the quick brown")
+    assert(r(1).size === 7) // 9 tokens -> 7 shingles
+    assert(r(5).isEmpty)
+  }
+
+  test("polyHash matches Java string hash semantics mod prime") {
+    val h = docs.limit(1).select(TextHash.polyHash(lit("hello"))).head.getLong(0)
+    // "hello".hashCode fits in Int and is < prime, so equals the fold
+    assert(h === "hello".hashCode.toLong)
+  }
+
+  test("exact dedup clusters identical texts") {
+    val r = TextStats.exactDupClusters(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(1) === (1L, 2L)) // canonical 1, cluster of {1,4}
+    assert(r(4) === (1L, 2L))
+    assert(r(3)._2 === 1L)
+  }
+
+  test("minhash near-duplicates find the 1-token-apart pair, not the unrelated doc") {
+    val nd = MinHash.nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(5)).toMap
+    // docs 1/2 share 6 of 8 distinct shingles; 1/4 are identical
+    assert(nd.contains((1L, 4L)) && nd((1L, 4L)) === 1.0)
+    assert(nd.contains((1L, 2L)) && nd((1L, 2L)) > 0.5)
+    assert(!nd.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sh = docs.select($"doc_id", SimHash.simhash($"text").as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(sh(1) === sh(4))
+    assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
+  }
+
+  test("langId picks marker-dominant language, und when no markers") {
+    val r = Seq(
+      (1L, "the house of the rising sun and the moon"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      .select($"doc_id", TextStats.langId($"text").as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1) === "en" && r(2) === "de" && r(3) === "und")
+  }
+
+  test("cosine top-k: nearest neighbor of a vector is its duplicate") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.topKCosine(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getDouble(3)))
+    assert(top.head._2 === 2L && math.abs(top.head._3 - 1.0) < 1e-9)
+    assert(top(1)._2 === 4L)
+  }
+
+  test("lsh bucket is deterministic and within range") {
+    val emb = Seq((1L, Array.tabulate(16)(i => i * 0.1f))).toDF("vec_id", "embedding")
+    val b1 = Similarity.withLshBucket(emb, "embedding").select($"bucket").head.getLong(0)
+    val b2 = Similarity.withLshBucket(emb, "embedding").select($"bucket").head.getLong(0)
+    assert(b1 === b2 && b1 >= 0 && b1 < (1L << Similarity.PlaneBits))
+  }
+
+  test("multimodal fake decoder: strided byte sums, partition-local") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+    val expected = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+      .zipWithIndex.groupBy(_._2 % 8).map { case (k, xs) => k -> xs.map(_._1.toInt & 0xff).sum.toFloat }
+    assert(feats(1L).zipWithIndex.forall { case (v, k) => v === expected.getOrElse(k, 0f) })
+    assert(feats(1L).toSeq === feats(4L).toSeq)
+  }
+}
