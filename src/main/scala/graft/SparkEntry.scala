@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
+import graft.queries.{FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
     TrackingQueries,
     ModelQueries,
     GraphQueries,
-    LlmQueries)
+    LlmQueries,
+    FormationQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 
