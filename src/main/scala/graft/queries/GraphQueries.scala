@@ -49,6 +49,143 @@ object GraphQueries extends QueryModule {
        |$extra
        |$select""".stripMargin
 
+  /** SQL mirror of GraphConverter.padFrames: per-(frame, team) deficit
+    * rows with dtype defaults, then the 11/11/1 completeness filter and
+    * the node ordering — ends in a CTE named `gidx` so the feature CTEs
+    * below apply unchanged to the padded set. */
+  private val paddedGidxCte: String =
+    """gcnt AS (
+      |  SELECT game_id, period_id, frame_id, team_id,
+      |    max(ball_owning_team_id) AS ball_owning_team_id, count(*) AS cnt
+      |  FROM pidat GROUP BY game_id, period_id, frame_id, team_id
+      |),
+      |gpadrows AS (
+      |  SELECT game_id, period_id, frame_id, '' AS id, team_id,
+      |    CASE WHEN team_id = 'ball' THEN 'ball' ELSE '' END AS position_name,
+      |    0.0 AS x, 0.0 AS y, 0.0 AS z, 0.0 AS vx, 0.0 AS vy, 0.0 AS vz, 0.0 AS v,
+      |    ball_owning_team_id, false AS is_ball_carrier,
+      |    unnest(generate_series(1, (CASE WHEN team_id = 'ball' THEN 1 ELSE 11 END) - cnt)) AS k
+      |  FROM gcnt WHERE (CASE WHEN team_id = 'ball' THEN 1 ELSE 11 END) > cnt
+      |),
+      |gall AS (
+      |  SELECT game_id, period_id, frame_id, id, team_id, position_name,
+      |    x, y, z, vx, vy, vz, v, ball_owning_team_id, is_ball_carrier
+      |  FROM pidat
+      |  UNION ALL
+      |  SELECT game_id, period_id, frame_id, id, team_id, position_name,
+      |    x, y, z, vx, vy, vz, v, ball_owning_team_id, is_ball_carrier
+      |  FROM gpadrows
+      |),
+      |gcomp AS (
+      |  SELECT * FROM (
+      |    SELECT *,
+      |      sum(CASE WHEN team_id = 'ball' THEN 1 ELSE 0 END) OVER wf AS nb,
+      |      sum(CASE WHEN team_id = ball_owning_team_id THEN 1 ELSE 0 END) OVER wf AS no,
+      |      sum(CASE WHEN team_id <> 'ball' AND team_id <> ball_owning_team_id THEN 1 ELSE 0 END) OVER wf AS nd
+      |    FROM gall WINDOW wf AS (PARTITION BY game_id, period_id, frame_id))
+      |  WHERE nb = 1 AND no = 11 AND nd = 11
+      |),
+      |gidx AS (
+      |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+      |    ORDER BY (CAST(team_id = 'ball' AS INT)*2
+      |              - CAST((ball_owning_team_id = team_id AND team_id <> 'ball') AS INT)) ASC,
+      |             id ASC) - 1 AS node_idx
+      |  FROM gcomp
+      |)""".stripMargin
+
+  /** Node-feature CTE chain over a `gidx` source (shared by the padded
+    * and unpadded oracles). */
+  private val nodeFeatureCtes: String =
+    """gball AS (
+      |  SELECT *,
+      |    coalesce(max(CASE WHEN team_id = 'ball' THEN x END) OVER wf, 0.0) AS bx,
+      |    coalesce(max(CASE WHEN team_id = 'ball' THEN y END) OVER wf, 0.0) AS gby,
+      |    coalesce(max(CASE WHEN team_id = 'ball' THEN z END) OVER wf, 0.0) AS bz
+      |  FROM gidx
+      |  WINDOW wf AS (PARTITION BY game_id, period_id, frame_id)
+      |),
+      |gmag AS (
+      |  SELECT *, sqrt(vx*vx + vy*vy + vz*vz) AS vmag FROM gball
+      |),
+      |gm AS (
+      |  SELECT *, CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END AS vm,
+      |    ((atan2(vy/(CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END),
+      |            vx/(CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END)) - (-pi())) * 1.0) / (2*pi()) AS va
+      |  FROM gmag
+      |)""".stripMargin
+
+  private val nodeFeatureSelect: String =
+    """SELECT game_id, period_id, frame_id, id, node_idx,
+      |  round((x - (-52.5)) / (52.5 - (-52.5)), 6) AS x_n,
+      |  round((y - (-34.0)) / (34.0 - (-34.0)), 6) AS y_n,
+      |  round(CASE WHEN team_id = 'ball' THEN least(greatest(v/28.0, 0.0), 1.0)
+      |        ELSE least(greatest(v/12.0, 0.0), 1.0) END, 6) AS v_n,
+      |  round((sin(va) + 1.0)/2.0, 6) AS vc_sin,
+      |  round((cos(va) + 1.0)/2.0, 6) AS vc_cos,
+      |  round(sqrt((x - 52.5)*(x - 52.5) + (y - 0.0)*(y - 0.0) + z*z)
+      |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dgoal,
+      |  round(sqrt((x - bx)*(x - bx) + (y - gby)*(y - gby) + (z - bz)*(z - bz))
+      |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dball,
+      |  CAST(CASE WHEN team_id = ball_owning_team_id THEN 1.0 ELSE 0.1 END AS DOUBLE) AS poss,
+      |  CAST(CASE WHEN position_name = 'GK' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS gk,
+      |  CAST(CASE WHEN team_id = 'ball' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS ball,
+      |  round((sin(atan2(0.0 - y, 52.5 - x)) + 1.0)/2.0, 6) AS ag_sin,
+      |  round((cos(atan2(0.0 - y, 52.5 - x)) + 1.0)/2.0, 6) AS ag_cos,
+      |  round((sin(atan2(gby - y, bx - x)) + 1.0)/2.0, 6) AS ab_sin,
+      |  round((cos(atan2(gby - y, bx - x)) + 1.0)/2.0, 6) AS ab_cos,
+      |  CAST(CASE WHEN is_ball_carrier THEN 1.0 ELSE 0.1 END AS DOUBLE) AS carrier
+      |FROM gm""".stripMargin
+
+  private val featureCaseArms: String =
+    Seq("x_n", "y_n", "v_n", "vc_sin", "vc_cos", "dgoal", "dball", "poss",
+      "gk", "ball", "ag_sin", "ag_cos", "ab_sin", "ab_cos").zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN $n" }.mkString(" ") + " ELSE carrier"
+
+  /** Edge-feature CTE chain over a `gidx` source (split_by_team + ball
+    * connect adjacency, A=1 pairs only). */
+  private val edgeFeatureCtes: String =
+    """epair AS (
+      |  SELECT i.game_id, i.period_id, i.frame_id, i.id AS i_id, j.id AS j_id,
+      |    i.node_idx AS i_idx, j.node_idx AS j_idx,
+      |    i.x AS ix, i.y AS iy, i.z AS iz, j.x AS jx, j.y AS jy, j.z AS jz,
+      |    i.vx AS ivx, i.vy AS ivy, j.vx AS jvx, j.vy AS jvy,
+      |    i.v AS iv, j.v AS jv, i.team_id AS i_team,
+      |    CAST((i.team_id = j.team_id) OR i.team_id = 'ball' OR j.team_id = 'ball' AS INT) AS a
+      |  FROM gidx i JOIN gidx j USING (game_id, period_id, frame_id)
+      |),
+      |eun AS (
+      |  SELECT *,
+      |    sqrt((ix-jx)*(ix-jx) + (iy-jy)*(iy-jy)) AS n1,
+      |    sqrt((jvx-ivx)*(jvx-ivx) + (jvy-ivy)*(jvy-ivy)) AS n2
+      |  FROM epair WHERE a = 1
+      |),
+      |eu AS (
+      |  SELECT *,
+      |    CASE WHEN n1 = 0.0 THEN 0.0 ELSE (ix-jx)/n1 END AS u1x,
+      |    CASE WHEN n1 = 0.0 THEN 0.0 ELSE (iy-jy)/n1 END AS u1y,
+      |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE (jvx-ivx)/n2 END AS u2x,
+      |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE (jvy-ivy)/n2 END AS u2y
+      |  FROM eun
+      |),
+      |ea AS (
+      |  SELECT *, acos(least(greatest(u1x*u2x + u1y*u2y, -1.0), 1.0)) AS vangle,
+      |    atan2(iy - jy, ix - jx) AS pangle,
+      |    jv - iv AS sdiff,
+      |    CASE WHEN i_team = 'ball' THEN 28.0 ELSE 12.0 END AS smax
+      |  FROM eu
+      |)""".stripMargin
+
+  private val edgeFeatureSelect: String =
+    """SELECT game_id, period_id, frame_id, i_id, j_id, i_idx AS i, j_idx AS j,
+      |  round(sqrt((ix-jx)*(ix-jx) + (iy-jy)*(iy-jy) + (iz-jz)*(iz-jz))
+      |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dist,
+      |  round(least(greatest(sdiff/smax, 0.0), 1.0) * sign(sdiff) + 0.0, 6) AS vdiff,
+      |  round((cos(pangle) + 1.0)/2.0, 6) AS pa_cos,
+      |  round((sin(pangle) + 1.0)/2.0, 6) AS pa_sin,
+      |  round((cos(vangle) + 1.0)/2.0, 6) AS va_cos,
+      |  round((sin(vangle) + 1.0)/2.0, 6) AS va_sin
+      |FROM ea""".stripMargin
+
   private def pipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
     val trk = SyntheticTracking.df(s, d)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
@@ -83,45 +220,7 @@ object GraphQueries extends QueryModule {
             round(element_at(col("x_features"), i + 1), 6).as(n)
           }: _*)
       },
-      Some(withAll(gIdxCte +
-        """,
-          |gball AS (
-          |  SELECT *,
-          |    coalesce(max(CASE WHEN team_id = 'ball' THEN x END) OVER wf, 0.0) AS bx,
-          |    coalesce(max(CASE WHEN team_id = 'ball' THEN y END) OVER wf, 0.0) AS gby,
-          |    coalesce(max(CASE WHEN team_id = 'ball' THEN z END) OVER wf, 0.0) AS bz
-          |  FROM gidx
-          |  WINDOW wf AS (PARTITION BY game_id, period_id, frame_id)
-          |),
-          |gmag AS (
-          |  SELECT *, sqrt(vx*vx + vy*vy + vz*vz) AS vmag FROM gball
-          |),
-          |gm AS (
-          |  SELECT *, CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END AS vm,
-          |    ((atan2(vy/(CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END),
-          |            vx/(CASE WHEN vmag = 0.0 THEN 1.0 ELSE vmag END)) - (-pi())) * 1.0) / (2*pi()) AS va
-          |  FROM gmag
-          |)""".stripMargin)(
-        """SELECT game_id, period_id, frame_id, id, node_idx,
-          |  round((x - (-52.5)) / (52.5 - (-52.5)), 6) AS x_n,
-          |  round((y - (-34.0)) / (34.0 - (-34.0)), 6) AS y_n,
-          |  round(CASE WHEN team_id = 'ball' THEN least(greatest(v/28.0, 0.0), 1.0)
-          |        ELSE least(greatest(v/12.0, 0.0), 1.0) END, 6) AS v_n,
-          |  round((sin(va) + 1.0)/2.0, 6) AS vc_sin,
-          |  round((cos(va) + 1.0)/2.0, 6) AS vc_cos,
-          |  round(sqrt((x - 52.5)*(x - 52.5) + (y - 0.0)*(y - 0.0) + z*z)
-          |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dgoal,
-          |  round(sqrt((x - bx)*(x - bx) + (y - gby)*(y - gby) + (z - bz)*(z - bz))
-          |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dball,
-          |  CAST(CASE WHEN team_id = ball_owning_team_id THEN 1.0 ELSE 0.1 END AS DOUBLE) AS poss,
-          |  CAST(CASE WHEN position_name = 'GK' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS gk,
-          |  CAST(CASE WHEN team_id = 'ball' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS ball,
-          |  round((sin(atan2(0.0 - y, 52.5 - x)) + 1.0)/2.0, 6) AS ag_sin,
-          |  round((cos(atan2(0.0 - y, 52.5 - x)) + 1.0)/2.0, 6) AS ag_cos,
-          |  round((sin(atan2(gby - y, bx - x)) + 1.0)/2.0, 6) AS ab_sin,
-          |  round((cos(atan2(gby - y, bx - x)) + 1.0)/2.0, 6) AS ab_cos,
-          |  CAST(CASE WHEN is_ball_carrier THEN 1.0 ELSE 0.1 END AS DOUBLE) AS carrier
-          |FROM gm""".stripMargin))),
+      Some(withAll(gIdxCte + "," + nodeFeatureCtes)(nodeFeatureSelect))),
 
     // ----- G3: the 4 edge feature functions (6 columns) on A=1 pairs -----
     GraftQuery(
@@ -140,68 +239,83 @@ object GraphQueries extends QueryModule {
             round(vv, 6).as(n)
           }: _*)
       },
-      Some(withAll(gIdxCte +
-        """,
-          |epair AS (
-          |  SELECT i.game_id, i.period_id, i.frame_id, i.id AS i_id, j.id AS j_id,
-          |    i.x AS ix, i.y AS iy, i.z AS iz, j.x AS jx, j.y AS jy, j.z AS jz,
-          |    i.vx AS ivx, i.vy AS ivy, j.vx AS jvx, j.vy AS jvy,
-          |    i.v AS iv, j.v AS jv, i.team_id AS i_team,
-          |    CAST((i.team_id = j.team_id) OR i.team_id = 'ball' OR j.team_id = 'ball' AS INT) AS a
-          |  FROM gidx i JOIN gidx j USING (game_id, period_id, frame_id)
-          |),
-          |eun AS (
-          |  SELECT *,
-          |    sqrt((ix-jx)*(ix-jx) + (iy-jy)*(iy-jy)) AS n1,
-          |    sqrt((jvx-ivx)*(jvx-ivx) + (jvy-ivy)*(jvy-ivy)) AS n2
-          |  FROM epair WHERE a = 1
-          |),
-          |eu AS (
-          |  SELECT *,
-          |    CASE WHEN n1 = 0.0 THEN 0.0 ELSE (ix-jx)/n1 END AS u1x,
-          |    CASE WHEN n1 = 0.0 THEN 0.0 ELSE (iy-jy)/n1 END AS u1y,
-          |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE (jvx-ivx)/n2 END AS u2x,
-          |    CASE WHEN n2 = 0.0 THEN 0.0 ELSE (jvy-ivy)/n2 END AS u2y
-          |  FROM eun
-          |),
-          |ea AS (
-          |  SELECT *, acos(least(greatest(u1x*u2x + u1y*u2y, -1.0), 1.0)) AS vangle,
-          |    atan2(iy - jy, ix - jx) AS pangle,
-          |    jv - iv AS sdiff,
-          |    CASE WHEN i_team = 'ball' THEN 28.0 ELSE 12.0 END AS smax
-          |  FROM eu
-          |)""".stripMargin)(
-        """SELECT game_id, period_id, frame_id, i_id, j_id,
-          |  round(sqrt((ix-jx)*(ix-jx) + (iy-jy)*(iy-jy) + (iz-jz)*(iz-jz))
-          |        / sqrt(105.0*105.0 + 68.0*68.0), 6) AS dist,
-          |  round(least(greatest(sdiff/smax, 0.0), 1.0) * sign(sdiff) + 0.0, 6) AS vdiff,
-          |  round((cos(pangle) + 1.0)/2.0, 6) AS pa_cos,
-          |  round((sin(pangle) + 1.0)/2.0, 6) AS pa_sin,
-          |  round((cos(vangle) + 1.0)/2.0, 6) AS va_cos,
-          |  round((sin(vangle) + 1.0)/2.0, 6) AS va_sin
-          |FROM ea""".stripMargin))),
+      Some(withAll(gIdxCte + "," + edgeFeatureCtes)(
+        s"""SELECT game_id, period_id, frame_id, i_id, j_id,
+           |  dist, vdiff, pa_cos, pa_sin, va_cos, va_sin
+           |FROM ($edgeFeatureSelect)""".stripMargin))),
 
-    // ----- G8 + full nested assembly (rows-only check) -----
-    // The nested ARRAY<ARRAY<DOUBLE>> tensors are serialized with to_json
-    // (floats rounded to 6 first) so the driver's pandas-side sort/hash
-    // sees plain strings — numpy arrays are unhashable and crashed the
-    // round-1 check. The tensor layout itself is golden-tested in
-    // GraphConverterSpec.
+    // ----- G8 + full nested assembly, oracle-checked via explode -----
+    // Runs the real padded nested pipeline (padFrames + node features +
+    // collect_list/array_sort assembly), then explodes the nested `x`
+    // tensor back to (node_idx, feature_idx, value) rows. Wrong padding
+    // rows, node order, or matrix layout ⇒ wrong (node_idx, value)
+    // pairs ⇒ hash mismatch. The oracle regenerates the padding
+    // relationally in SQL (11/11/1 targets, dtype-default rows,
+    // completeness filter) and recomputes all 15 features on the
+    // padded set.
     GraftQuery(
       "q_graph_frames",
       (s, d) => {
-        val dat = Possession.inferBallCarrier(
-          Kinematics(SyntheticTracking.df(s, d), TrackingSettings(), None, None),
-          TrackingSettings())
-        val g = GraphConverter.graphFrames(dat, GraphSettings(pad = true))
-        def round2(c: String) =
-          transform(col(c), r => transform(r, v => round(v, 6)))
-        g.select(col(GameId), col(PeriodId), col(FrameId),
-          to_json(round2("x")).as("x_json"),
-          to_json(round2("e")).as("e_json"),
-          to_json(col("a")).as("a_json"),
-          to_json(col("object_ids")).as("object_ids_json"))
+        val g = GraphConverter.graphFrames(paddedInput(s, d), GraphSettings(pad = true))
+        g.select(Seq(col(GameId), col(PeriodId), col(FrameId)) :+
+            posexplode(arrays_zip(col("x"), col("object_ids"))).as(Seq("node_idx", "node")): _*)
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId),
+            col("node_idx").cast("long").as("node_idx"),
+            col("node.object_ids").as("id")) :+
+            posexplode(col("node.x")).as(Seq("feature_idx", "value")): _*)
+          .select(col(GameId), col(PeriodId), col(FrameId), col("node_idx"), col("id"),
+            col("feature_idx").cast("long").as("feature_idx"),
+            round(col("value"), 6).as("value"))
       },
-      None,
-      headline = true))
+      Some(withAll(paddedGidxCte + "," + nodeFeatureCtes)(
+        s"""SELECT game_id, period_id, frame_id, node_idx, id, k - 1 AS feature_idx,
+           |  CASE k $featureCaseArms END AS value
+           |FROM ($nodeFeatureSelect)
+           |CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS k)""".stripMargin)),
+      headline = true),
+
+    // ----- G8 adjacency + edge tensors, oracle-checked via explode -----
+    // Explodes the nested `a` matrix to cells and maps each e[k] back to
+    // its (i, j) through the row-major nonzero rank — verifying the COO
+    // ordering contract of the edge tensor against SQL.
+    GraftQuery(
+      "q_graph_frames_edges",
+      (s, d) => {
+        val g = GraphConverter.graphFrames(paddedInput(s, d), GraphSettings(pad = true))
+        val cells = g
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId)) :+
+            posexplode(col("a")).as(Seq("i", "arow")): _*)
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId), col("i")) :+
+            posexplode(col("arow")).as(Seq("j", "aval")): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(GameId), col(PeriodId), col(FrameId))
+          .orderBy(col("i"), col("j"))
+        val edgeIdx = cells.filter(col("aval") === 1)
+          .withColumn("k", row_number().over(w) - 1)
+        val eFlat = g
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId)) :+
+            posexplode(col("e")).as(Seq("k", "efeat")): _*)
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId), col("k")) :+
+            posexplode(col("efeat")).as(Seq("feature_idx", "value")): _*)
+        edgeIdx.join(eFlat, Seq(GameId, PeriodId, FrameId, "k"))
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+            col("feature_idx").cast("long").as("feature_idx"),
+            round(when(col("feature_idx") === 1, col("value") + 0.0)
+              .otherwise(col("value")), 6).as("value"))
+      },
+      Some(withAll(paddedGidxCte + "," + edgeFeatureCtes)(
+        s"""SELECT game_id, period_id, frame_id, i, j, k - 1 AS feature_idx,
+           |  CASE k WHEN 1 THEN dist WHEN 2 THEN vdiff WHEN 3 THEN pa_cos
+           |         WHEN 4 THEN pa_sin WHEN 5 THEN va_cos ELSE va_sin END AS value
+           |FROM ($edgeFeatureSelect)
+           |CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k)""".stripMargin))))
+
+  /** Kinematics + possession, unfiltered (padFrames does the frame
+    * completion itself). */
+  private def paddedInput(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val trk = SyntheticTracking.df(s, d)
+    val kin = Kinematics(trk, TrackingSettings(), None, None)
+    Possession.inferBallCarrier(kin, TrackingSettings())
+  }
 }

@@ -133,10 +133,14 @@ object ModelQueries extends QueryModule {
          |  round(tti1, 6) AS tti, round(pti0, 6) AS pti
          |FROM fdiag""".stripMargin)),
 
-    // ----- M3 nested matrix assembly (no SQL oracle: rows-only) -----
-    // Matrices/label arrays serialized via to_json (floats rounded to 6)
-    // so the driver's pandas sort/hash sees hashable strings instead of
-    // numpy arrays (the round-1 crash). Layout is covered in ScalaTest.
+    // ----- M3 nested matrix assembly, oracle-checked via cell explode --
+    // The query RUNS the real nested assembly (matrices: collect_list +
+    // array_sort + row-major reshape + label arrays), then explodes each
+    // matrix cell back to (i, j, row_id, col_id, tti, pti). If the
+    // row-major layout, the n_cols derivation, or the label arrays were
+    // wrong, cells would land on wrong (i, j) and the hash would break —
+    // so this flat twin verifies the nested form cell-for-cell against
+    // the pair-level SQL oracle.
     GraftQuery(
       "q_pi_matrices",
       (s, d) => {
@@ -144,14 +148,56 @@ object ModelQueries extends QueryModule {
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         val pairs = PressingIntensity.pairs(dat, TrackingSettings(), PressingIntensity.Params())
-          .withColumn("tti", round(col("tti"), 6))
-          .withColumn("pti", round(col("pti"), 6))
         val m = PressingIntensity.matrices(pairs)
-        m.select(col(GameId), col(PeriodId), col(FrameId),
-          to_json(col("time_to_intercept")).as("tti_json"),
-          to_json(col("probability_to_intercept")).as("pti_json"),
-          to_json(col("rows")).as("rows_json"),
-          to_json(col("columns")).as("columns_json"))
+        m.select(Seq(col(GameId), col(PeriodId), col(FrameId),
+            col("rows"), col("columns")) :+
+            posexplode(arrays_zip(col("time_to_intercept"),
+              col("probability_to_intercept"))).as(Seq("i", "trow")): _*)
+          .select(Seq(col(GameId), col(PeriodId), col(FrameId), col("rows"),
+            col("columns"), col("i")) :+
+            posexplode(arrays_zip(col("trow.time_to_intercept"),
+              col("trow.probability_to_intercept"))).as(Seq("j", "cell")): _*)
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+            element_at(col("rows"), col("i").cast("int") + 1).as("row_id"),
+            element_at(col("columns"), col("j").cast("int") + 1).as("col_id"),
+            round(col("cell.time_to_intercept"), 6).as("tti"),
+            round(col("cell.probability_to_intercept"), 6).as("pti"))
       },
-      None))
+      Some(s"""WITH ${SyntheticTracking.cte},
+         |${SyntheticTracking.velCte},
+         |${SyntheticTracking.possessionCte},
+         |$piDatCte,
+         |picols AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE team_id = ball_owning_team_id OR team_id = 'ball'
+         |),
+         |pirows AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE NOT (team_id = ball_owning_team_id OR team_id = 'ball')
+         |),
+         |pipair AS (
+         |  SELECT r.game_id, r.period_id, r.frame_id,
+         |    r.id AS row_id, c.id AS col_id, r.idx AS row_idx, c.idx AS col_idx,
+         |    (c.team_id = 'ball') AS c_ball, c.is_ball_carrier AS c_carrier,
+         |    c.x AS cx, c.y AS cy, c.z AS cz, c.vx AS cvx, c.vy AS cvy, c.vz AS cvz,
+         |    r.x AS rx, r.y AS ry, r.z AS rz, r.vx AS rvx, r.vy AS rvy, r.vz AS rvz
+         |  FROM pirows r JOIN picols c USING (game_id, period_id, frame_id)
+         |),
+         |pitti AS (SELECT *, $ttiSql AS tti0 FROM pipair),
+         |pimax AS (
+         |  SELECT *, max(CASE WHEN c_ball THEN tti0 END)
+         |    OVER (PARTITION BY game_id, period_id, frame_id, row_id) AS ball_tti
+         |  FROM pitti
+         |),
+         |pimerge AS (
+         |  SELECT *, CASE WHEN c_carrier THEN least(tti0, ball_tti) ELSE tti0 END AS tti1
+         |  FROM pimax WHERE NOT c_ball
+         |)
+         |SELECT game_id, period_id, frame_id, row_idx AS i, col_idx AS j,
+         |  row_id, col_id,
+         |  round(tti1, 6) AS tti, round(${ptiSql("tti1")}, 6) AS pti
+         |FROM pimerge""".stripMargin)))
 }
