@@ -11,9 +11,11 @@ object Bench {
     val spark = SparkEntry.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val headline = SparkEntry.allQueries.filter(_.headline)
-    // one warm-up run to absorb JVM/codegen startup before timing
-    headline.headOption.foreach { q =>
+    // warm up EVERY headline query so none pays codegen/first-shuffle
+    // setup inside its timed run
+    headline.foreach { q =>
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache() // warm-up must not pre-populate persists
     }
     val results = headline.map { q =>
       val t0 = System.nanoTime()

@@ -192,8 +192,15 @@ object GraphConverter {
       settings: GraphSettings,
       labelCol: String = Label,
       graphIdCol: String = GraphId): DataFrame = {
-    val prepared = if (settings.pad) padFrames(df, labelCol, graphIdCol)
-      else removeIncompleteFrames(df)
+    // Both persists are load-bearing at scale: padFrames reads its
+    // input 4× (counts, frame list, ball check, union) and the
+    // node/pair aggregations each scan `prepared` — without caching,
+    // the upstream kinematics/possession lineage re-executes ~6× and
+    // the source is scanned 6× instead of once.
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = (if (settings.pad) padFrames(input, labelCol, graphIdCol)
+      else removeIncompleteFrames(input))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodes = withNodeFeatures(prepared, settings)
     val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(prepared.columns.contains)

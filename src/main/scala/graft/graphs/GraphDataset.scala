@@ -1,64 +1,89 @@
 package graft.graphs
 
 import graft.tracking.Cols
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Train/test/validation splitting and label balancing (M12/O3/O4,
   * `unravel/utils/objects/graph_dataset.py:120-384`).
   *
-  * The reference shuffles id lists in the driver; here splits are
-  * computed distributively: distinct split keys get a seeded random
-  * order, a running index buckets them by fraction, and the assignment
-  * broadcast-joins back — leakage-aware when keyed by graph_id (all
-  * frames of a graph land in one split). */
+  * The reference shuffles id lists in the driver. Here split assignment
+  * is **row-local seeded hash-bucketing**: every key deterministically
+  * lands in one of 10 000 buckets via a seeded hash, and bucket ranges
+  * define the splits. No count() action, no global sort, no join, no
+  * shuffle at all — the assignment is a codegen'd projection that scales
+  * to any input size, and keying by graph_id keeps every frame of a
+  * graph in one split (leakage control). Fractions are honored in
+  * expectation (hash-proportional), the same contract a seeded
+  * permutation gives on large N.
+  */
 object GraphDataset {
   import Cols._
 
+  private val Buckets = 10000L
+
+  /** Seeded bucket in [0, 10000): production path (xxhash64, one
+    * codegen'd call). */
+  def hashBucket(keys: Seq[Column], seed: Long): Column =
+    pmod(xxhash64(keys :+ lit(seed): _*), lit(Buckets))
+
+  /** Oracle-expressible bucket: polynomial rolling hash of the joined
+    * key string (mirrors [[graft.llm.TextHash.polyHash]], which has an
+    * exact DuckDB twin). Same algebra, swap-in replacement. */
+  def polyHashBucket(keys: Seq[Column], seed: Long): Column =
+    pmod(graft.llm.TextHash.polyHash(
+      concat_ws("|", (keys :+ lit(seed.toString)): _*)), lit(Buckets))
+
   /** Adds a `split` column ∈ {train, test, validation}.
-    * @param byGraphId split on graph_id (leakage control) vs frame keys */
+    * @param byGraphId split on graph_id (leakage control) vs frame keys
+    * @param exactHash use the oracle-expressible hash (slower per char;
+    *                  the default xxhash64 is the production path) */
   def withSplit(
       df: DataFrame,
       trainFrac: Double,
       testFrac: Double,
       valFrac: Double,
       byGraphId: Boolean = false,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      exactHash: Boolean = false): DataFrame = {
     require(math.abs(trainFrac + testFrac + valFrac - 1.0) < 1e-9,
       "split fractions must sum to 1")
     require(trainFrac >= testFrac && testFrac >= valFrac,
       "expected train >= test >= validation")
-    val keys = if (byGraphId) Seq(GraphId) else Seq(GameId, PeriodId, FrameId)
-    val ids = df.select(keys.map(col): _*).dropDuplicates()
-    val w = Window.orderBy(rand(seed))
-    val n = ids.count().toDouble
-    val assigned = ids
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("split",
-        when(col("__rn") <= math.ceil(n * trainFrac), "train")
-          .when(col("__rn") <= math.ceil(n * (trainFrac + testFrac)), "test")
-          .otherwise("validation"))
-      .drop("__rn")
-    df.join(broadcast(assigned), keys, "left")
+    val keys = (if (byGraphId) Seq(GraphId) else Seq(GameId, PeriodId, FrameId)).map(col)
+    val bucket = if (exactHash) polyHashBucket(keys, seed) else hashBucket(keys, seed)
+    df.withColumn("split",
+      when(bucket < (trainFrac * Buckets).toLong, "train")
+        .when(bucket < ((trainFrac + testFrac) * Buckets).toLong, "test")
+        .otherwise("validation"))
   }
 
-  /** O4: down-sample classes so positive/negative labels match the
-    * requested ratio within each split (`graph_dataset.py:318-384`). */
+  /** O4: down-sample the majority class so positive/negative labels
+    * match the requested ratio (`graph_dataset.py:318-384`). Sampling
+    * keys are taken from the data's own label values, so any integral
+    * label type works. */
   def balanced(df: DataFrame, labelCol: String = Label, ratio: Double = 1.0, seed: Long = 42L): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count().collect()
       .map(r => r.get(0) -> r.getLong(1)).toMap
     if (counts.size < 2) df
     else {
-      val pos = counts.getOrElse(1L, 0L).toDouble
-      val neg = counts.getOrElse(0L, 0L).toDouble
-      // target: pos = ratio * neg — shrink the majority side
+      def classOf(k: Any): Long = k match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(s"non-numeric label $other")
+      }
+      val pos = counts.collect { case (k, v) if classOf(k) == 1L => v }.sum.toDouble
+      val neg = counts.collect { case (k, v) if classOf(k) == 0L => v }.sum.toDouble
       val (posFrac, negFrac) =
         if (pos > ratio * neg) (ratio * neg / pos, 1.0) else (1.0, pos / (ratio * neg))
-      df.stat.sampleBy(labelCol, Map(0 -> negFrac, 1 -> posFrac), seed)
+      val fractions: Map[Any, Double] = counts.keys.map { k =>
+        k -> (if (classOf(k) == 1L) posFrac else negFrac)
+      }.toMap
+      df.stat.sampleBy(col(labelCol), fractions, seed)
     }
   }
 
-  /** O3: deterministic permutation (`default_graph_converter.py:152-162`). */
+  /** O3: deterministic permutation (`default_graph_converter.py:152-162`).
+    * Semantically a global sort — keep off hot paths; the reference uses
+    * it only to randomize training-batch order. */
   def shuffled(df: DataFrame, seed: Long = 42L): DataFrame = df.orderBy(rand(seed))
 }

@@ -274,6 +274,35 @@ object GraphQueries extends QueryModule {
            |CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS k)""".stripMargin)),
       headline = true),
 
+    // ----- M12: leakage-aware split via seeded hash-bucketing -----
+    // Zero-shuffle assignment: bucket = seeded hash of the graph_id mod
+    // 10000, range thresholds define the splits. The oracle recomputes
+    // the identical polynomial hash in SQL.
+    GraftQuery(
+      "q_split_assign",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+          .withColumn(GraphId, concat_ws("-", col(GameId), col(FrameId)))
+        graft.graphs.GraphDataset
+          .withSplit(trk, 0.6, 0.3, 0.1, byGraphId = true, seed = 7L, exactHash = true)
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(GraphId), col("split"))
+      },
+      Some(withAll(
+        s"""gsplit AS (
+           |  SELECT *, game_id || '-' || CAST(frame_id AS VARCHAR) AS graph_id
+           |  FROM tracking
+           |),
+           |gbucket AS (
+           |  SELECT *, ${graft.llm.TextHash.polyHashSql("graph_id || '|7'")} % 10000 AS bucket
+           |  FROM gsplit
+           |)""".stripMargin)(
+        """SELECT game_id, period_id, frame_id, id, graph_id,
+          |  CASE WHEN bucket < 6000 THEN 'train'
+          |       WHEN bucket < 9000 THEN 'test'
+          |       ELSE 'validation' END AS split
+          |FROM gbucket""".stripMargin))),
+
     // ----- G8 adjacency + edge tensors, oracle-checked via explode -----
     // Explodes the nested `a` matrix to cells and maps each e[k] back to
     // its (i, j) through the row-major nonzero rank — verifying the COO
