@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
+import graft.queries.{FootballQueries, FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,8 @@ object SparkEntry {
     ModelQueries,
     GraphQueries,
     LlmQueries,
-    FormationQueries)
+    FormationQueries,
+    FootballQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 
