@@ -144,6 +144,40 @@ object GraphConverter {
       .drop("__ball_x", "__ball_y", "__ball_z")
   }
 
+  /** G6 global/graph features (`node_features_pl.py:6-16`,
+    * `graph_converter.py:643-667`): append constant-per-frame columns
+    * to each node's feature array — on the ball row only (zeros
+    * elsewhere, `type="ball"`) or on every row (`type="all"`). Call
+    * [[validateGlobalConstancy]] first to replicate the reference's
+    * multiple-values error. */
+  def withGlobalFeatures(
+      df: DataFrame,
+      globalCols: Seq[String],
+      globalType: String = "ball"): DataFrame = {
+    require(Set("ball", "all")(globalType),
+      "global_features_type should be either of {ball, all}")
+    val isBall = col(TeamId) === Ball
+    val globals = array(globalCols.map(c => col(c).cast("double")): _*)
+    val zeros = array(globalCols.map(_ => lit(0.0)): _*)
+    val extra = globalType match {
+      case "ball" => when(isBall, globals).otherwise(zeros)
+      case "all" => globals
+    }
+    df.withColumn("x_features", concat(col("x_features"), extra))
+  }
+
+  /** Fail fast when a would-be global feature varies within a frame
+    * (`graph_converter.py:643-652`). */
+  def validateGlobalConstancy(df: DataFrame, globalCols: Seq[String]): Unit = {
+    val bad = df.groupBy(frameKeys.map(col): _*)
+      .agg(globalCols.map(c => countDistinct(col(c)).as(c)).head,
+        globalCols.map(c => countDistinct(col(c)).as(c)).tail: _*)
+      .filter(globalCols.map(c => col(c) > 1).reduce(_ || _))
+      .limit(1).count()
+    require(bad == 0,
+      s"global_feature_cols contains multiple different values per frame for ${globalCols.mkString(",")}")
+  }
+
   /** Within-frame pair table with the adjacency value `a` and
     * `e_features` ARRAY<DOUBLE>; `i_*` is the matrix row node, `j_*`
     * the column node. */

@@ -45,6 +45,12 @@ object PressingIntensity {
 
   private val frameKeys = Seq(GameId, PeriodId, FrameId)
 
+  /** M4 time-range filter (`pressing_intensity.py:510-514`): keep one
+    * period's frames inside [start, end] micros. The reference requires
+    * all three or none — mirrored here by taking them together. */
+  def filterTimeRange(df: DataFrame, startMicros: Long, endMicros: Long, periodId: Int): DataFrame =
+    df.filter(col(Timestamp).between(startMicros, endMicros) && col(PeriodId) === periodId)
+
   /** Long-format pair table: one row per (frame, row object, col object)
     * with `tti`/`pti`, plus the 0-based matrix indices `row_idx`/
     * `col_idx` that reproduce the reference's node ordering (possession

@@ -274,6 +274,33 @@ object GraphQueries extends QueryModule {
            |CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS k)""".stripMargin)),
       headline = true),
 
+    // ----- O5: frame down-sampling -----
+    GraftQuery(
+      "q_graph_sample",
+      (s, d) => GraphConverter.sample(SyntheticTracking.df(s, d), 0.5)
+        .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id")),
+      Some(s"""WITH ${SyntheticTracking.cte}
+              |SELECT game_id, period_id, frame_id, id
+              |FROM tracking WHERE frame_id % 2 = 0""".stripMargin)),
+
+    // ----- G6: global/graph features appended to the ball node row -----
+    GraftQuery(
+      "q_graph_globals",
+      (s, d) => {
+        val base = pipeline(s, d)
+        GraphConverter.validateGlobalConstancy(base, Seq(Timestamp))
+        val nf = GraphConverter.withNodeFeatures(base, GraphSettings(pad = false))
+        GraphConverter.withGlobalFeatures(nf, Seq(Timestamp), "ball")
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col("node_idx"),
+            element_at(col("x_features"), 16).as("g_ts"))
+      },
+      Some(withAll(gIdxCte)(
+        """SELECT game_id, period_id, frame_id, id, node_idx,
+          |  CASE WHEN team_id = 'ball' THEN CAST(frame_id * 40000 AS DOUBLE)
+          |       ELSE 0.0 END AS g_ts
+          |FROM gidx""".stripMargin))),
+
     // ----- M12: leakage-aware split via seeded hash-bucketing -----
     // Zero-shuffle assignment: bucket = seeded hash of the graph_id mod
     // 10000, range thresholds define the splits. The oracle recomputes

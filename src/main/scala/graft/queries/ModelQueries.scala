@@ -133,6 +133,119 @@ object ModelQueries extends QueryModule {
          |  round(tti1, 6) AS tti, round(pti0, 6) AS pti
          |FROM fdiag""".stripMargin)),
 
+    // ----- M3 speed-threshold masking + M4 home/away transpose -----
+    GraftQuery(
+      "q_pi_pairs_threshold",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val kin = Kinematics(trk, TrackingSettings(), None, None)
+        val dat = Possession.inferBallCarrier(kin, TrackingSettings())
+        PressingIntensity.pairs(dat, TrackingSettings(homeTeamId = Some("home")),
+          PressingIntensity.Params(speedThreshold = Some(2.0), orient = "home_away"))
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col("row_id"), col("col_id"), col("row_idx"), col("col_idx"),
+            round(col("tti"), 6).as("tti"), round(col("pti"), 6).as("pti"))
+      },
+      Some(s"""WITH ${SyntheticTracking.cte},
+         |${SyntheticTracking.velCte},
+         |${SyntheticTracking.possessionCte},
+         |$piDatCte,
+         |picols AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE team_id = ball_owning_team_id OR team_id = 'ball'
+         |),
+         |pirows AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE NOT (team_id = ball_owning_team_id OR team_id = 'ball')
+         |),
+         |pipair AS (
+         |  SELECT r.game_id, r.period_id, r.frame_id,
+         |    r.id AS row_id, c.id AS col_id, r.idx AS row_idx, c.idx AS col_idx,
+         |    (c.team_id = 'ball') AS c_ball, c.is_ball_carrier AS c_carrier,
+         |    r.v AS rv, c.v AS cv, r.ball_owning_team_id AS rboti,
+         |    c.x AS cx, c.y AS cy, c.z AS cz, c.vx AS cvx, c.vy AS cvy, c.vz AS cvz,
+         |    r.x AS rx, r.y AS ry, r.z AS rz, r.vx AS rvx, r.vy AS rvy, r.vz AS rvz
+         |  FROM pirows r JOIN picols c USING (game_id, period_id, frame_id)
+         |),
+         |pitti AS (SELECT *, $ttiSql AS tti0 FROM pipair),
+         |pimax AS (
+         |  SELECT *, max(CASE WHEN c_ball THEN tti0 END)
+         |    OVER (PARTITION BY game_id, period_id, frame_id, row_id) AS ball_tti
+         |  FROM pitti
+         |),
+         |pimerge AS (
+         |  SELECT *, CASE WHEN c_carrier THEN least(tti0, ball_tti) ELSE tti0 END AS tti1
+         |  FROM pimax WHERE NOT c_ball
+         |),
+         |pimask AS (
+         |  SELECT *, CASE WHEN rv < 2.0 OR cv < 2.0 THEN 0.0
+         |    ELSE ${ptiSql("tti1")} END AS pti1
+         |  FROM pimerge
+         |)
+         |SELECT game_id, period_id, frame_id,
+         |  CASE WHEN rboti = 'home' THEN col_id ELSE row_id END AS row_id,
+         |  CASE WHEN rboti = 'home' THEN row_id ELSE col_id END AS col_id,
+         |  CASE WHEN rboti = 'home' THEN col_idx ELSE row_idx END AS row_idx,
+         |  CASE WHEN rboti = 'home' THEN row_idx ELSE col_idx END AS col_idx,
+         |  round(tti1, 6) AS tti, round(pti1, 6) AS pti
+         |FROM pimask""".stripMargin)),
+
+    // ----- M4 time-range filter -----
+    GraftQuery(
+      "q_pi_pairs_window",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val kin = Kinematics(trk, TrackingSettings(), None, None)
+        val dat = PressingIntensity.filterTimeRange(
+          Possession.inferBallCarrier(kin, TrackingSettings()),
+          100000000L, 500000000L, 1)
+        PressingIntensity.pairs(dat, TrackingSettings(), PressingIntensity.Params())
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col("row_id"), col("col_id"),
+            round(col("tti"), 6).as("tti"), round(col("pti"), 6).as("pti"))
+      },
+      Some(s"""WITH ${SyntheticTracking.cte},
+         |${SyntheticTracking.velCte},
+         |${SyntheticTracking.possessionCte},
+         |$piDatCte,
+         |piwin AS (
+         |  SELECT * FROM pidat
+         |  WHERE frame_id * 40000 BETWEEN 100000000 AND 500000000 AND period_id = 1
+         |),
+         |picols AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM piwin WHERE team_id = ball_owning_team_id OR team_id = 'ball'
+         |),
+         |pirows AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM piwin WHERE NOT (team_id = ball_owning_team_id OR team_id = 'ball')
+         |),
+         |pipair AS (
+         |  SELECT r.game_id, r.period_id, r.frame_id,
+         |    r.id AS row_id, c.id AS col_id,
+         |    (c.team_id = 'ball') AS c_ball, c.is_ball_carrier AS c_carrier,
+         |    c.x AS cx, c.y AS cy, c.z AS cz, c.vx AS cvx, c.vy AS cvy, c.vz AS cvz,
+         |    r.x AS rx, r.y AS ry, r.z AS rz, r.vx AS rvx, r.vy AS rvy, r.vz AS rvz
+         |  FROM pirows r JOIN picols c USING (game_id, period_id, frame_id)
+         |),
+         |pitti AS (SELECT *, $ttiSql AS tti0 FROM pipair),
+         |pimax AS (
+         |  SELECT *, max(CASE WHEN c_ball THEN tti0 END)
+         |    OVER (PARTITION BY game_id, period_id, frame_id, row_id) AS ball_tti
+         |  FROM pitti
+         |),
+         |pimerge AS (
+         |  SELECT *, CASE WHEN c_carrier THEN least(tti0, ball_tti) ELSE tti0 END AS tti1
+         |  FROM pimax WHERE NOT c_ball
+         |)
+         |SELECT game_id, period_id, frame_id, row_id, col_id,
+         |  round(tti1, 6) AS tti, round(${ptiSql("tti1")}, 6) AS pti
+         |FROM pimerge""".stripMargin)),
+
     // ----- M3 nested matrix assembly, oracle-checked via cell explode --
     // The query RUNS the real nested assembly (matrices: collect_list +
     // array_sort + row-major reshape + label arrays), then explodes each

@@ -129,5 +129,40 @@ object TrackingQueries extends QueryModule {
       Some(withCtes(SyntheticTracking.cte)(
         """SELECT game_id, period_id, frame_id, id,
           |  concat_ws('-', game_id, frame_id) AS graph_id
+          |FROM tracking""".stripMargin))),
+
+    // ----- J6/M11: dummy labels. Seeded rand() differs across engines
+    // by design, so the oracle checks the CONTRACT: one label per key
+    // combination, values in {0,1} (the reference's random.choice([0,1])
+    // per unique combination, utils.py:41-70).
+    GraftQuery(
+      "q_trk_labels",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        Labels.addDummyLabels(trk, Seq(GameId, FrameId), seed = 42L)
+          .groupBy(col(GameId), col(FrameId))
+          .agg(countDistinct(col(Label)).as("n_labels"),
+            min(col(Label).isin(0L, 1L).cast("long")).as("label_in_domain"))
+      },
+      Some(withCtes(SyntheticTracking.cte)(
+        """SELECT game_id, frame_id,
+          |  CAST(1 AS BIGINT) AS n_labels, CAST(1 AS BIGINT) AS label_in_domain
+          |FROM (SELECT DISTINCT game_id, frame_id FROM tracking)""".stripMargin))),
+
+    // ----- W5: min-rank at duplicated sort key (plot path,
+    // graph_converter.py:895-903) -----
+    GraftQuery(
+      "q_rank_dup_ts",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(GameId), col(PeriodId)).orderBy(col(Timestamp))
+        SyntheticTracking.df(s, d)
+          .withColumn("rnk", rank().over(w))
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some(withCtes(SyntheticTracking.cte)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  rank() OVER (PARTITION BY game_id, period_id ORDER BY ts_us) AS rnk
           |FROM tracking""".stripMargin))))
 }

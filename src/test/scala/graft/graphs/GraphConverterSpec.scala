@@ -135,4 +135,46 @@ class GraphConverterSpec extends AnyFunSuite {
       .filter(col("n") > 1).count()
     assert(multi == 0)
   }
+
+  test("validateIntegrity passes on consistent frames, raises on mixed") {
+    import spark.implicits._
+    val ok = smallFrame.withColumn(GraphId, lit("g-1")).withColumn(Label, lit(1L))
+    GraphConverter.validateIntegrity(ok, Seq(GraphId, Label)) // no throw
+    val bad = smallFrame.withColumn(GraphId,
+      when(col(ObjectId) === "h1", "g-X").otherwise("g-1"))
+      .withColumn(Label, lit(1L))
+    val e = intercept[IllegalArgumentException](
+      GraphConverter.validateIntegrity(bad, Seq(GraphId, Label)))
+    assert(e.getMessage.contains("integrity"))
+  }
+
+  test("global features: ball type targets the ball row, all type every row") {
+    val nf = GraphConverter.withNodeFeatures(
+      GraphConverter.removeIncompleteFrames(smallFrame), GraphSettings(pad = false))
+    val ballType = GraphConverter.withGlobalFeatures(nf, Seq(Timestamp), "ball")
+      .select(col(ObjectId), element_at(col("x_features"), 16).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ballType("ball") === 0.0) // Timestamp is 0 in the fixture
+    val nf2 = GraphConverter.withNodeFeatures(
+      GraphConverter.removeIncompleteFrames(smallFrame.withColumn(Timestamp, lit(5L))),
+      GraphSettings(pad = false))
+    val b2 = GraphConverter.withGlobalFeatures(nf2, Seq(Timestamp), "ball")
+      .select(col(ObjectId), element_at(col("x_features"), 16).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b2("ball") === 5.0 && b2("h1") === 0.0)
+    val allType = GraphConverter.withGlobalFeatures(nf2, Seq(Timestamp), "all")
+      .select(element_at(col("x_features"), 16).as("g"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(allType === Set(5.0))
+    assertThrows[IllegalArgumentException](
+      GraphConverter.withGlobalFeatures(nf2, Seq(Timestamp), "bogus"))
+  }
+
+  test("validateGlobalConstancy raises when a global column varies in a frame") {
+    val varying = smallFrame.withColumn("gcol",
+      when(col(ObjectId) === "h1", 1.0).otherwise(2.0))
+    assertThrows[IllegalArgumentException](
+      GraphConverter.validateGlobalConstancy(varying, Seq("gcol")))
+    GraphConverter.validateGlobalConstancy(smallFrame.withColumn("gcol", lit(3.0)), Seq("gcol"))
+  }
 }

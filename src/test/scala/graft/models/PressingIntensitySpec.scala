@@ -109,4 +109,35 @@ class PressingIntensitySpec extends AnyFunSuite {
     rows.filter(r => r.getAs[String]("row_id") == "d2" && r.getAs[String]("col_id") == "a1")
       .foreach(r => assert(r.getAs[Double]("pti") > 0.0))
   }
+
+  test("closed-form golden: stationary pair tti = rt + dist/vmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // attacker (owning, col side) and defender both stationary: u = 0,
+    // angle term vanishes (acos(0) * 0 = 0), so tti = 0.7 + d / 12
+    val df = Seq(
+      ("a1", "home", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, true),
+      ("d1", "away", 6.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false),
+      ("ball", "ball", 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false))
+      .toDF(ObjectId, TeamId, X, Y, Z, Vx, Vy, Vz, Speed, IsBallCarrier)
+      .withColumn(GameId, lit("g")).withColumn(PeriodId, lit(1))
+      .withColumn(FrameId, lit(1L)).withColumn(Timestamp, lit(0L))
+      .withColumn(BallOwningTeamId, lit("home"))
+    val p = PressingIntensity.pairs(df, TrackingSettings(),
+      PressingIntensity.Params(ballMethod = "exclude"))
+      .filter(col("row_id") === "d1" && col("col_id") === "a1")
+      .select("tti").head.getDouble(0)
+    assert(math.abs(p - (0.7 + 6.0 / 12.0)) < 1e-12)
+    // and the scalar reimplementation agrees
+    assert(math.abs(ttiScalar((0, 0, 0), (0, 0, 0), (6, 0, 0), (0, 0, 0)) - 1.2) < 1e-12)
+  }
+
+  test("filterTimeRange keeps only the window of one period") {
+    import org.apache.spark.sql.functions._
+    val two = frame.union(frame
+      .withColumn(PeriodId, lit(2)).withColumn(Timestamp, lit(9000000L)))
+    val kept = PressingIntensity.filterTimeRange(two, 0L, 5000000L, 1)
+    assert(kept.select(PeriodId).distinct().collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(kept.count() === 5)
+  }
 }
