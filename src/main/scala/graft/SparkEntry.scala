@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{FootballQueries, FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, TrackingQueries}
+import graft.queries.{FootballQueries, FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, SourceQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,8 @@ object SparkEntry {
     GraphQueries,
     LlmQueries,
     FormationQueries,
-    FootballQueries)
+    FootballQueries,
+    SourceQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

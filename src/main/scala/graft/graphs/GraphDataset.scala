@@ -82,6 +82,16 @@ object GraphDataset {
     }
   }
 
+  /** S7 in-memory ML handoff: stream rows (e.g. the nested graph
+    * schema) to a driver-side consumer one partition at a time —
+    * the scalable replacement for the reference's `iter_slices`
+    * chunked materialization (`default_graph_converter.py:389-393`);
+    * a PyG/Spektral adapter consumes this iterator. */
+  def toLocalGraphs(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
   /** O3: deterministic permutation (`default_graph_converter.py:152-162`).
     * Semantically a global sort — keep off hot paths; the reference uses
     * it only to randomize training-batch order. */

@@ -1,0 +1,31 @@
+package graft.tracking
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W7 `search_sorted` (`graph_converter.py:910-915`): next-closest
+  * frame timestamp lookup, distributed. Instead of a driver-side
+  * binary search over a collected array, targets are unioned with the
+  * frame timeline and a range window takes the minimum following frame
+  * timestamp — one shuffle on the game key, any number of targets. */
+object TimeIndex {
+
+  /** For each (game_id, target) row: the smallest frame timestamp
+    * ≥ target (`next_ts`, null when past the last frame). `frames`
+    * needs (game_id, timestamp); `targets` needs (game_id, target). */
+  def searchSorted(frames: DataFrame, targets: DataFrame): DataFrame = {
+    val f = frames.select(col(Cols.GameId), col(Cols.Timestamp).as("ts"))
+      .distinct()
+      .withColumn("__is_target", lit(0))
+    val t = targets.select(col(Cols.GameId), col("target").as("ts"))
+      .withColumn("__is_target", lit(1))
+    val w = Window.partitionBy(col(Cols.GameId))
+      .orderBy(col("ts"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    f.unionByName(t)
+      .withColumn("next_ts", min(when(col("__is_target") === 0, col("ts"))).over(w))
+      .filter(col("__is_target") === 1)
+      .select(col(Cols.GameId), col("ts").as("target"), col("next_ts"))
+  }
+}
