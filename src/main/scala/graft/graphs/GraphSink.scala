@@ -1,0 +1,25 @@
+package graft.graphs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S4 graph sink/source: the nested per-frame graph schema (a, x, e,
+  * object_ids + keys) persists as parquet, replacing the reference's
+  * compressed-pickle files (`default_graph_converter.py:250-278`,
+  * `graph_dataset.py:18-66`) with a format any engine can scan.
+  *
+  * Output is partitioned by game_id: training jobs that read a subset
+  * of matches prune partitions at the source, and a 1000-executor
+  * write fans out without a shuffle (the frame rows are already
+  * distributed; partitionBy only routes files).
+  */
+object GraphSink {
+
+  def write(graphFrames: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    graphFrames.write
+      .mode(mode)
+      .partitionBy("game_id")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -93,9 +93,18 @@ object MinHash {
       n: Int = 3,
       threshold: Double = 0.2,
       hash: Column => Column = TextHash.polyHash): DataFrame = {
+    // the distinct (id, shingle-hash) table feeds four consumers
+    // (signatures, sizes, both intersection sides); all four build on
+    // the SAME distinct() subtree so Catalyst's ReusedExchange serves
+    // them from one shuffle write instead of four corpus scans
     val sh = shingleHashes(docs, idCol, textCol, n, hash).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val pairs = candidatePairs(signatures(docs, idCol, textCol, n, hash), idCol)
+    val sigs = sh.groupBy(col(idCol))
+      .agg(
+        min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
+    val pairs = candidatePairs(sigs, idCol)
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))

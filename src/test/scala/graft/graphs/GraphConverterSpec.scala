@@ -177,4 +177,17 @@ class GraphConverterSpec extends AnyFunSuite {
       GraphConverter.validateGlobalConstancy(varying, Seq("gcol")))
     GraphConverter.validateGlobalConstancy(smallFrame.withColumn("gcol", lit(3.0)), Seq("gcol"))
   }
+
+  test("graph sink round-trips the nested schema via partitioned parquet") {
+    val g = GraphConverter.graphFrames(smallFrame, GraphSettings(pad = true))
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/graphs"
+    GraphSink.write(g, path)
+    val back = GraphSink.read(spark, path)
+    assert(back.count() === g.count())
+    val row = back.collect().head
+    val a = row.getAs[scala.collection.Seq[scala.collection.Seq[Int]]]("a")
+    assert(a.length === 23 && a.head.length === 23)
+    // partition pruning surface: game_id is a partition column
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("game_id=")))
+  }
 }
