@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ordered left-fold dot product in double precision. */
+  /** Ordered index-ascending dot product in double precision.
+    * Production path: the native codegen'd expression
+    * ([[graft.functions.VectorExpressions.dotNative]]) — bit-identical
+    * to the composable fold below, which stays as documentation of the
+    * semantics and as the arbitration form the DuckDB oracle mirrors. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotNative(a, b)
+
+  /** The equivalent higher-order-function form (CodegenFallback; kept
+    * for cross-checking the native expression). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
