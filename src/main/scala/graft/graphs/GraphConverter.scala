@@ -34,12 +34,16 @@ object GraphConverter {
     isBall.cast("int") * 2 - owning.cast("int")
   }
 
-  /** Adds `node_idx` (0-based position in the frame's node order). */
-  def withNodeIndex(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(frameKeys.map(col): _*)
-      .orderBy(sortValue.asc, col(ObjectId).asc)
-    df.withColumn("node_idx", row_number().over(w) - 1)
-  }
+  /** Adds `node_idx` (0-based position in the frame's node order).
+    * Idempotent: a pre-indexed input passes through, so pipelines that
+    * index once (graphFrames) don't pay the window twice. */
+  def withNodeIndex(df: DataFrame): DataFrame =
+    if (df.columns.contains("node_idx")) df
+    else {
+      val w = Window.partitionBy(frameKeys.map(col): _*)
+        .orderBy(sortValue.asc, col(ObjectId).asc)
+      df.withColumn("node_idx", row_number().over(w) - 1)
+    }
 
   /** G9: keep frames with exactly 3 distinct team ids (2 teams + ball)
     * — one window pass, no join (`graph_converter.py:224-238`). */
@@ -232,7 +236,11 @@ object GraphConverter {
     // the upstream kinematics/possession lineage re-executes ~6× and
     // the source is scanned 6× instead of once.
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prepared = (if (settings.pad) padFrames(input, labelCol, graphIdCol)
+    // index once here: node/pair aggregation both need node_idx, and
+    // withNodeIndex is idempotent, so caching the indexed set removes a
+    // second full window pass over every frame row
+    val prepared = withNodeIndex(
+      if (settings.pad) padFrames(input, labelCol, graphIdCol)
       else removeIncompleteFrames(input))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
