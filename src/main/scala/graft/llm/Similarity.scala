@@ -98,6 +98,54 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** Bucketed ANN: probe vectors search ONLY their own LSH bucket —
+    * the shuffle key is the bucket id, so the join fans out as
+    * |corpus|/2^bits-sized partitions instead of an all-pairs product.
+    * Recall is traded for the 2^bits fan-in cut (multi-probe = union
+    * over neighboring buckets, not needed here). Output matches
+    * [[topKCosine]]'s shape with `rank` per query within its bucket. */
+  def topKCosineBucketed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = withLshBucket(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
+    val q = withLshBucket(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidate pairs come from
+    * LSH-bucket collisions only (never all-pairs), then exact cosine
+    * verifies against the threshold — the embedding analog of
+    * [[MinHash.nearDuplicates]]. */
+  def nearDuplicates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = withLshBucket(emb, vecCol)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val l = b.toDF("id_a", "__va", "bucket")
+    val r = b.toDF("id_b", "__vb", "bucket")
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
+  }
+
   /** DuckDB mirror of the [[withLshBucket]] bucket expression. */
   def lshBucketSql(vec: String): String =
     (0 until PlaneBits).map { p =>

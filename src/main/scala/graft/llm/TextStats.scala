@@ -27,6 +27,14 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(Shingles.tokens(text))
 
+  /** BPE-ish subword-count proxy: runs of letters, runs of digits, and
+    * individual punctuation marks each count once — the cheap
+    * whole-corpus token estimator a curation pipeline runs before real
+    * tokenization. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern))
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(Shingles.tokens(text)))
 

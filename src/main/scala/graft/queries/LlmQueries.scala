@@ -42,6 +42,7 @@ object LlmQueries extends QueryModule {
             col("doc_id"),
             size(toks).cast("long").as("n_tokens"),
             size(array_distinct(toks)).cast("long").as("n_distinct"),
+            TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
             TextStats.langId(col("text")).as("lang_guess"),
             round(TextStats.qualityScore(col("text")), 6).as("quality"))
       },
@@ -51,10 +52,11 @@ object LlmQueries extends QueryModule {
           " + 0.2 * (1.0 - CAST(" +
           TextStats.markerHitsSql("toks", TextStats.Stopwords) +
           " AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
            |SELECT doc_id,
            |  len(toks) AS n_tokens,
            |  len(list_distinct(toks)) AS n_distinct,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
            |  ${TextStats.langIdSql("toks")} AS lang_guess,
            |  round($q, 6) AS quality
            |FROM t WHERE len(toks) > 0""".stripMargin
@@ -183,6 +185,46 @@ object LlmQueries extends QueryModule {
           .select(col("vec_id"), col("bucket"), col("label")),
       Some(s"""SELECT vec_id, ${Similarity.lshBucketSql("embedding")} AS bucket, label
               |FROM embeddings""".stripMargin)),
+
+    // ----- bucketed ANN: probe searches only its own LSH bucket -----
+    GraftQuery(
+      "q_emb_ann_bucketed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.topKCosineBucketed(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val cos = Similarity.cosineSql("q.qv", "c.cv")
+        val bucket = Similarity.lshBucketSql("embedding")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cos AS cosv
+           |       FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- embedding-cosine near-duplicates via bucket collisions -----
+    GraftQuery(
+      "q_emb_near_dup",
+      (s, d) => Similarity.nearDuplicates(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4),
+      Some {
+        val cos = Similarity.cosineSql("a.va", "b.vb")
+        val bucket = Similarity.lshBucketSql("embedding")
+        s"""WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |a AS (SELECT vec_id AS id_a, embedding AS va, bucket FROM bk),
+           |b AS (SELECT vec_id AS id_b, embedding AS vb, bucket FROM bk)
+           |SELECT id_a, id_b, round($cos, 6) AS cos_sim
+           |FROM a JOIN b USING (bucket)
+           |WHERE id_a < id_b AND $cos >= 0.4""".stripMargin
+      }),
 
     // ----- multimodal: binary payload → partition-local feature extract -----
     GraftQuery(
