@@ -94,4 +94,33 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(1L).zipWithIndex.forall { case (v, k) => v === expected.getOrElse(k, 0f) })
     assert(feats(1L).toSeq === feats(4L).toSeq)
   }
+
+  test("bucketed ANN finds the duplicate vector (same bucket by construction)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, 0.1f, -0.5f))).toDF("vec_id", "embedding")
+    val top = Similarity.topKCosineBucketed(emb, emb.filter($"vec_id" === 1),
+      "vec_id", "embedding", 1).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 2L)
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("embedding near-duplicates: identical vectors pair, opposites do not") {
+    val emb = Seq(
+      (1L, Array(0.3f, 0.4f, 0.1f, 0.2f)),
+      (2L, Array(0.3f, 0.4f, 0.1f, 0.2f)),
+      (3L, Array(-0.3f, -0.4f, -0.1f, -0.2f))).toDF("vec_id", "embedding")
+    val nd = Similarity.nearDuplicates(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq === Seq((1L, 2L)))
+  }
+
+  test("bpe token count: letter runs, digit runs, punctuation marks") {
+    val r = Seq((1L, "Hello, world! v2.0 end"))
+      .toDF("doc_id", "text")
+      .select(TextStats.bpeTokenCount($"text")).head.getInt(0)
+    // hello , world ! v 2 . 0 end -> 9
+    assert(r === 9)
+  }
 }

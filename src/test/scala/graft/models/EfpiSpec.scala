@@ -172,4 +172,41 @@ class EfpiSpec extends AnyFunSuite {
     val f1b = hyst.filter($"segment_id" === 1L).orderBy("id").collect().toSeq
     assert(f1a === f1b)
   }
+
+  test("full-squad end-to-end: shaw-glickman templates over 11v11 frames") {
+    // two teams of 10 outfield + GK, roughly in a 442 and a 433, plus ball
+    def squad(team: String, attackLtr: Boolean, form: Seq[Int], gk: String) = {
+      val sign = if (attackLtr) 1.0 else -1.0
+      val slots = for {
+        (k, i) <- form.zipWithIndex
+        j <- 0 until k
+      } yield (s"$team${i}_$j", team,
+        sign * (-45.0 + (i + 1) * 20.0), -30.0 + (j + 1) * 60.0 / (k + 1))
+      slots :+ ((gk, team, sign * -50.0, 0.0))
+    }
+    val frames = (1L to 3L).flatMap { f =>
+      (squad("H", attackLtr = true, Seq(4, 4, 2), "Hgk") ++
+        squad("A", attackLtr = false, Seq(4, 3, 3), "Agk") :+
+        (("ball", "ball", 0.0, 0.0))).map { case (id, team, x, y) =>
+        (("g", 1, f, f * 40000L, id, team,
+          if (id.endsWith("gk")) "GK" else null, x + f * 0.01, y, "H"))
+      }
+    }
+    val df = frames.toDF("game_id", "period_id", "frame_id", "timestamp",
+      "id", "team_id", "position_name", "x", "y", "ball_owning_team_id")
+    val out = Efpi.fit(spark, df, Efpi.Config(every = "frame",
+      formations = Templates.ShawGlickman))
+    val rows = out.collect()
+    assert(rows.length === 23 * 3)
+    val home = rows.filter(r => r.getString(4) == "H" && r.getLong(2) == 1L)
+    assert(home.forall(_.getString(6) != null)) // every player labeled
+    assert(Templates.ShawGlickman.contains(home.head.getString(6)))
+    // GKs keep their GK label; ball rows are sentinel
+    assert(rows.filter(_.getString(3).endsWith("gk")).forall(_.getString(5) == "GK"))
+    assert(rows.filter(_.getString(3) == "ball").forall(_.getString(5) == "ball"))
+    // home attacks LTR with a 4-4-2 shape: expect 442 detected
+    assert(home.head.getString(6) === "442")
+    val away = rows.filter(r => r.getString(4) == "A" && r.getLong(2) == 1L)
+    assert(away.head.getString(6) === "433")
+  }
 }
