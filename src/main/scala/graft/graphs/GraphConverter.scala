@@ -64,6 +64,11 @@ object GraphConverter {
     val keepCols = Seq(Timestamp, BallState, labelCol, graphIdCol).filter(df.columns.contains)
     val groupCols = frameKeys ++ Seq(TeamId, BallOwningTeamId)
 
+    // ONE aggregate drives all padding decisions: per-(frame, team)
+    // deficits AND ball-less frames both come out of `counts`, so the
+    // input is scanned once here instead of three times (the previous
+    // two dropDuplicates + anti-join re-scanned the full input just to
+    // find frames with no ball row)
     val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
         keepCols.map(c => first(col(c)).as(c)): _*)
@@ -75,9 +80,14 @@ object GraphConverter {
       .drop("__cnt", "__target", "__repeats", "__seq")
 
     // frames with no ball row at all get one synthetic ball row
-    val framesAll = df.select((frameKeys :+ BallOwningTeamId).map(col) ++ keepCols.map(col): _*).dropDuplicates(frameKeys)
-    val framesWithBall = df.filter(col(TeamId) === Ball).select(frameKeys.map(col): _*).dropDuplicates()
-    val ballPad = framesAll.join(framesWithBall, frameKeys, "left_anti")
+    val ballPad = counts
+      .groupBy(frameKeys.map(col): _*)
+      .agg(
+        (max((col(TeamId) === Ball).cast("int")) === 1).as("__hasBall"),
+        (Seq(first(col(BallOwningTeamId)).as(BallOwningTeamId)) ++
+          keepCols.map(c => first(col(c)).as(c))): _*)
+      .filter(!col("__hasBall"))
+      .drop("__hasBall")
       .withColumn(TeamId, lit(Ball))
 
     val pads = playerPad.unionByName(ballPad, allowMissingColumns = true)
