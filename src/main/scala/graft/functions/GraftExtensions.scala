@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension entry point — the supported Spark hook for custom
+  * Catalyst surface (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  * Registers the native expressions with the function registry so SQL
+  * users get them too: `SELECT vector_dot(a, b) FROM embeddings`.
+  * Installed by `SparkEntry.configure`, so every session (Verify,
+  * Bench, tests) carries the same SQL surface. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_dot expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -48,4 +48,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       q.queryExecution.executedPlan.toString)
     assert(q.count() === 100)
   }
+
+  test("vector_dot is registered as a SQL function via SparkSessionExtensions") {
+    vecs.createOrReplaceTempView("vx")
+    val r = spark.sql("SELECT vector_dot(a, b) AS d FROM vx WHERE id = 1").head.getDouble(0)
+    assert(r === 32.0)
+  }
 }
