@@ -107,7 +107,7 @@ object FootballQueries extends QueryModule {
       Some(s"""WITH ${loadCtes("__ROOT__")}
               |SELECT game_id, play_id, frame_id,
               |  count(*) AS n_objects,
-              |  sum(CASE WHEN team_id = 'football' THEN 1 ELSE 0 END) AS n_football
+              |  CAST(sum(CASE WHEN team_id = 'football' THEN 1 ELSE 0 END) AS BIGINT) AS n_football
               |FROM afc GROUP BY game_id, play_id, frame_id""".stripMargin)),
 
     // ----- G4: 20 AF node features -----
@@ -141,29 +141,29 @@ object FootballQueries extends QueryModule {
               |  FROM afuv
               |)
               |SELECT game_id, play_id, frame_id, id,
-              |  round(coalesce((x - (-(120.0/2.0))) / ((120.0/2.0) - (-(120.0/2.0))), 0.0), 6) AS x_n,
-              |  round(coalesce((y - (-(53.3/2.0))) / ((53.3/2.0) - (-(53.3/2.0))), 0.0), 6) AS y_n,
-              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svx/snorm END, 0.0), 6) AS uv_sx,
-              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svy/snorm END, 0.0), 6) AS uv_sy,
-              |  round(coalesce(least(greatest(s / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) AS s_n,
-              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avx/anorm END, 0.0), 6) AS uv_ax,
-              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avy/anorm END, 0.0), 6) AS uv_ay,
-              |  round(coalesce(least(greatest(a / (CASE WHEN team_id = 'football' THEN 13.5 ELSE 6.0 END), -1.0), 1.0), 0.0), 6) AS a_n,
-              |  round((coalesce(sin(dir), 0.0) + 1.0) / 2.0, 6) AS dir_sin,
-              |  round((coalesce(cos(dir), 0.0) + 1.0) / 2.0, 6) AS dir_cos,
-              |  round((coalesce(sin(o), 0.0) + 1.0) / 2.0, 6) AS o_sin,
-              |  round((coalesce(cos(o), 0.0) + 1.0) / 2.0, 6) AS o_cos,
+              |  round(coalesce((x - (-(120.0/2.0))) / ((120.0/2.0) - (-(120.0/2.0))), 0.0), 6) + 0.0 AS x_n,
+              |  round(coalesce((y - (-(53.3/2.0))) / ((53.3/2.0) - (-(53.3/2.0))), 0.0), 6) + 0.0 AS y_n,
+              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svx/snorm END, 0.0), 6) + 0.0 AS uv_sx,
+              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svy/snorm END, 0.0), 6) + 0.0 AS uv_sy,
+              |  round(coalesce(least(greatest(s / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) + 0.0 AS s_n,
+              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avx/anorm END, 0.0), 6) + 0.0 AS uv_ax,
+              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avy/anorm END, 0.0), 6) + 0.0 AS uv_ay,
+              |  round(coalesce(least(greatest(a / (CASE WHEN team_id = 'football' THEN 13.5 ELSE 6.0 END), -1.0), 1.0), 0.0), 6) + 0.0 AS a_n,
+              |  round((coalesce(sin(dir), 0.0) + 1.0) / 2.0, 6) + 0.0 AS dir_sin,
+              |  round((coalesce(cos(dir), 0.0) + 1.0) / 2.0, 6) + 0.0 AS dir_cos,
+              |  round((coalesce(sin(o), 0.0) + 1.0) / 2.0, 6) + 0.0 AS o_sin,
+              |  round((coalesce(cos(o), 0.0) + 1.0) / 2.0, 6) + 0.0 AS o_cos,
               |  round(coalesce(sqrt((x - 120.0/2.0)*(x - 120.0/2.0) + (y - 0.0)*(y - 0.0))
-              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) AS dgoal,
+              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0 AS dgoal,
               |  round(coalesce(sqrt((x - bx)*(x - bx) + (y - by)*(y - by))
-              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) AS dball,
-              |  round(coalesce(((120.0/2.0 - 10.0) - x - 0.0) / (120.0 - 0.0), 0.0), 6) AS dend,
+              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0 AS dball,
+              |  round(coalesce(((120.0/2.0 - 10.0) - x - 0.0) / (120.0 - 0.0), 0.0), 6) + 0.0 AS dend,
               |  CAST(round(coalesce(CASE WHEN team_id = ball_owning_team_id THEN 1.0 ELSE 0.1 END, 0.0), 6) AS DOUBLE) AS poss,
               |  CAST(round(coalesce(CASE WHEN position_name = 'QB' THEN 1.0
               |        ELSE (CASE WHEN team_id = ball_owning_team_id THEN 0.1 ELSE 0.0 END) END, 0.0), 6) AS DOUBLE) AS qb,
               |  CAST(round(CASE WHEN team_id = 'football' THEN 1.0 ELSE 0.0 END, 6) AS DOUBLE) AS ball,
-              |  round(coalesce((weight_kg - 60.0) / (200.0 - 60.0), 0.0), 6) AS weight_n,
-              |  round(coalesce((height_cm - 150.0) / (225.0 - 150.0), 0.0), 6) AS height_n
+              |  round(coalesce((weight_kg - 60.0) / (200.0 - 60.0), 0.0), 6) + 0.0 AS weight_n,
+              |  round(coalesce((height_cm - 150.0) / (225.0 - 150.0), 0.0), 6) + 0.0 AS height_n
               |FROM afn""".stripMargin)),
 
     // ----- G5: 9 AF edge features on A=1 pairs -----
@@ -199,7 +199,7 @@ object FootballQueries extends QueryModule {
               |  round(coalesce(sqrt((ix-jx)*(ix-jx) + (iy-jy)*(iy-jy))
               |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) AS dist_n,
               |  round(coalesce(least(greatest(sdiff / smax, 0.0), 1.0) * sign(sdiff) + 0.0, 0.0), 6) AS sdiff_n,
-              |  round(coalesce(least(greatest(adiff / amax, -1.0), 1.0), 0.0), 6) AS adiff_n,
+              |  round(coalesce(least(greatest(adiff / amax, -1.0), 1.0), 0.0), 6) + 0.0 AS adiff_n,
               |  round((coalesce(cos(pang), 0.0) + 1.0) / 2.0, 6) AS pos_cos,
               |  round((coalesce(sin(pang), 0.0) + 1.0) / 2.0, 6) AS pos_sin,
               |  round((coalesce(cos(ddiff), 0.0) + 1.0) / 2.0, 6) AS dir_cos,

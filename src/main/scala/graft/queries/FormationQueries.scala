@@ -230,8 +230,8 @@ object FormationQueries extends QueryModule {
           |),
           |pseg AS (
           |  SELECT game_id, period_id, frame_id,
-          |    sum(chg) OVER (PARTITION BY game_id ORDER BY frame_id
-          |                   ROWS UNBOUNDED PRECEDING) AS segment_id
+          |    CAST(sum(chg) OVER (PARTITION BY game_id ORDER BY frame_id
+          |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
           |  FROM pchg
           |),
           |segd AS (

@@ -75,9 +75,9 @@ object LlmQueries extends QueryModule {
             max(col("n_chars")).as("max_chars"),
             (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")),
       Some("""SELECT lang, source, count(*) AS n_docs,
-             |  sum(n_chars) AS total_chars,
-             |  min(n_chars) AS min_chars,
-             |  max(n_chars) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars,
              |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
              |FROM documents GROUP BY lang, source""".stripMargin)),
 

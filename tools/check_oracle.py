@@ -13,10 +13,12 @@ import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(rows):
+def keyed(rows):
+    """Typed canonical keys: distinguishes 5 vs 5.0 and -0.0 vs 0.0, like
+    the driver's value hash does (plain == would treat them as equal)."""
     def key(r):
         return tuple("\0NULL" if v is None else (repr(v) if isinstance(v, float) else str(type(v).__name__) + ":" + str(v)) for v in r)
-    return sorted(rows, key=key)
+    return sorted(key(r) for r in rows)
 
 def norm(v):
     if v is None:
@@ -25,6 +27,8 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "isoformat"):  # datetime vs pandas Timestamp: compare by value
+        return v.isoformat()
     return v
 
 def main(sf_dir, out_dir):
@@ -53,8 +57,8 @@ def main(sf_dir, out_dir):
             continue
         dk = dk.select(dcols).to_pylist()
         sp = sp.select(scols).to_pylist()
-        drows = canon([[norm(v) for v in r.values()] for r in dk])
-        srows = canon([[norm(v) for v in r.values()] for r in sp])
+        drows = keyed([[norm(v) for v in r.values()] for r in dk])
+        srows = keyed([[norm(v) for v in r.values()] for r in sp])
         if len(drows) != len(srows):
             print(f"FAIL {name}: rowcount duckdb={len(drows)} spark={len(srows)}")
             n_bad += 1
