@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Direct n-gram Jaccard near-duplicate pairs via an inverted-index
+  * self-join — the exact counterpart of [[MinHash.nearDuplicates]]
+  * (which approximates candidate generation with banded signatures).
+  *
+  * Candidate pairs are documents sharing at least one NON-UBIQUITOUS
+  * shingle: the inverted index (shingle-hash -> doc list) is df-capped
+  * at `maxDf`, the standard prefix/frequency filter — a shingle
+  * appearing in more than `maxDf` documents contributes no candidates
+  * (it would fan out df² pairs while implying next to nothing about
+  * similarity). Verification then computes the EXACT Jaccard over the
+  * full shingle sets, so the df cap can only lose pairs whose every
+  * common shingle is ubiquitous — at a Jaccard threshold those pairs
+  * are noise by construction.
+  *
+  * Scale shape: one shuffle keyed on the shingle hash (the inverted
+  * index), one on the (id_a, id_b) pair key for intersection counts.
+  * Per-shingle work is bounded by maxDf² — no all-pairs product ever
+  * forms, and a degenerate corpus cannot create a hot key beyond the
+  * cap. This is the textbook 100 TB dedup join.
+  */
+object Jaccard {
+
+  /** Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard.
+    * Output: id_a, id_b, inter, size_a, size_b, jaccard. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.1,
+      maxDf: Int = 50,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val sh = MinHash.shingleHashes(docs, idCol, textCol, n, hash).distinct()
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val idx = sh.join(rare, "h")
+    val pairs = idx.toDF("h", "id_a").join(idx.toDF("h", "id_b"), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.toDF("id_a", "h"), "id_a")
+      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), "id_a")
+      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

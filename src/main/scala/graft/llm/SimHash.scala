@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash document fingerprints (Charikar 2002): each token hash votes
@@ -38,4 +38,42 @@ object SimHash {
       s"(CASE WHEN list_sum(list_transform($hashesExpr, " +
         s"h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Band count/width for [[nearDuplicates]] candidate generation:
+    * 4 bands of 4 bits. By pigeonhole, any pair within Hamming
+    * distance Bands-1 (= 3) shares at least one untouched band, so
+    * band-collision candidate generation is EXACT for maxHamming <= 3,
+    * never just heuristic. */
+  val Bands: Int = 4
+  val BandBits: Int = Bits / Bands
+
+  /** Near-duplicate pairs (id_a < id_b) within `maxHamming` bits.
+    * Candidates come from a self-equi-join on (band, band-value) — the
+    * shuffle key is the 4-bit band slice, never an all-pairs product;
+    * verification is an exact popcount on the XOR. Scale shape matches
+    * [[MinHash.candidatePairs]]: per-bucket cost is bounded by the
+    * band-value collision count (2^BandBits buckets per band). */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = Bands - 1,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    require(maxHamming <= Bands - 1,
+      s"band collision candidates are exact only for maxHamming <= ${Bands - 1}")
+    val fp = docs.select(col(idCol), simhash(col(textCol), hash).as("simhash"))
+    val bandRows = (0 until Bands).map { b =>
+      fp.select(col(idCol), lit(b).as("band"),
+        shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)).as("key"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.toDF("id_a", "band", "key", "sim_a")
+    val r = bandRows.toDF("id_b", "band", "key", "sim_b")
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -146,6 +146,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path besides
+    * LSH. A small, broadcast coarse-quantizer codebook (here: a
+    * deterministic sample of the corpus itself, the first
+    * `nCentroids` ids — a real deployment would drop in k-means
+    * centroids, the algebra is identical) partitions the corpus into
+    * cells: every vector is assigned to its highest-cosine centroid
+    * with ONE partial-aggregable groupBy (max_by over the broadcast
+    * product — no window, no corpus shuffle wider than one row per
+    * vector). Probes search only their own cell (nprobe=1), so the
+    * join shuffles on the cell id and brute-forces ~|corpus|/nCentroids
+    * vectors per probe instead of the full corpus. */
+  def topKCosineIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 8): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cell"), col(vecCol).as("__cent"))
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cc", cosine(col(outVec), col("__cent")))
+        .groupBy(col(outId), col(outVec))
+        // highest cosine wins; ties break to the lowest cell id
+        .agg(max_by(col("cell"), struct(col("__cc"), -col("cell"))).as("cell"))
+    val c = assign(corpus, "neighbor_id", "__cv")
+    val q = assign(queries, "query_id", "__qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 6).as("cos_sim"))
+  }
+
   /** DuckDB mirror of the [[withLshBucket]] bucket expression. */
   def lshBucketSql(vec: String): String =
     (0 until PlaneBits).map { p =>

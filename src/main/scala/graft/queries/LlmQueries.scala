@@ -226,6 +226,93 @@ object LlmQueries extends QueryModule {
            |WHERE id_a < id_b AND $cos >= 0.4""".stripMargin
       }),
 
+    // ----- direct n-gram Jaccard near-dup (df-capped inverted index) -----
+    GraftQuery(
+      "q_doc_ngram_jaccard",
+      (s, d) => Jaccard.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1, maxDf = 50),
+      Some {
+        val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+           |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+           |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
+           |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shx GROUP BY h)
+           |         WHERE df <= 50),
+           |idx AS (SELECT s.doc_id, s.h FROM shx s JOIN rare USING (h)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |          FROM cand c
+           |          JOIN shx x ON x.doc_id = c.id_a
+           |          JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
+           |          GROUP BY c.id_a, c.id_b)
+           |SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           |       round($jac, 6) AS jaccard
+           |FROM inter i
+           |JOIN sizes sa ON sa.doc_id = i.id_a
+           |JOIN sizes sb ON sb.doc_id = i.id_b
+           |WHERE $jac >= 0.1""".stripMargin
+      }),
+
+    // ----- winnowing fingerprints (rolling k-gram hash, window minima) -----
+    GraftQuery(
+      "q_doc_winnow_fp",
+      (s, d) => Winnow.fingerprintTable(Tables.documents(s, d), "doc_id", "text"),
+      Some(Winnow.fingerprintSql())),
+
+    // ----- SimHash near-dup pairs via banded Hamming join -----
+    GraftQuery(
+      "q_doc_simhash_dup",
+      (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3),
+      Some {
+        val hashes = s"list_transform(toks, t -> ${polySql("t")})"
+        val bandCollide = (0 until SimHash.Bands).map { b =>
+          val sh = b * SimHash.BandBits
+          val mask = (1L << SimHash.BandBits) - 1
+          s"((a.simhash >> $sh) & $mask) = ((b.simhash >> $sh) & $mask)"
+        }.mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |fp AS (SELECT doc_id, ${SimHash.simhashSql(hashes)} AS simhash FROM t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($bandCollide)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      }),
+
+    // ----- IVF ANN: coarse-quantizer cells, nprobe=1 -----
+    GraftQuery(
+      "q_emb_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.topKCosineIvf(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, nCentroids = 8)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val cosQC = Similarity.cosineSql("q.qv", "c.cv")
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
+        s"""WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT v.vec_id, v.embedding, ct.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |    FROM embeddings v CROSS JOIN cents ct) WHERE crn = 1
+           |),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM asg WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM asg),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cosQC AS cosv
+           |       FROM q JOIN c USING (cell) WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
     // ----- multimodal: binary payload → partition-local feature extract -----
     GraftQuery(
       "q_media_features",

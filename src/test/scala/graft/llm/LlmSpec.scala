@@ -123,4 +123,54 @@ class LlmSpec extends AnyFunSuite {
     // hello , world ! v 2 . 0 end -> 9
     assert(r === 9)
   }
+
+  test("ngram jaccard near-duplicates match minhash on the near-dup pair, exactly") {
+    val nd = Jaccard.nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(5)).toMap
+    assert(nd((1L, 4L)) === 1.0)
+    // docs 1/2: 9 tokens, 7 shingles each, 6 shared -> 6/8 = 0.75
+    assert(math.abs(nd((1L, 2L)) - 0.75) < 1e-9)
+    assert(!nd.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard df cap drops ubiquitous shingles from candidate gen only") {
+    // every doc shares shingle set; maxDf=1 kills all candidates
+    val all = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(Jaccard.nearDuplicates(all, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 1).count() === 0)
+    assert(Jaccard.nearDuplicates(all, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 2).count() === 1)
+  }
+
+  test("winnowing: identical docs share fingerprint sets; shared substrings overlap") {
+    val fps = Winnow.fingerprintTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) === fps(4L))                   // identical docs
+    assert((fps(1L) & fps(2L)).nonEmpty)          // long shared prefix
+    assert(!fps.contains(5L))                     // "ab" shorter than k+w-1
+    // guarantee: any shared substring of length >= k+w-1 yields a shared fp
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
+  test("simhash banded near-dup: dup pair at hamming 0, unrelated excluded") {
+    val nd = SimHash.nearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(nd((1L, 4L)) === 0L)
+    assert(!nd.contains((1L, 3L)) && !nd.contains((2L, 3L)))
+  }
+
+  test("ivf ann assigns to nearest centroid cell and finds the duplicate") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid cell 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // centroid cell 1
+      (8L, Array(0.9f, 0.1f, 0.0f)),   // -> cell 0
+      (9L, Array(0.9f, 0.1f, 0.0f)),   // -> cell 0, dup of 8
+      (10L, Array(0.0f, 0.9f, 0.3f))). // -> cell 1
+      toDF("vec_id", "embedding")
+    val top = Similarity.topKCosineIvf(emb, emb.filter($"vec_id" === 8),
+      "vec_id", "embedding", k = 1, nCentroids = 2).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 9L)
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+  }
 }
