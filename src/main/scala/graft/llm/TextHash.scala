@@ -26,8 +26,16 @@ object TextHash {
   val Prime: Long = 1000000007L
 
   /** Oracle-deterministic polynomial rolling hash:
-    * `h = fold(chars, 0, (acc, c) => (acc*31 + code(c)) % Prime)`. */
+    * `h = fold(codePoints, 0, (acc, c) => (acc*31 + c) % Prime)`.
+    * Production form: the codegen'd native expression
+    * ([[graft.functions.TextExpressions.polyHashNative]]). */
   def polyHash(c: Column): Column =
+    graft.functions.TextExpressions.polyHashNative(c)
+
+  /** The equivalent higher-order-function form (CodegenFallback; kept
+    * as executable documentation and for cross-checking the native
+    * expression in LlmSpec). */
+  def polyHashFold(c: Column): Column =
     aggregate(
       transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
       lit(0L),

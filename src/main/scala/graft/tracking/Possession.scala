@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * join-aggregates ("arg-min with threshold"), re-join, flag carrier,
   * drop frames without possession.
   *
-  * Spark-first shape: **zero joins.** The per-frame ball position is a
-  * window aggregate over the frame key, and both arg-mins are
-  * row_number + conditional-max window passes over the *same* partition
-  * key — so the whole inference is one shuffle by frame key followed by
-  * in-partition sorts, which survives any scale-up that partitions by
-  * game/frame. Ties broken by (distance, id) — deterministic, unlike the
-  * reference's insertion-order `first()`.
+  * Spark-first shape: **zero joins, zero sorts.** The per-frame ball
+  * position is a window aggregate over the frame key, and both arg-mins
+  * are unordered `min(struct(dist, id, …))` window aggregates over the
+  * *same* partition key — lexicographic struct minima replace the
+  * row_number formulation (the minimum over threshold-passing rows
+  * equals the global arg-min whenever that arg-min passes the
+  * threshold, and is null exactly when it doesn't), so the whole
+  * inference is ONE shuffle by frame key with no in-partition sort at
+  * all. Survives any scale-up that partitions by game/frame. Ties
+  * broken by (distance, id) — deterministic, unlike the reference's
+  * insertion-order `first()`.
   */
 object Possession {
   import Cols._
@@ -39,21 +43,20 @@ object Possession {
             + (col(Z) - col("__bz")) * (col(Z) - col("__bz")))))
 
     // pass 1: nearest player overall → candidate owning team
-    val o1 = Window.partitionBy(ByFrame.map(col): _*)
-      .orderBy(col("__dist").asc_nulls_last, col(ObjectId))
     val p1 = withBall
       .withColumn("__cand",
-        max(when(row_number().over(o1) === 1 && col("__dist") < theta, col(TeamId))).over(wf))
+        min(when(col("__dist") < theta,
+          struct(col("__dist"), col(ObjectId), col(TeamId)))).over(wf)
+          .getField(TeamId))
       .withColumn(BallOwningTeamId, coalesce(col(BallOwningTeamId), col("__cand")))
 
     // pass 2: nearest player *on the owning team* → carrier
     val onOwning = col(TeamId) === col(BallOwningTeamId)
-    val o2 = Window.partitionBy(ByFrame.map(col): _*)
-      .orderBy(when(onOwning, col("__dist")).asc_nulls_last, col(ObjectId))
     val p2 = p1
       .withColumn("__carrier",
-        max(when(row_number().over(o2) === 1 && onOwning && col("__dist") < theta,
-          col(ObjectId))).over(wf))
+        min(when(onOwning && col("__dist") < theta,
+          struct(col("__dist"), col(ObjectId)))).over(wf)
+          .getField(ObjectId))
       .withColumn(IsBallCarrier, coalesce(col(ObjectId) === col("__carrier"), lit(false)))
 
     p2.filter(col(BallOwningTeamId).isNotNull)

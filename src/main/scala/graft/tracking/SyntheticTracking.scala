@@ -17,12 +17,16 @@ object SyntheticTracking {
   def df(spark: SparkSession, sfDir: String): DataFrame = {
     // The synthetic lineitem has duplicate (orderkey, linenumber) pairs;
     // a tracking table needs one row per (frame, object). Deterministic
-    // representative: smallest (partkey, suppkey, extendedprice).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_orderkey"), col("l_linenumber"))
-      .orderBy(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    // representative: smallest (partkey, suppkey, extendedprice) —
+    // expressed as a partial-aggregable min(struct) groupBy (map-side
+    // combine, no sort) rather than a row_number window: every value
+    // below derives from (orderkey, linenumber, partkey, suppkey), so
+    // the lexicographic struct minimum IS the row_number=1 row.
     val li = Tables.lineitem(spark, sfDir)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(struct(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))).as("__m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("__m.l_partkey").as("l_partkey"), col("__m.l_suppkey").as("l_suppkey"))
     li.select(
       (col("l_orderkey") % 3).cast("string").as(GameId),
       (col("l_orderkey") % 2 + 1).cast("int").as(PeriodId),
