@@ -64,6 +64,16 @@ object Profile {
     spark.catalog.clearCache()
     val q = SparkEntry.allQueries.find(_.name == "q_graph_frames").get
     time("q_graph_frames full")(q.run(spark, d).count())
+
+    // ---- minhash dedup stages ----
+    import graft.llm._
+    val docs = graft.core.Tables.documents(spark, d)
+    time("mh shingleHashes")(MinHash.shingleHashes(docs, "doc_id", "text", 3, TextHash.polyHash).count())
+    val sh = MinHash.shingleHashes(docs, "doc_id", "text", 3, TextHash.polyHash).distinct()
+    time("mh sh distinct")(sh.count())
+    time("mh signatures")(MinHash.signatures(docs, "doc_id", "text").count())
+    time("mh candidates")(MinHash.candidatePairs(MinHash.signatures(docs, "doc_id", "text"), "doc_id").count())
+    time("mh nearDuplicates full")(MinHash.nearDuplicates(docs, "doc_id", "text", 3, 0.01).count())
     spark.stop()
   }
 }

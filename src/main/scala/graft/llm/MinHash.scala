@@ -39,7 +39,11 @@ object MinHash {
   val Bands: Int = 4
   val Rows: Int = 3
 
-  /** Distinct (id, shingle hash) pairs for a document table. */
+  /** Distinct (id, shingle hash) pairs for a document table. The token
+    * array is materialized in its own projection before the shingle
+    * lambda touches it — interpreted HOF lambdas re-evaluate embedded
+    * subtrees per element, so the fused form would re-tokenize the
+    * document once per shingle (O(tokens²) per doc). */
   def shingleHashes(
       docs: DataFrame,
       idCol: String,
@@ -47,8 +51,9 @@ object MinHash {
       n: Int,
       hash: Column => Column): DataFrame =
     docs
+      .select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(array_distinct(Shingles.shingles(Shingles.tokens(col(textCol)), n))).as("shingle"))
+        explode(array_distinct(Shingles.shingles(col("__toks"), n))).as("shingle"))
       .select(col(idCol), hash(col("shingle")).as("h"))
 
   /** One row per document: `idCol, mh0..mh{numHashes-1}`. Documents with

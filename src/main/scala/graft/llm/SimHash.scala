@@ -20,9 +20,11 @@ object SimHash {
     * preserving the locality property. */
   val Bits: Int = 16
 
-  /** SimHash of a text column. */
-  def simhash(text: Column, hash: Column => Column = TextHash.polyHash): Column = {
-    val hashes = transform(Shingles.tokens(text), t => hash(t))
+  /** SimHash over a MATERIALIZED token-hash array column. Use this form
+    * in pipelines: each of the [[Bits]] bit-vote aggregates evaluates
+    * its input array expression, so an embedded tokenize+hash subtree
+    * would run [[Bits]] times per row. */
+  def simhashOfHashes(hashes: Column): Column = {
     def bitVote(b: Int): Column =
       aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
@@ -30,6 +32,17 @@ object SimHash {
       .map(b => when(bitVote(b) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
   }
+
+  /** SimHash of a text column (single-Column convenience form). */
+  def simhash(text: Column, hash: Column => Column = TextHash.polyHash): Column =
+    simhashOfHashes(transform(Shingles.tokens(text), t => hash(t)))
+
+  /** One row per (id, simhash), with the token-hash array materialized
+    * in its own projection. */
+  def fingerprintTable(docs: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = TextHash.polyHash): DataFrame =
+    docs.select(col(idCol), transform(Shingles.tokens(col(textCol)), t => hash(t)).as("__h"))
+      .select(col(idCol), simhashOfHashes(col("__h")).as("simhash"))
 
   /** DuckDB SQL computing exactly [[simhash]] over token hashes
     * `hashesExpr` (a BIGINT list expression). */
@@ -61,7 +74,7 @@ object SimHash {
       hash: Column => Column = TextHash.polyHash): DataFrame = {
     require(maxHamming <= Bands - 1,
       s"band collision candidates are exact only for maxHamming <= ${Bands - 1}")
-    val fp = docs.select(col(idCol), simhash(col(textCol), hash).as("simhash"))
+    val fp = fingerprintTable(docs, idCol, textCol, hash)
     val bandRows = (0 until Bands).map { b =>
       fp.select(col(idCol), lit(b).as("band"),
         shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)).as("key"),

@@ -38,15 +38,20 @@ object TextStats {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(Shingles.tokens(text)))
 
+  /** Number of array elements exactly matching any word in `words`. */
+  def markerHitsOfTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
   /** Number of tokens exactly matching any word in `words`. */
   def markerHits(text: Column, words: Seq[String]): Column =
-    size(filter(Shingles.tokens(text),
-      t => words.map(w => t === w).reduce(_ || _)))
+    markerHitsOfTokens(Shingles.tokens(text), words)
 
-  /** Heuristic language ID: argmax over [[LangMarkers]] hit counts,
-    * ties and zero-hit documents resolve to "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, words) => lang -> markerHits(text, words) }
+  /** [[langId]] over a MATERIALIZED token-array column. Use this form
+    * in pipelines: the tokenizer subtree would otherwise be re-evaluated
+    * once per marker-list occurrence (the HOF filters are interpreted,
+    * so no codegen subexpression elimination applies). */
+  def langIdOfTokens(toks: Column): Column = {
+    val scored = LangMarkers.map { case (lang, words) => lang -> markerHitsOfTokens(toks, words) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldLeft(lit("und")) { case (acc, (lang, score)) =>
       // first language (in declaration order) achieving the max wins;
@@ -55,15 +60,23 @@ object TextStats {
     }
   }
 
-  /** Per-document quality score in [0,1]:
-    * 0.4·min(tokens/100,1) + 0.4·(distinct/tokens) + 0.2·(1 − stopRatio). */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
+  /** Heuristic language ID: argmax over [[LangMarkers]] hit counts,
+    * ties and zero-hit documents resolve to "und" (undetermined). */
+  def langId(text: Column): Column = langIdOfTokens(Shingles.tokens(text))
+
+  /** [[qualityScore]] over a materialized token-array column. */
+  def qualityScoreOfTokens(toks: Column): Column = {
+    val n = size(toks).cast("double")
     val lenScore = least(n / 100.0, lit(1.0))
-    val diversity = distinctTokenCount(text).cast("double") / n
-    val stopRatio = markerHits(text, Stopwords).cast("double") / n
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = markerHitsOfTokens(toks, Stopwords).cast("double") / n
     lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
   }
+
+  /** Per-document quality score in [0,1]:
+    * 0.4·min(tokens/100,1) + 0.4·(distinct/tokens) + 0.2·(1 − stopRatio). */
+  def qualityScore(text: Column): Column =
+    qualityScoreOfTokens(Shingles.tokens(text))
 
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
   def fingerprint(text: Column, hash: Column => Column = TextHash.polyHash): Column =

@@ -34,18 +34,17 @@ object LlmQueries extends QueryModule {
     // ----- text analysis: token counts, language ID, quality score -----
     GraftQuery(
       "q_doc_text_stats",
-      (s, d) => {
-        val toks = Shingles.tokens(col("text"))
+      (s, d) =>
         Tables.documents(s, d)
-          .filter(size(toks) > 0)
+          .select(col("doc_id"), col("text"), Shingles.tokens(col("text")).as("__toks"))
+          .filter(size(col("__toks")) > 0)
           .select(
             col("doc_id"),
-            size(toks).cast("long").as("n_tokens"),
-            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            size(col("__toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
             TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
-            TextStats.langId(col("text")).as("lang_guess"),
-            round(TextStats.qualityScore(col("text")), 6).as("quality"))
-      },
+            TextStats.langIdOfTokens(col("__toks")).as("lang_guess"),
+            round(TextStats.qualityScoreOfTokens(col("__toks")), 6).as("quality")),
       Some {
         val q = "0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +
           " + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))" +
@@ -146,9 +145,7 @@ object LlmQueries extends QueryModule {
     // ----- SimHash fingerprints (shuffle-free per-doc bits) -----
     GraftQuery(
       "q_doc_simhash",
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
+      (s, d) => SimHash.fingerprintTable(Tables.documents(s, d), "doc_id", "text"),
       Some {
         val hashes = s"list_transform(toks, t -> ${polySql("t")})"
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
