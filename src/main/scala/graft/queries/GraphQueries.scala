@@ -189,7 +189,11 @@ object GraphQueries extends QueryModule {
   private def pipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
     val trk = SyntheticTracking.df(s, d)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
+    // graph features never read acceleration — dropping the 4 columns
+    // lets Catalyst prune the second kinematics window pass entirely
+    // (and keeps them out of the graphFrames persists)
     val dat = Possession.inferBallCarrier(kin, TrackingSettings())
+      .drop(Ax, Ay, Az, Acceleration)
     GraphConverter.removeIncompleteFrames(dat)
   }
 
@@ -373,5 +377,6 @@ object GraphQueries extends QueryModule {
     val trk = SyntheticTracking.df(s, d)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
     Possession.inferBallCarrier(kin, TrackingSettings())
+      .drop(Ax, Ay, Az, Acceleration) // see pipeline(): accel unused
   }
 }
