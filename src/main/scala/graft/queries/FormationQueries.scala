@@ -212,6 +212,30 @@ object FormationQueries extends QueryModule {
           |)""".stripMargin,
         assignSql(lib))(finalSelect))),
 
+    // ----- M7 period segmentation + mean positions -----
+    GraftQuery(
+      "q_efpi_period",
+      (s, d) => Efpi.fit(s, efpiInput(s, d),
+        Efpi.Config(every = "period", formations = SmallFormations)),
+      Some(withCtes(
+        SyntheticTracking.cte, SyntheticTracking.possessionCte, flippedCte,
+        """segd AS (
+          |  SELECT *, CAST(period_id AS BIGINT) AS segment_id FROM flipped
+          |),
+          |spl AS (
+          |  SELECT game_id, period_id, segment_id, id,
+          |    max(team_id) AS team_id,
+          |    round(avg(x), 9) AS x, round(avg(y), 9) AS y, owning
+          |  FROM segd WHERE team_id <> 'ball'
+          |  GROUP BY game_id, period_id, owning, id, segment_id
+          |),
+          |sball AS (
+          |  SELECT game_id, period_id, segment_id
+          |  FROM (SELECT DISTINCT game_id, period_id, owning, segment_id
+          |        FROM segd WHERE team_id = 'ball')
+          |)""".stripMargin,
+        assignSql(lib))(finalSelect))),
+
     // ----- M7 possession segmentation (sessionization) -----
     GraftQuery(
       "q_efpi_possession",

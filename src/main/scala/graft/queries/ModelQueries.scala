@@ -133,6 +133,51 @@ object ModelQueries extends QueryModule {
          |  round(tti1, 6) AS tti, round(pti0, 6) AS pti
          |FROM fdiag""".stripMargin)),
 
+    // ----- M3 ball_method=include (ball column kept, no merge) +
+    // M4 away_home transpose — the two remaining config enum arms -----
+    GraftQuery(
+      "q_pi_pairs_include",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val kin = Kinematics(trk, TrackingSettings(), None, None)
+        val dat = Possession.inferBallCarrier(kin, TrackingSettings())
+        PressingIntensity.pairs(dat, TrackingSettings(homeTeamId = Some("home")),
+          PressingIntensity.Params(ballMethod = "include", orient = "away_home"))
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col("row_id"), col("col_id"), col("row_idx"), col("col_idx"),
+            round(col("tti"), 6).as("tti"), round(col("pti"), 6).as("pti"))
+      },
+      Some(s"""WITH ${SyntheticTracking.cte},
+         |${SyntheticTracking.velCte},
+         |${SyntheticTracking.possessionCte},
+         |$piDatCte,
+         |picols AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE team_id = ball_owning_team_id OR team_id = 'ball'
+         |),
+         |pirows AS (
+         |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
+         |    ORDER BY $sideOrder) - 1 AS idx
+         |  FROM pidat WHERE NOT (team_id = ball_owning_team_id OR team_id = 'ball')
+         |),
+         |pipair AS (
+         |  SELECT r.game_id, r.period_id, r.frame_id,
+         |    r.id AS row_id, c.id AS col_id, r.idx AS row_idx, c.idx AS col_idx,
+         |    r.ball_owning_team_id AS rboti,
+         |    c.x AS cx, c.y AS cy, c.z AS cz, c.vx AS cvx, c.vy AS cvy, c.vz AS cvz,
+         |    r.x AS rx, r.y AS ry, r.z AS rz, r.vx AS rvx, r.vy AS rvy, r.vz AS rvz
+         |  FROM pirows r JOIN picols c USING (game_id, period_id, frame_id)
+         |),
+         |pitti AS (SELECT *, $ttiSql AS tti0 FROM pipair)
+         |SELECT game_id, period_id, frame_id,
+         |  CASE WHEN rboti <> 'home' THEN col_id ELSE row_id END AS row_id,
+         |  CASE WHEN rboti <> 'home' THEN row_id ELSE col_id END AS col_id,
+         |  CASE WHEN rboti <> 'home' THEN col_idx ELSE row_idx END AS row_idx,
+         |  CASE WHEN rboti <> 'home' THEN row_idx ELSE col_idx END AS col_idx,
+         |  round(tti0, 6) AS tti, round(${ptiSql("tti0")}, 6) AS pti
+         |FROM pitti""".stripMargin)),
+
     // ----- M3 speed-threshold masking + M4 home/away transpose -----
     GraftQuery(
       "q_pi_pairs_threshold",

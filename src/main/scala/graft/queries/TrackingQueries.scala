@@ -164,5 +164,31 @@ object TrackingQueries extends QueryModule {
       Some(withCtes(SyntheticTracking.cte)(
         """SELECT game_id, period_id, frame_id, id,
           |  rank() OVER (PARTITION BY game_id, period_id ORDER BY ts_us) AS rnk
-          |FROM tracking""".stripMargin))))
+          |FROM tracking""".stripMargin))),
+
+    // ----- W7: search_sorted next-frame lookup, distributed -----
+    // Targets sit mid-frame (ts + 20 ms on every 7th frame), so each
+    // resolves to the NEXT frame timestamp or null past the end.
+    GraftQuery(
+      "q_search_sorted",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+        val targets = trk.select(col(GameId), col(Timestamp)).distinct()
+          .filter(col(Timestamp) % 280000 === 0)
+          .select(col(GameId), (col(Timestamp) + 20000).as("target"))
+        graft.tracking.TimeIndex.searchSorted(trk, targets)
+      },
+      Some(withCtes(SyntheticTracking.cte)(
+        """SELECT game_id, ts AS target, next_ts FROM (
+          |  SELECT *, min(CASE WHEN is_t = 0 THEN ts END) OVER
+          |    (PARTITION BY game_id ORDER BY ts
+          |     RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+          |  FROM (
+          |    SELECT game_id, ts_us AS ts, 0 AS is_t
+          |    FROM (SELECT DISTINCT game_id, ts_us FROM tracking)
+          |    UNION ALL
+          |    SELECT game_id, ts_us + 20000 AS ts, 1 AS is_t
+          |    FROM (SELECT DISTINCT game_id, ts_us FROM tracking)
+          |    WHERE ts_us % 280000 = 0))
+          |WHERE is_t = 1""".stripMargin))))
 }
