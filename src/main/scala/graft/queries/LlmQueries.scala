@@ -223,6 +223,33 @@ object LlmQueries extends QueryModule {
            |WHERE id_a < id_b AND $cos >= 0.4""".stripMargin
       }),
 
+    // ----- corpus stats: top-k token bigrams per language -----
+    // The classic corpus-profiling aggregate: one partial-agg groupBy on
+    // (lang, bigram) — map-side combine absorbs the explode fan-out —
+    // then a per-language top-k window over the (tiny) distinct-bigram
+    // aggregate, never over raw rows.
+    GraftQuery(
+      "q_doc_top_ngrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), Shingles.tokens(col("text")).as("__toks"))
+          .select(col("lang"), explode(Shingles.shingles(col("__toks"), 2)).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+              |bg AS (SELECT lang, unnest(${Shingles.shinglesSql("toks", 2)}) AS bigram FROM t),
+              |cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram)
+              |SELECT lang, bigram, n, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY lang
+              |           ORDER BY n DESC, bigram ASC) AS rank
+              |  FROM cnt) WHERE rank <= 5""".stripMargin)),
+
     // ----- direct n-gram Jaccard near-dup (df-capped inverted index) -----
     GraftQuery(
       "q_doc_ngram_jaccard",
