@@ -187,6 +187,32 @@ object Similarity {
         round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** Per-group elementwise mean vector (e.g. label centroids — the
+    * "training" step an IVF quantizer or a classifier head needs).
+    * Scale shape: posexplode to (group, dim, value) rows, ONE
+    * partial-aggregable groupBy on (group, dim) — map-side combine
+    * absorbs the dimension fan-out — then re-assembly of the (tiny)
+    * per-group aggregate via sort + collect. Never collects vectors to
+    * the driver and never holds more than one (group, dim) cell per
+    * combiner. */
+  def groupCentroids(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val exploded = emb.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    exploded
+      .groupBy(col(groupCol), col("dim"))
+      // decimal sum: exact and order-free, so the mean is bit-stable
+      // across partition merge orders AND engines (float sums are not)
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+        .cast("double").as("s"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("dim"), (col("s") / col("n")).as("m"))))
+        .as("__cells"))
+      .select(col(groupCol), transform(col("__cells"), _.getField("m")).as("centroid"))
+  }
+
   /** DuckDB mirror of the [[withLshBucket]] bucket expression. */
   def lshBucketSql(vec: String): String =
     (0 until PlaneBits).map { p =>

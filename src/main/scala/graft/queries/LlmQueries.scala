@@ -337,6 +337,59 @@ object LlmQueries extends QueryModule {
            |  FROM sc) r WHERE rank <= 3""".stripMargin
       }),
 
+    // ----- per-label centroid vectors (IVF/classifier "training" step) -----
+    GraftQuery(
+      "q_emb_centroids",
+      (s, d) => Similarity.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("m"), 6).as("mean_v")),
+      Some("""WITH ix AS (SELECT label, embedding,
+             |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |ex AS (SELECT label, i - 1 AS dim,
+             |  CAST(embedding[i] AS DECIMAL(20,9)) AS v FROM ix),
+             |ag AS (SELECT label, dim, CAST(sum(v) AS DOUBLE) AS s, count(*) AS n
+             |       FROM ex GROUP BY label, dim)
+             |SELECT label, dim, round(s / n, 6) AS mean_v FROM ag""".stripMargin)),
+
+    // ----- end-to-end curation: quality gate + lang gate + exact dedup -----
+    // The composed pipeline a training-data curator actually ships:
+    // quality/language filters are row-local; the dedup keep-rule
+    // (minimum doc_id per fingerprint) is one groupBy + semi-join on the
+    // fingerprint — the only shuffle, keyed exactly like the exact-dedup
+    // operator it reuses.
+    GraftQuery(
+      "q_doc_curated",
+      (s, d) => {
+        val staged = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), Shingles.tokens(col("text")).as("__toks"))
+          .filter(size(col("__toks")) > 0)
+          .select(col("doc_id"),
+            TextHash.polyHash(lower(col("text"))).as("__fp"),
+            TextStats.langIdOfTokens(col("__toks")).as("lang_guess"),
+            TextStats.qualityScoreOfTokens(col("__toks")).as("__q"))
+          .filter(col("__q") >= 0.5 && col("lang_guess") =!= "und")
+        val keep = staged.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+        staged.join(keep, Seq("__fp", "doc_id"))
+          .select(col("doc_id"), col("lang_guess"), round(col("__q"), 6).as("quality"))
+      },
+      Some {
+        val q = "0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +
+          " + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))" +
+          " + 0.2 * (1.0 - CAST(" +
+          TextStats.markerHitsSql("toks", TextStats.Stopwords) +
+          " AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+           |scored AS (
+           |  SELECT doc_id, ${polySql("lower(text)")} AS fp,
+           |    ${TextStats.langIdSql("toks")} AS lang_guess, $q AS q
+           |  FROM t WHERE len(toks) > 0),
+           |gated AS (SELECT * FROM scored WHERE q >= 0.5 AND lang_guess <> 'und'),
+           |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
+           |SELECT g.doc_id, g.lang_guess, round(g.q, 6) AS quality
+           |FROM gated g JOIN keep k ON k.fp = g.fp AND k.doc_id = g.doc_id""".stripMargin
+      }),
+
     // ----- multimodal: binary payload → partition-local feature extract -----
     GraftQuery(
       "q_media_features",
