@@ -95,6 +95,34 @@ object AfFeatures {
     "dir_sin", "dir_cos", "o_sin", "o_cos", "dgoal", "dball", "dend",
     "poss", "qb", "ball", "weight_n", "height_n")
 
+  /** Adds `node_idx` — the reference node order (same sort as soccer,
+    * `american_football/graphs/graph_converter.py:189-196`: ball last,
+    * possession team first, object id within group). */
+  def withNodeIndex(df: DataFrame): DataFrame = {
+    val isBall = col("team_id") === Football
+    val owning = (col("ball_owning_team_id") === col("team_id")) && !isBall
+    val w = Window.partitionBy(frameKeys.map(col): _*)
+      .orderBy((isBall.cast("int") * 2 - owning.cast("int")).asc, col("id").asc)
+    df.withColumn("node_idx", row_number().over(w) - 1)
+  }
+
+  /** Nested per-play-frame AF node tensor: `x` (n×20, features rounded
+    * to 6 decimals) + `object_ids`, in reference node order — the AF
+    * counterpart of the soccer GraphConverter.graphFrames node side
+    * (AF never pads: `graph_converter.py` emits frames as-is). */
+  def graphFrames(df: DataFrame): DataFrame = {
+    val nf = withNodeIndex(withNodeFeatures(df))
+    val feats = array(NodeFeatureNames.map(n => round(col(n), 6)): _*)
+    nf.select(frameKeys.map(col) ++ Seq(
+        col("node_idx"), col("id"), feats.as("__x")): _*)
+      .groupBy(frameKeys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("node_idx"), col("__x"), col("id"))))
+        .as("__nodes"))
+      .select(frameKeys.map(col) ++ Seq(
+        transform(col("__nodes"), _.getField("__x")).as("x"),
+        transform(col("__nodes"), _.getField("id")).as("object_ids")): _*)
+  }
+
   /** Within-frame pair table with AF adjacency (split_by_team + ball
     * connect) and the 9 edge feature columns (i = matrix row). */
   def pairs(df: DataFrame): DataFrame = {

@@ -74,6 +74,57 @@ object FootballQueries extends QueryModule {
   private val outCols = Seq("game_id", "play_id", "frame_id", "id", "team_id",
     "position_name", "height_cm", "weight_kg", "x", "y", "s", "a")
 
+  /** Ball-position / unit-vector helper CTEs over `afc` (mirrors
+    * AfFeatures.withNodeFeatures staging). */
+  private val featCtes: String =
+    """afb AS (
+      |  SELECT *,
+      |    max(CASE WHEN team_id = 'football' THEN x END) OVER wf AS bx,
+      |    max(CASE WHEN team_id = 'football' THEN y END) OVER wf AS by
+      |  FROM afc
+      |  WINDOW wf AS (PARTITION BY game_id, play_id, frame_id)
+      |),
+      |afuv AS (
+      |  SELECT *,
+      |    coalesce(s, 0.0) * cos(coalesce(dir, 0.0)) AS svx,
+      |    coalesce(s, 0.0) * sin(coalesce(dir, 0.0)) AS svy,
+      |    coalesce(a, 0.0) * cos(coalesce(dir, 0.0)) AS avx,
+      |    coalesce(a, 0.0) * sin(coalesce(dir, 0.0)) AS avy
+      |  FROM afb
+      |),
+      |afn AS (
+      |  SELECT *, sqrt(svx*svx + svy*svy) AS snorm, sqrt(avx*avx + avy*avy) AS anorm
+      |  FROM afuv
+      |)""".stripMargin
+
+  /** The 20 node-feature expressions over `afn` columns, in
+    * AfFeatures.NodeFeatureNames order. `+ 0.0` normalizes DuckDB's
+    * `-0.0` round outputs to match Spark's BigDecimal-based round. */
+  private val featureExprs: Seq[(String, String)] = Seq(
+    "x_n" -> "round(coalesce((x - (-(120.0/2.0))) / ((120.0/2.0) - (-(120.0/2.0))), 0.0), 6) + 0.0",
+    "y_n" -> "round(coalesce((y - (-(53.3/2.0))) / ((53.3/2.0) - (-(53.3/2.0))), 0.0), 6) + 0.0",
+    "uv_sx" -> "round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svx/snorm END, 0.0), 6) + 0.0",
+    "uv_sy" -> "round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svy/snorm END, 0.0), 6) + 0.0",
+    "s_n" -> "round(coalesce(least(greatest(s / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) + 0.0",
+    "uv_ax" -> "round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avx/anorm END, 0.0), 6) + 0.0",
+    "uv_ay" -> "round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avy/anorm END, 0.0), 6) + 0.0",
+    "a_n" -> "round(coalesce(least(greatest(a / (CASE WHEN team_id = 'football' THEN 13.5 ELSE 6.0 END), -1.0), 1.0), 0.0), 6) + 0.0",
+    "dir_sin" -> "round((coalesce(sin(dir), 0.0) + 1.0) / 2.0, 6) + 0.0",
+    "dir_cos" -> "round((coalesce(cos(dir), 0.0) + 1.0) / 2.0, 6) + 0.0",
+    "o_sin" -> "round((coalesce(sin(o), 0.0) + 1.0) / 2.0, 6) + 0.0",
+    "o_cos" -> "round((coalesce(cos(o), 0.0) + 1.0) / 2.0, 6) + 0.0",
+    "dgoal" -> ("round(coalesce(sqrt((x - 120.0/2.0)*(x - 120.0/2.0) + (y - 0.0)*(y - 0.0))" +
+      " / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0"),
+    "dball" -> ("round(coalesce(sqrt((x - bx)*(x - bx) + (y - by)*(y - by))" +
+      " / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0"),
+    "dend" -> "round(coalesce(((120.0/2.0 - 10.0) - x - 0.0) / (120.0 - 0.0), 0.0), 6) + 0.0",
+    "poss" -> "CAST(round(coalesce(CASE WHEN team_id = ball_owning_team_id THEN 1.0 ELSE 0.1 END, 0.0), 6) AS DOUBLE)",
+    "qb" -> ("CAST(round(coalesce(CASE WHEN position_name = 'QB' THEN 1.0" +
+      " ELSE (CASE WHEN team_id = ball_owning_team_id THEN 0.1 ELSE 0.0 END) END, 0.0), 6) AS DOUBLE)"),
+    "ball" -> "CAST(round(CASE WHEN team_id = 'football' THEN 1.0 ELSE 0.0 END, 6) AS DOUBLE)",
+    "weight_n" -> "round(coalesce((weight_kg - 60.0) / (200.0 - 60.0), 0.0), 6) + 0.0",
+    "height_n" -> "round(coalesce((height_cm - 150.0) / (225.0 - 150.0), 0.0), 6) + 0.0")
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ----- S2/S3 + F2/F8 + M10-NFL + frame synthesis + J3 -----
@@ -121,50 +172,50 @@ object FootballQueries extends QueryModule {
             AfFeatures.NodeFeatureNames.map(n => round(col(n), 6).as(n)): _*)
       },
       Some(s"""WITH ${loadCtes("__ROOT__")},
-              |afb AS (
-              |  SELECT *,
-              |    max(CASE WHEN team_id = 'football' THEN x END) OVER wf AS bx,
-              |    max(CASE WHEN team_id = 'football' THEN y END) OVER wf AS by
-              |  FROM afc
-              |  WINDOW wf AS (PARTITION BY game_id, play_id, frame_id)
-              |),
-              |afuv AS (
-              |  SELECT *,
-              |    coalesce(s, 0.0) * cos(coalesce(dir, 0.0)) AS svx,
-              |    coalesce(s, 0.0) * sin(coalesce(dir, 0.0)) AS svy,
-              |    coalesce(a, 0.0) * cos(coalesce(dir, 0.0)) AS avx,
-              |    coalesce(a, 0.0) * sin(coalesce(dir, 0.0)) AS avy
-              |  FROM afb
-              |),
-              |afn AS (
-              |  SELECT *, sqrt(svx*svx + svy*svy) AS snorm, sqrt(avx*avx + avy*avy) AS anorm
-              |  FROM afuv
-              |)
+              |$featCtes
               |SELECT game_id, play_id, frame_id, id,
-              |  round(coalesce((x - (-(120.0/2.0))) / ((120.0/2.0) - (-(120.0/2.0))), 0.0), 6) + 0.0 AS x_n,
-              |  round(coalesce((y - (-(53.3/2.0))) / ((53.3/2.0) - (-(53.3/2.0))), 0.0), 6) + 0.0 AS y_n,
-              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svx/snorm END, 0.0), 6) + 0.0 AS uv_sx,
-              |  round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svy/snorm END, 0.0), 6) + 0.0 AS uv_sy,
-              |  round(coalesce(least(greatest(s / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) + 0.0 AS s_n,
-              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avx/anorm END, 0.0), 6) + 0.0 AS uv_ax,
-              |  round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avy/anorm END, 0.0), 6) + 0.0 AS uv_ay,
-              |  round(coalesce(least(greatest(a / (CASE WHEN team_id = 'football' THEN 13.5 ELSE 6.0 END), -1.0), 1.0), 0.0), 6) + 0.0 AS a_n,
-              |  round((coalesce(sin(dir), 0.0) + 1.0) / 2.0, 6) + 0.0 AS dir_sin,
-              |  round((coalesce(cos(dir), 0.0) + 1.0) / 2.0, 6) + 0.0 AS dir_cos,
-              |  round((coalesce(sin(o), 0.0) + 1.0) / 2.0, 6) + 0.0 AS o_sin,
-              |  round((coalesce(cos(o), 0.0) + 1.0) / 2.0, 6) + 0.0 AS o_cos,
-              |  round(coalesce(sqrt((x - 120.0/2.0)*(x - 120.0/2.0) + (y - 0.0)*(y - 0.0))
-              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0 AS dgoal,
-              |  round(coalesce(sqrt((x - bx)*(x - bx) + (y - by)*(y - by))
-              |        / sqrt(120.0*120.0 + 53.3*53.3), 0.0), 6) + 0.0 AS dball,
-              |  round(coalesce(((120.0/2.0 - 10.0) - x - 0.0) / (120.0 - 0.0), 0.0), 6) + 0.0 AS dend,
-              |  CAST(round(coalesce(CASE WHEN team_id = ball_owning_team_id THEN 1.0 ELSE 0.1 END, 0.0), 6) AS DOUBLE) AS poss,
-              |  CAST(round(coalesce(CASE WHEN position_name = 'QB' THEN 1.0
-              |        ELSE (CASE WHEN team_id = ball_owning_team_id THEN 0.1 ELSE 0.0 END) END, 0.0), 6) AS DOUBLE) AS qb,
-              |  CAST(round(CASE WHEN team_id = 'football' THEN 1.0 ELSE 0.0 END, 6) AS DOUBLE) AS ball,
-              |  round(coalesce((weight_kg - 60.0) / (200.0 - 60.0), 0.0), 6) + 0.0 AS weight_n,
-              |  round(coalesce((height_cm - 150.0) / (225.0 - 150.0), 0.0), 6) + 0.0 AS height_n
+              |  ${featureExprs.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
               |FROM afn""".stripMargin)),
+
+    // ----- AF nested node-tensor assembly (x matrix + object_ids),
+    // verifying the reference node-order contract for AF (same sort as
+    // soccer: possession first, football last, id within group) -----
+    GraftQuery(
+      "q_af_graph",
+      (s, d) => {
+        val root = AfSynthetic.dir(s, d)
+        val dat = BigDataBowl.removeIncompleteFrames(BigDataBowl.load(s, root))
+        AfFeatures.graphFrames(dat)
+          .select(Seq(col("game_id"), col("play_id"), col("frame_id")) :+
+            posexplode(arrays_zip(col("x"), col("object_ids"))).as(Seq("node_idx", "node")): _*)
+          .select(Seq(col("game_id"), col("play_id"), col("frame_id"),
+            col("node_idx").cast("long").as("node_idx"),
+            col("node.object_ids").as("id")) :+
+            posexplode(col("node.x")).as(Seq("feature_idx", "value")): _*)
+          .select(col("game_id"), col("play_id"), col("frame_id"), col("node_idx"),
+            col("id"), col("feature_idx").cast("long").as("feature_idx"), col("value"))
+      },
+      Some {
+        val arms = featureExprs.zipWithIndex
+          .map { case ((n, _), i) => s"WHEN ${i + 1} THEN $n" }.mkString(" ")
+        s"""WITH ${loadCtes("__ROOT__")},
+           |$featCtes,
+           |afx AS (
+           |  SELECT game_id, play_id, frame_id, id, team_id, ball_owning_team_id,
+           |    ${featureExprs.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
+           |  FROM afn
+           |),
+           |afi AS (
+           |  SELECT *, row_number() OVER (PARTITION BY game_id, play_id, frame_id
+           |    ORDER BY (CAST(team_id = 'football' AS INT)*2
+           |              - CAST(ball_owning_team_id = team_id AND team_id <> 'football' AS INT)) ASC,
+           |             id ASC) - 1 AS node_idx
+           |  FROM afx
+           |)
+           |SELECT game_id, play_id, frame_id, node_idx, id, k - 1 AS feature_idx,
+           |  CASE k ${arms} END AS value
+           |FROM afi CROSS JOIN (SELECT unnest(generate_series(1, ${featureExprs.size})) AS k) ks""".stripMargin
+      }),
 
     // ----- G5: 9 AF edge features on A=1 pairs -----
     GraftQuery(
