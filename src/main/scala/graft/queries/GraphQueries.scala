@@ -376,7 +376,10 @@ object GraphQueries extends QueryModule {
   private def paddedInput(s: org.apache.spark.sql.SparkSession, d: String) = {
     val trk = SyntheticTracking.df(s, d)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
+    // accel is unused by features (see pipeline()); ball_state and
+    // timestamp are pure passthrough the nested output never emits —
+    // dropping all six narrows both graphFrames persists
     Possession.inferBallCarrier(kin, TrackingSettings())
-      .drop(Ax, Ay, Az, Acceleration) // see pipeline(): accel unused
+      .drop(Ax, Ay, Az, Acceleration, BallState, Timestamp)
   }
 }
