@@ -1,0 +1,87 @@
+package graft.api
+
+import graft.graphs.{GraphConverter, GraphDataset, GraphSettings, GraphSink}
+import graft.tracking._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-stop user journey for the soccer vertical — the Spark-native
+  * counterpart of the reference's `KloppyPolarsDataset(...).load()` →
+  * `SoccerGraphConverter(dataset).to_graph_frames()` flow
+  * (`kloppy_polars.py:813-900`, `graph_converter.py:35-140`), for users
+  * switching from the reference library.
+  *
+  * Reference call → here:
+  *  - `KloppyPolarsDataset(kloppy_dataset).load()` →
+  *    [[load]] (wide tracking CSV → canonical long table →
+  *    kinematics → possession/carrier inference). Steps compose, so
+  *    any stage can be swapped (e.g. a parquet source instead of CSV).
+  *  - `SoccerGraphConverter(dataset, **settings)` → [[graphs]] with a
+  *    [[graft.graphs.GraphSettings]].
+  *  - `.to_graph_frames()` → the returned nested DataFrame (a/x/e +
+  *    object_ids per frame); `.to_pytorch_graphs()`'s in-memory handoff
+  *    → [[graft.graphs.GraphDataset.toLocalGraphs]].
+  *  - `GraphDataset(...).split_test_train_validation()` →
+  *    [[withSplit]] (seeded hash-bucketing, shuffle-free).
+  *  - pickle sink → [[sink]] (game-partitioned nested parquet).
+  *
+  * Everything stays a lazy DataFrame until an action, so Catalyst sees
+  * the whole journey as ONE plan: the CSV scan is pruned/filtered by
+  * whatever the final consumer needs, and each stage's shuffles are the
+  * ones documented on the stage object itself.
+  */
+object SoccerPipeline {
+
+  /** CSV → canonical long table → kinematics → possession. The
+    * reference's `load()` (steps 1-8, `kloppy_polars.py:813-900`). */
+  def load(
+      spark: SparkSession,
+      wideCsvGlob: String,
+      playerIds: Seq[String],
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val long = TrackingSource
+      .toLong(TrackingSource.scanWide(spark, wideCsvGlob, playerIds), playerIds)
+      .withColumn(Cols.PositionName, lit(null).cast("string"))
+      .withColumn(Cols.BallState, lit("alive"))
+      .withColumn(Cols.BallOwningTeamId, lit(null).cast("string"))
+    val kin = Kinematics(long, settings, playerSmoothing, ballSmoothing)
+    Possession.inferBallCarrier(kin, settings)
+  }
+
+  /** An already-long tracking DataFrame → kinematics → possession
+    * (for parquet/streaming sources that skip the CSV melt). */
+  def prepare(
+      long: DataFrame,
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame =
+    Possession.inferBallCarrier(
+      Kinematics(long, settings, playerSmoothing, ballSmoothing), settings)
+
+  /** Orientation flip + dummy labels/graph ids + nested graph tensors —
+    * `SoccerGraphConverter(...).to_graph_frames()`. */
+  def graphs(
+      prepared: DataFrame,
+      settings: GraphSettings = GraphSettings(),
+      orientHome: String = "home"): DataFrame = {
+    val oriented = Orientation.toBallOwning(prepared, orientHome)
+    val labeled = Labels.addGraphIds(Labels.addDummyLabels(oriented))
+    GraphConverter.graphFrames(labeled, settings)
+  }
+
+  /** Leakage-aware split column — `split_test_train_validation`. */
+  def withSplit(
+      graphs: DataFrame,
+      train: Double = 0.8,
+      test: Double = 0.1,
+      validation: Double = 0.1,
+      seed: Long = 42L): DataFrame =
+    GraphDataset.withSplit(graphs, train, test, validation,
+      byGraphId = true, seed = seed, exactHash = true)
+
+  /** Game-partitioned nested-parquet sink (the pickle-file analog). */
+  def sink(graphs: DataFrame, path: String): Unit =
+    GraphSink.write(graphs, path)
+}

@@ -1,0 +1,55 @@
+package graft.api
+
+import graft.SparkTestSession
+import graft.graphs.GraphSettings
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end user journey: wide CSV on disk → load → graphs →
+  * split → sink → read back. */
+class SoccerPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val players = Seq("h1", "h2", "a1", "a2")
+
+  /** Writes a 2-frame-per-period wide CSV and returns its path. */
+  private def writeCsv(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline").toFile
+    val f = new java.io.File(dir, "wide.csv")
+    val header = "game_id,period_id,frame_id,timestamp," +
+      players.flatMap(id => Seq(s"${id}_x", s"${id}_y")).mkString(",") +
+      ",ball_x,ball_y,ball_z"
+    val rows = (0 until 6).map { i =>
+      val t = i * 40000L
+      // ball sits on h1 so possession resolves to home
+      s"g,1,$i,$t,${1.0 + i * 0.1},2.0,3.0,4.0,-1.0,-2.0,-3.0,-4.0,${1.0 + i * 0.1},2.0,0.1"
+    }
+    val w = new java.io.PrintWriter(f)
+    try { w.println(header); rows.foreach(w.println) } finally w.close()
+    f.getAbsolutePath
+  }
+
+  test("load -> graphs -> split -> sink round-trips") {
+    val path = writeCsv()
+    val prepared = SoccerPipeline.load(spark, path, players,
+      playerSmoothing = None, ballSmoothing = None)
+    assert(prepared.count() === 30) // 6 frames x 5 objects, all possessed
+    assert(prepared.filter(col("ball_owning_team_id") === "home").count() === 30)
+
+    val g = SoccerPipeline.graphs(prepared, GraphSettings(pad = false))
+    val frames = g.collect()
+    assert(frames.length === 6)
+    // 5 nodes per frame, 15 features per node
+    assert(frames.forall(_.getSeq[Seq[Double]](frames.head.fieldIndex("x")).length === 5))
+
+    val split = SoccerPipeline.withSplit(g, 0.6, 0.3, 0.1)
+    assert(split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "test", "validation")))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    SoccerPipeline.sink(split, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 6)
+    assert(back.columns.contains("x") && back.columns.contains("a"))
+  }
+}
