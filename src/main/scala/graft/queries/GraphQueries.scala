@@ -230,6 +230,22 @@ object GraphQueries extends QueryModule {
           |    OR (i.team_id = 'ball' AND coalesce(j.is_ball_carrier, false)) AS INT) AS a
           |FROM gidx i JOIN gidx j USING (game_id, period_id, frame_id)""".stripMargin))),
 
+    // ----- G1 variant arms: dense_dp matrix, no ball connect -----
+    GraftQuery(
+      "q_graph_adjacency_dp",
+      (s, d) => GraphConverter.pairs(pipeline(s, d), GraphSettings(pad = false,
+        adjacencyMatrixType = graft.graphs.GraphSettings.DenseDp,
+        adjacencyMatrixConnectType = graft.graphs.GraphSettings.ConnectNone))
+        .select(col(GameId), col(PeriodId), col(FrameId),
+          col(s"i_$ObjectId").as("i_id"), col(s"j_$ObjectId").as("j_id"),
+          col("i_node_idx"), col("j_node_idx"), col("a")),
+      Some(withAll(gIdxCte)(
+        """SELECT i.game_id, i.period_id, i.frame_id,
+          |  i.id AS i_id, j.id AS j_id, i.node_idx AS i_node_idx, j.node_idx AS j_node_idx,
+          |  CAST((i.team_id <> 'ball' AND i.team_id <> i.ball_owning_team_id)
+          |   AND (j.team_id <> 'ball' AND j.team_id <> j.ball_owning_team_id) AS INT) AS a
+          |FROM gidx i JOIN gidx j USING (game_id, period_id, frame_id)""".stripMargin))),
+
     // ----- G2: the 12 node feature functions (15 columns) -----
     GraftQuery(
       "q_graph_nodes",
