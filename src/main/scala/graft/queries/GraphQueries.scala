@@ -376,7 +376,10 @@ object GraphQueries extends QueryModule {
     GraftQuery(
       "q_graph_frames_edges",
       (s, d) => {
+        // both the adjacency-cell branch and the e-tensor branch explode
+        // the nested output — persist it or the whole assembly runs twice
         val g = GraphConverter.graphFrames(paddedInput(s, d), GraphSettings(pad = true))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cells = g
           .select(Seq(col(GameId), col(PeriodId), col(FrameId)) :+
             posexplode(col("a")).as(Seq("i", "arow")): _*)

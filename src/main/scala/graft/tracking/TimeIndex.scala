@@ -7,8 +7,17 @@ import org.apache.spark.sql.functions._
 /** W7 `search_sorted` (`graph_converter.py:910-915`): next-closest
   * frame timestamp lookup, distributed. Instead of a driver-side
   * binary search over a collected array, targets are unioned with the
-  * frame timeline and a range window takes the minimum following frame
-  * timestamp — one shuffle on the game key, any number of targets. */
+  * frame timeline and a running minimum over the DESCENDING timeline
+  * yields the smallest following frame timestamp — one shuffle on the
+  * game key, any number of targets.
+  *
+  * The frame is `ROWS UNBOUNDED PRECEDING` over a descending sort on
+  * purpose: an `UNBOUNDED FOLLOWING` frame makes Spark recompute the
+  * aggregate from the frame start for every row — O(n²) per partition
+  * (measured 176 s at sf0.1) — while a running aggregate over the
+  * reversed order is a single O(n) pass. Frame rows sort before
+  * target rows at equal timestamps, so an exact-match target still
+  * sees its own frame. */
 object TimeIndex {
 
   /** For each (game_id, target) row: the smallest frame timestamp
@@ -21,8 +30,8 @@ object TimeIndex {
     val t = targets.select(col(Cols.GameId), col("target").as("ts"))
       .withColumn("__is_target", lit(1))
     val w = Window.partitionBy(col(Cols.GameId))
-      .orderBy(col("ts"))
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("__is_target").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     f.unionByName(t)
       .withColumn("next_ts", min(when(col("__is_target") === 0, col("ts"))).over(w))
       .filter(col("__is_target") === 1)
