@@ -79,4 +79,62 @@ object Multimodal {
       lit(1).as("height"))
       .as[MediaRow]
   }
+
+  /** Per-partition resizer. A real implementation wraps an image
+    * library; the contract is payload→payload with updated metadata. */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte]
+  }
+
+  /** STUB resizer — NOT a real image resample. Nearest-neighbor byte
+    * selection along the width axis, so output size tracks the target
+    * dimensions deterministically and the plumbing (metadata update,
+    * partition-local batch transform, no shuffle) is real. */
+  object DeterministicFakeResizer extends Resizer {
+    override def resize(payload: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
+      if (payload.isEmpty || w1 <= 0) Array.emptyByteArray
+      else Array.tabulate(math.min(w1, payload.length))(i =>
+        payload(((i.toLong * payload.length) / math.max(w1, 1)).toInt))
+    }
+  }
+
+  /** Batch resize: partition-local map, metadata updated alongside the
+    * payload — the `resize` step of a media pipeline. */
+  def resize(
+      media: Dataset[MediaRow],
+      targetWidth: Int,
+      targetHeight: Int,
+      resizer: Resizer = DeterministicFakeResizer): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id,
+        resizer.resize(r.payload, r.width, r.height, targetWidth, targetHeight),
+        r.format, targetWidth, targetHeight))
+    }
+  }
+
+  final case class FrameFeatures(media_id: Long, frame_no: Int, value: Double)
+
+  /** Frame sampling: every `stride`-th frame of a (fake-)video payload,
+    * one feature row per sampled frame. Frames are fixed-size payload
+    * windows (`frameBytes` per frame) — the Spark shape (explode to
+    * frame rows, partition-local decode, no payload shuffle) is exactly
+    * the real video pipeline's; only the in-frame decode is the
+    * deterministic stand-in (byte sum). */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameBytes: Int = 16,
+      stride: Int = 2): Dataset[FrameFeatures] = {
+    implicit val enc = Encoders.product[FrameFeatures]
+    media.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by stride).iterator.map { f =>
+        var s = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += (r.payload(i) & 0xff); i += 1 }
+        FrameFeatures(r.media_id, f, s.toDouble)
+      }
+    }
+  }
 }

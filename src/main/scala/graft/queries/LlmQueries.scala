@@ -390,6 +390,22 @@ object LlmQueries extends QueryModule {
            |FROM gated g JOIN keep k ON k.fp = g.fp AND k.doc_id = g.doc_id""".stripMargin
       }),
 
+    // ----- multimodal: frame sampling over fixed-size payload windows -----
+    GraftQuery(
+      "q_media_frames",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.sampleFrames(media, frameBytes = 16, stride = 2).toDF()
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            col("value"))
+      },
+      Some("""SELECT doc_id AS media_id, f AS frame_no,
+             |  CAST(list_sum(list_transform(generate_series(f*16 + 1, f*16 + 16),
+             |    i -> ascii(text[i:i]))) AS DOUBLE) AS value
+             |FROM documents
+             |CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS f) fs
+             |WHERE f % 2 = 0 AND (f + 1) * 16 <= length(text)""".stripMargin)),
+
     // ----- multimodal: binary payload → partition-local feature extract -----
     GraftQuery(
       "q_media_features",

@@ -171,6 +171,26 @@ class LlmSpec extends AnyFunSuite {
     assert(!nd.contains((1L, 3L)) && !nd.contains((2L, 3L)))
   }
 
+  test("multimodal resize: metadata tracks target dims, payload length tracks width") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val r = Multimodal.resize(media, targetWidth = 5, targetHeight = 1)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(r(1L).width === 5 && r(1L).height === 1)
+    assert(r(1L).payload.length === 5)
+    assert(r(5L).payload.length === 2) // shorter than target: clamped
+  }
+
+  test("multimodal frame sampling: every 2nd 16-byte window, byte-sum feature") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val f = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().groupBy(_.media_id)
+    val text = "the quick brown fox jumps over the lazy dog" // 43 bytes -> 2 frames
+    assert(f(1L).map(_.frame_no).sorted.toSeq === Seq(0)) // frames 0,1; stride 2 keeps 0
+    val expected = text.getBytes("UTF-8").take(16).map(_ & 0xff).sum.toDouble
+    assert(f(1L).head.value === expected)
+    assert(!f.contains(5L)) // "ab" shorter than one frame
+  }
+
   test("ivf ann assigns to nearest centroid cell and finds the duplicate") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid cell 0
