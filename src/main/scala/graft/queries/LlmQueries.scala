@@ -29,6 +29,40 @@ object LlmQueries extends QueryModule {
   private val toksSql = Shingles.tokensSql("text")
   private def polySql(e: String) = TextHash.polyHashSql(e)
 
+  /** CTE chain ending in `nd` = the MinHash near-dup pair table
+    * (id_a, id_b, inter, size_a, size_b, jaccard) at `threshold` —
+    * shared by the pairwise query and the clustering query built on it. */
+  private def minhashNdCtes(threshold: Double): String = {
+    val mins = (0 until MinHash.NumHashes)
+      .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
+      .mkString(", ")
+    val bandCollide = (0 until MinHash.Bands).map { b =>
+      (0 until MinHash.Rows)
+        .map(r => s"a.mh${b * MinHash.Rows + r} = b.mh${b * MinHash.Rows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+       |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+       |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
+       |sig AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCollide)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+       |          FROM cand c
+       |          JOIN shx x ON x.doc_id = c.id_a
+       |          JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
+       |          GROUP BY c.id_a, c.id_b),
+       |nd AS (SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       |              round($jac, 6) AS jaccard
+       |       FROM inter i
+       |       JOIN sizes sa ON sa.doc_id = i.id_a
+       |       JOIN sizes sb ON sb.doc_id = i.id_b
+       |       WHERE $jac >= $threshold)""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ----- text analysis: token counts, language ID, quality score -----
@@ -110,37 +144,38 @@ object LlmQueries extends QueryModule {
       "q_doc_minhash_dedup",
       (s, d) => MinHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.01),
-      Some {
-        val mins = (0 until MinHash.NumHashes)
-          .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
-          .mkString(", ")
-        val bandCollide = (0 until MinHash.Bands).map { b =>
-          (0 until MinHash.Rows)
-            .map(r => s"a.mh${b * MinHash.Rows + r} = b.mh${b * MinHash.Rows + r}")
-            .mkString("(", " AND ", ")")
-        }.mkString(" OR ")
-        val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
-           |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
-           |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
-           |sig AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCollide)),
-           |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
-           |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
-           |          FROM cand c
-           |          JOIN shx x ON x.doc_id = c.id_a
-           |          JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
-           |          GROUP BY c.id_a, c.id_b)
-           |SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
-           |       round($jac, 6) AS jaccard
-           |FROM inter i
-           |JOIN sizes sa ON sa.doc_id = i.id_a
-           |JOIN sizes sb ON sb.doc_id = i.id_b
-           |WHERE $jac >= 0.01""".stripMargin
-      },
+      Some(s"""WITH ${minhashNdCtes(0.01)}
+              |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd""".stripMargin),
       headline = true),
+
+    // ----- dedup clustering: connected components → keep/drop decision -----
+    // Pairwise near-dup output alone doesn't say which docs to delete;
+    // the actionable artifact is one row per doc with its duplicate
+    // cluster and a canonical-keep flag. Components come from iterative
+    // min-label propagation (one node-keyed shuffle per round, lineage
+    // truncated each round — see [[graft.llm.DedupClusters]]); the
+    // oracle replays it as a DuckDB recursive transitive closure.
+    GraftQuery(
+      "q_doc_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DedupClusters.keepTable(docs,
+          MinHash.nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.01),
+          "doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashNdCtes(0.01)},
+              |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+              |          UNION SELECT id_b, id_a FROM nd),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+              |         FROM reach GROUP BY u)
+              |SELECT d.doc_id,
+              |       coalesce(c.component, d.doc_id) AS cluster_id,
+              |       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+              |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
 
     // ----- SimHash fingerprints (shuffle-free per-doc bits) -----
     GraftQuery(

@@ -204,4 +204,23 @@ class LlmSpec extends AnyFunSuite {
     assert(top.length === 1 && top.head.getLong(1) === 9L)
     assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("connected components: chain collapses to min id, disjoint pair separate") {
+    // chain 1-2-3-4 (diameter 3 — needs >1 propagation round) + island 7-9
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("id_a", "id_b")
+    val comp = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("keepTable: cluster members share cluster_id, only min kept; singletons keep") {
+    val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
+    val kt = DedupClusters.keepTable(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(kt(1L) === (1L, true))
+    assert(kt(2L) === (1L, false))
+    assert(kt(4L) === (1L, false))
+    assert(kt(3L) === (3L, true)) // not in any pair -> own cluster, kept
+    assert(kt(5L) === (5L, true))
+  }
 }
