@@ -74,27 +74,45 @@ object PressingIntensity {
         (all, all)
     }
 
-    // node order within a side replicates the reference's stable frame
-    // sort (owning first, ball last, id ascending within group)
-    val sideIdx: Column = {
-      val w = Window.partitionBy(frameKeys.map(col): _*)
-        .orderBy(isBall.cast("int").asc, isOwning.cast("int").desc, col(ObjectId).asc)
-      row_number().over(w) - 1
-    }
-    def side(member: Column): DataFrame =
-      df.filter(member)
-        .withColumn("__idx", sideIdx)
-        .select(frameKeys.map(col) ++ Seq(col(Timestamp), col(ObjectId), col("__idx"),
-          isBall.as("__is_ball"), col(IsBallCarrier).as("__carrier"),
-          col(X), col(Y), col(Z), col(Vx), col(Vy), col(Vz), col(Speed),
-          col(BallOwningTeamId)): _*)
+    // ONE indexed base relation serves both sides. A single window pass
+    // assigns the global frame-order index (owning players, then
+    // defenders, then ball — the reference's stable sort,
+    // pressing_intensity.py:520-552); each side's 0-based matrix index
+    // is then pure arithmetic: within the column side, owning players
+    // keep their global index and the ball lands at n_owning; within
+    // the row side, defenders shift down by n_owning. Both pair-join
+    // inputs are filters over this SAME subtree, so the second side is
+    // served from the first's shuffle files (ReusedExchange) and the
+    // upstream kinematics/possession lineage executes once, not per
+    // side; the join itself reuses the window's frame-key partitioning
+    // and sort, adding no exchange.
+    val wF = Window.partitionBy(frameKeys.map(col): _*)
+    val gidx = row_number().over(
+      wF.orderBy(isBall.cast("int").asc, isOwning.cast("int").desc, col(ObjectId).asc)) - 1
+    val nOwn = sum((isOwning && !isBall).cast("int")).over(wF)
+    val indexed = df.filter(colSide || rowSide)
+      .withColumn("__gidx", gidx)
+      .withColumn("__nown", nOwn)
+      .withColumn("__cmem", colSide)
+      .withColumn("__rmem", rowSide)
 
-    val c = side(colSide).toDF(
-      frameKeys ++ Seq("ts", "c_id", "c_idx", "c_ball", "c_carrier",
-        "c_x", "c_y", "c_z", "c_vx", "c_vy", "c_vz", "c_v", "c_boti"): _*)
-    val r = side(rowSide).toDF(
-      frameKeys ++ Seq("ts2", "r_id", "r_idx", "r_ball", "r_carrier",
-        "r_x", "r_y", "r_z", "r_vx", "r_vy", "r_vz", "r_v", "r_boti"): _*)
+    val (cIdx, rIdx) = params.method match {
+      case "teams" =>
+        (when(isBall, col("__nown")).otherwise(col("__gidx")).cast("int"),
+          (col("__gidx") - col("__nown")).cast("int"))
+      case "full" => (col("__gidx").cast("int"), col("__gidx").cast("int"))
+    }
+    def side(member: Column, p: String, idx: Column, ts: String): DataFrame =
+      indexed.filter(member)
+        .select(frameKeys.map(col) ++ Seq(col(Timestamp).as(ts),
+          col(ObjectId).as(s"${p}_id"), idx.as(s"${p}_idx"),
+          isBall.as(s"${p}_ball"), col(IsBallCarrier).as(s"${p}_carrier"),
+          col(X).as(s"${p}_x"), col(Y).as(s"${p}_y"), col(Z).as(s"${p}_z"),
+          col(Vx).as(s"${p}_vx"), col(Vy).as(s"${p}_vy"), col(Vz).as(s"${p}_vz"),
+          col(Speed).as(s"${p}_v"), col(BallOwningTeamId).as(s"${p}_boti")): _*)
+
+    val c = side(col("__cmem"), "c", cIdx, "ts")
+    val r = side(col("__rmem"), "r", rIdx, "ts2")
 
     val joined = r.join(c, frameKeys)
 
