@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash signatures + banded LSH for near-duplicate detection at scale.
@@ -72,16 +73,36 @@ object MinHash {
           min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
   }
 
-  /** Banded-LSH candidate pairs (id_a < id_b), distinct across bands. */
-  def candidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+  /** Banded-LSH candidate pairs (id_a < id_b), distinct across bands.
+    *
+    * `maxBucket` is the degenerate-corpus guard: a band bucket of k
+    * docs emits k² candidate work, so one pathological bucket (e.g. a
+    * boilerplate page repeated millions of times) would concentrate a
+    * quadratic blowup on a single key. Buckets larger than the cap are
+    * dropped from candidate generation entirely — their members are
+    * still compared through their OTHER bands (the standard LSH
+    * treatment, same shape as [[Jaccard]]'s document-frequency cap). */
+  def candidatePairs(
+      sig: DataFrame,
+      idCol: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     val bandRows = (0 until Bands).map { b =>
       sig.select(
         col(idCol),
         lit(b).as("band"),
         struct((0 until Rows).map(r => col(s"mh${b * Rows + r}").as(s"k$r")): _*).as("key"))
     }.reduce(_ unionByName _)
-    val l = bandRows.toDF(Seq("id_a", "band", "key"): _*)
-    val r = bandRows.toDF(Seq("id_b", "band", "key"): _*)
+    // the bucket-size window shuffles on the same (band, key) the join
+    // itself needs, so the cap adds no extra exchange round
+    val capped = maxBucket match {
+      case Some(m) =>
+        val w = Window.partitionBy(col("band"), col("key"))
+        bandRows.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= m).drop("__bsz")
+      case None => bandRows
+    }
+    val l = capped.toDF(Seq("id_a", "band", "key"): _*)
+    val r = capped.toDF(Seq("id_b", "band", "key"): _*)
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -32,6 +32,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), s"no exchange reuse in:\n$p")
   }
 
+  test("pi pairs: both join sides feed from one reused exchange, no join exchange") {
+    import graft.tracking._
+    val trk = SyntheticTracking.df(spark, sf)
+    val dat = Possession.inferBallCarrier(
+      Kinematics(trk, TrackingSettings(), None, None), TrackingSettings())
+    val df = graft.models.PressingIntensity.pairs(dat)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"pair sides don't share the side exchange:\n$p")
+  }
+
+  test("bucketed tables join with zero exchange") {
+    import graft.core.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    BucketedStore.write(li, "bk_a", s"$dir/a", Seq("l_orderkey"), 4)
+    BucketedStore.write(li.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")),
+      "bk_b", s"$dir/b", Seq("l_orderkey"), 4)
+    // force the SMJ path: at test scale the planner would broadcast the
+    // small side (also exchange-free, but not the property under audit —
+    // at 100 TB neither side broadcasts and bucketing is what saves the
+    // shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedStore.read(spark, "bk_a")
+        .join(BucketedStore.read(spark, "bk_b"), "l_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))

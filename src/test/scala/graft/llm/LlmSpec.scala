@@ -205,6 +205,21 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("candidate pair bucket cap drops oversized band buckets only") {
+    // three identical docs share every band bucket (bucket size 3);
+    // cap 2 removes all their candidate pairs, leaving unrelated docs out
+    val trip = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gg"),
+      (3L, "aa bb cc dd ee ff gg"),
+      (4L, "xx yy zz ww vv uu tt")).toDF("doc_id", "text")
+    val sig = MinHash.signatures(trip, "doc_id", "text")
+    val uncapped = MinHash.candidatePairs(sig, "doc_id").count()
+    val capped = MinHash.candidatePairs(sig, "doc_id", maxBucket = Some(2)).count()
+    assert(uncapped === 3L) // (1,2),(1,3),(2,3)
+    assert(capped === 0L)
+  }
+
   test("connected components: chain collapses to min id, disjoint pair separate") {
     // chain 1-2-3-4 (diameter 3 — needs >1 propagation round) + island 7-9
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("id_a", "id_b")
