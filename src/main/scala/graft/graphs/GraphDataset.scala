@@ -96,4 +96,28 @@ object GraphDataset {
     * Semantically a global sort — keep off hot paths; the reference uses
     * it only to randomize training-batch order. */
   def shuffled(df: DataFrame, seed: Long = 42L): DataFrame = df.orderBy(rand(seed))
+
+  /** Merge another graph table into this one
+    * (`graph_dataset.py:101-108`): schemas must agree column-for-column;
+    * a plain union, no shuffle. */
+  def add(df: DataFrame, other: DataFrame): DataFrame = {
+    require(df.columns.sorted.sameElements(other.columns.sorted),
+      s"graph schemas differ: ${df.columns.mkString(",")} vs ${other.columns.mkString(",")}")
+    df.unionByName(other)
+  }
+
+  /** (N, F, S, n_out, n) of a nested graph table
+    * (`graph_dataset.py:110-118`, `:438-445`): max nodes, node-feature
+    * dim, edge-feature dim, distinct labels, graph count — ONE
+    * partial-aggregable pass (no per-graph driver loop). */
+  def dimensions(df: DataFrame, labelCol: String = Label): (Int, Int, Int, Long, Long) = {
+    val hasLabel = df.columns.contains(labelCol)
+    val r = df.agg(
+      max(size(col("x"))).as("n"),
+      max(size(element_at(col("x"), 1))).as("f"),
+      max(size(element_at(col("e"), 1))).as("s"),
+      (if (hasLabel) countDistinct(col(labelCol)) else lit(0L)).as("n_out"),
+      count(lit(1)).as("cnt")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+  }
 }

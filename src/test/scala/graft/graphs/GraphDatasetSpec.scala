@@ -81,4 +81,23 @@ class GraphDatasetSpec extends AnyFunSuite {
     assert(s1.sorted === (1 to 100))
     assert(s1 !== (1 to 100))
   }
+
+  private def graphTable(fromFrame: Long, n: Int) =
+    (0 until n).map { i =>
+      val frame = fromFrame + i
+      (frame, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)),
+        Seq(Seq(0.5), Seq(0.7)), (frame % 2).toInt)
+    }.toDF("frame_id", "x", "e", "label")
+
+  test("add unions compatible graph tables, rejects schema drift") {
+    val merged = GraphDataset.add(graphTable(0, 3), graphTable(10, 2))
+    assert(merged.count() === 5)
+    intercept[IllegalArgumentException] {
+      GraphDataset.add(graphTable(0, 1), graphTable(0, 1).drop("label"))
+    }
+  }
+
+  test("dimensions: (N, F, S, n_out, n) in one aggregate pass") {
+    assert(GraphDataset.dimensions(graphTable(0, 4)) === ((3, 2, 1, 2L, 4L)))
+  }
 }
