@@ -293,13 +293,27 @@ object Efpi {
     * their absence). Output: one row per object per segment with
     * columns (game_id, period_id, segment_id, id, team_id, position,
     * formation, is_attacking). */
-  def fit(spark: SparkSession, df: DataFrame, cfg: Config): DataFrame = {
+  def fit(
+      spark: SparkSession,
+      df: DataFrame,
+      cfg: Config,
+      timeRange: Option[(Long, Long, Int)] = None): DataFrame = {
     import spark.implicits._
     val lib = Templates.library(cfg.formations)
     require(cfg.substitutions == "drop",
       "substitutions='merge' is not implemented (matches reference efpi.py:645-649)")
 
-    val withSeg = addSegmentId(df.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every)
+    // analysis-window filter (efpi.py:342-344, 404): the reference takes
+    // start_time/end_time/period_id together or not at all — the tupled
+    // Option makes partial specification unrepresentable
+    val scoped = timeRange match {
+      case Some((startMicros, endMicros, periodId)) =>
+        df.filter(col(Cols.Timestamp).between(startMicros, endMicros) &&
+          col(Cols.PeriodId) === periodId)
+      case None => df
+    }
+
+    val withSeg = addSegmentId(scoped.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every)
 
     val segRows: Dataset[SegRow] =
       if (cfg.every == "frame") {

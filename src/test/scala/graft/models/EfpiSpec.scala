@@ -208,5 +208,11 @@ class EfpiSpec extends AnyFunSuite {
     assert(home.head.getString(6) === "442")
     val away = rows.filter(r => r.getString(4) == "A" && r.getLong(2) == 1L)
     assert(away.head.getString(6) === "433")
+
+    // analysis-window filter (efpi.py:342-344): frames 2-3 of period 1
+    val scoped = Efpi.fit(spark, df, Efpi.Config(every = "frame"),
+      timeRange = Some((2L * 40000L, 3L * 40000L, 1)))
+    assert(scoped.select("segment_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
   }
 }
