@@ -84,4 +84,29 @@ object SoccerPipeline {
   /** Game-partitioned nested-parquet sink (the pickle-file analog). */
   def sink(graphs: DataFrame, path: String): Unit =
     GraphSink.write(graphs, path)
+
+  /** `PressingIntensity(dataset).fit(start_time=..., end_time=...,
+    * period_id=...)` → the nested per-frame TTI/PTI matrices
+    * (`pressing_intensity.py:339-565`). */
+  def pressingIntensity(
+      prepared: DataFrame,
+      settings: TrackingSettings = TrackingSettings(),
+      params: graft.models.PressingIntensity.Params = graft.models.PressingIntensity.Params(),
+      timeRange: Option[(Long, Long, Int)] = None): DataFrame = {
+    import graft.models.PressingIntensity
+    val scoped = timeRange match {
+      case Some((s0, e0, p)) => PressingIntensity.filterTimeRange(prepared, s0, e0, p)
+      case None => prepared
+    }
+    PressingIntensity.matrices(PressingIntensity.pairs(scoped, settings, params))
+  }
+
+  /** `EFPI(dataset).fit(every=...)` → per-player formation labels per
+    * segment (`efpi.py:340-748`). */
+  def formations(
+      spark: SparkSession,
+      prepared: DataFrame,
+      cfg: graft.models.formations.Efpi.Config = graft.models.formations.Efpi.Config(),
+      timeRange: Option[(Long, Long, Int)] = None): DataFrame =
+    graft.models.formations.Efpi.fit(spark, prepared, cfg, timeRange)
 }

@@ -52,4 +52,17 @@ class SoccerPipelineSpec extends AnyFunSuite {
     assert(back.count() === 6)
     assert(back.columns.contains("x") && back.columns.contains("a"))
   }
+
+  test("model entry points: PI matrices and EFPI formations off one prepared table") {
+    val prepared = SoccerPipeline.load(spark, writeCsv(), players,
+      playerSmoothing = None, ballSmoothing = None)
+    val pi = SoccerPipeline.pressingIntensity(prepared,
+      timeRange = Some((40000L, 120000L, 1)))
+    val piRows = pi.collect()
+    assert(piRows.length === 3) // ts 40000..120000 inclusive -> frames 1,2,3
+    assert(pi.columns.contains("time_to_intercept"))
+
+    val efpi = SoccerPipeline.formations(spark, prepared)
+    assert(efpi.count() > 0)
+  }
 }
