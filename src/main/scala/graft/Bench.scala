@@ -17,10 +17,10 @@ object Bench {
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // warm-up must not pre-populate persists
     }
-    // min of two timed runs per query: single-run numbers on a shared
-    // 32-core box swing ±1.5 s; the minimum is the stable estimator
+    // min of three timed runs per query: single-run numbers on a shared
+    // 32-core box swing by seconds; the minimum is the stable estimator
     val results = headline.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()

@@ -258,6 +258,29 @@ object LlmQueries extends QueryModule {
            |WHERE id_a < id_b AND $cos >= 0.4""".stripMargin
       }),
 
+    // ----- corpus profiling: per-source length quantiles -----
+    // Exact linear-interpolation percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`), so the oracle hash-matches. At 100 TB
+    // the same call shape swaps to `approx_percentile` (t-digest,
+    // partial-aggregable) — exact percentile holds all group values;
+    // the groups here (sources) are few and the profile is a one-off
+    // corpus-curation step.
+    GraftQuery(
+      "q_doc_len_quantiles",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+            round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+            round(expr("percentile(n_chars, 0.99)"), 6).as("p99")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+             |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+             |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+             |FROM documents GROUP BY source""".stripMargin)),
+
     // ----- corpus stats: top-k token bigrams per language -----
     // The classic corpus-profiling aggregate: one partial-agg groupBy on
     // (lang, bigram) — map-side combine absorbs the explode fan-out —
