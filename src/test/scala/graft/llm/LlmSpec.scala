@@ -228,6 +228,29 @@ class LlmSpec extends AnyFunSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components agree with union-find on seeded random graphs") {
+    val rng = new scala.util.Random(73L)
+    for (trial <- 0 until 5) {
+      val n = 20
+      val edges = Seq.fill(15)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: in-memory union-find with min-id relabel
+      val parent = Array.tabulate(n)(identity)
+      def find(v: Int): Int = if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+        val root = find(v.toInt)
+        val minMember = (0 until n).filter(u => find(u) == root &&
+          edges.exists(e => e._1 == u || e._2 == u)).min
+        v -> minMember.toLong
+      }.toMap
+      val got = DedupClusters
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges $edges")
+    }
+  }
+
   test("keepTable: cluster members share cluster_id, only min kept; singletons keep") {
     val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
     val kt = DedupClusters.keepTable(docs, pairs, "doc_id")
