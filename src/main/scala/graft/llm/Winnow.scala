@@ -46,6 +46,31 @@ object Winnow {
       .withColumn("__fps", windowMinima(col("__kh"), w))
       .select(col(idCol), explode(array_distinct(col("__fps"))).as("fp"))
 
+  /** Winnowing near-duplicate pairs: documents sharing >= `minShared`
+    * fingerprints (MOSS's match criterion). The fingerprint value is
+    * the inverted-index shuffle key; `maxDf` drops corpus-ubiquitous
+    * fingerprints from candidate generation (boilerplate guard, same
+    * shape as [[Jaccard]]'s df cap) so no single fingerprint key
+    * concentrates quadratic pair work. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = K,
+      w: Int = W,
+      minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    val fps = fingerprintTable(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("fp"))
+    val idx = fps.join(rare, "fp")
+    idx.toDF("fp", "id_a").join(idx.toDF("fp", "id_b"), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** DuckDB mirror of [[fingerprintTable]], as a SELECT producing
     * (doc_id, fp) from `documents`. */
   def fingerprintSql(k: Int = K, w: Int = W): String = {

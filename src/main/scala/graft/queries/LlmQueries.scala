@@ -344,6 +344,19 @@ object LlmQueries extends QueryModule {
       (s, d) => Winnow.fingerprintTable(Tables.documents(s, d), "doc_id", "text"),
       Some(Winnow.fingerprintSql())),
 
+    // ----- winnowing near-dup pairs (shared-fingerprint inverted index) -----
+    GraftQuery(
+      "q_doc_winnow_dup",
+      (s, d) => Winnow.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        minShared = 5, maxDf = 10),
+      Some(s"""WITH fpt AS (${Winnow.fingerprintSql()}),
+              |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fpt GROUP BY fp)
+              |         WHERE df <= 10),
+              |idx AS (SELECT f.doc_id, f.fp FROM fpt f JOIN rare USING (fp))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+
     // ----- SimHash near-dup pairs via banded Hamming join -----
     GraftQuery(
       "q_doc_simhash_dup",
@@ -463,6 +476,31 @@ object LlmQueries extends QueryModule {
              |FROM documents
              |CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS f) fs
              |WHERE f % 2 = 0 AND (f + 1) * 16 <= length(text)""".stripMargin)),
+
+    // ----- multimodal: resize metadata/payload contract -----
+    // The resize transform itself is the (stubbed) per-partition
+    // kernel; the oracle pins the Spark-side contract — metadata
+    // update, nearest-neighbor byte selection, payload length — via a
+    // byte-sum checksum, exactly representable in BIGINT.
+    GraftQuery(
+      "q_media_resize",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.resize(media, targetWidth = 32, targetHeight = 1).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            length(col("payload")).cast("long").as("payload_len"),
+            aggregate(transform(split(col("payload").cast("string"), ""),
+              c => ascii(c).cast("long")), lit(0L), (acc, x) => acc + x).as("byte_sum"))
+      },
+      Some("""SELECT doc_id AS media_id, 32 AS width, 1 AS height,
+             |  least(32, length(text)) AS payload_len,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    generate_series(0, least(32, length(text)) - 1),
+             |    i -> ascii(text[(i * length(text)) // 32 + 1 : (i * length(text)) // 32 + 1]))),
+             |    0) AS BIGINT) AS byte_sum
+             |FROM documents""".stripMargin)),
 
     // ----- multimodal: binary payload → partition-local feature extract -----
     GraftQuery(

@@ -205,6 +205,16 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("winnow near-dup: identical long docs pair up; unrelated do not") {
+    val long1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs2 = Seq(
+      (1L, long1), (2L, long1),
+      (3L, "zqx wvu tsr qpo nml kji hgf edc ba completely different text")).toDF("doc_id", "text")
+    val nd = Winnow.nearDuplicates(docs2, "doc_id", "text", minShared = 3, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd === Set((1L, 2L)))
+  }
+
   test("candidate pair bucket cap drops oversized band buckets only") {
     // three identical docs share every band bucket (bucket size 3);
     // cap 2 removes all their candidate pairs, leaving unrelated docs out
