@@ -14,10 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraphSink {
 
-  def write(graphFrames: DataFrame, path: String, mode: String = "overwrite"): Unit =
+  /** `partitionCols` defaults to game_id; a split-assigned table
+    * (GraphDataset.withSplit) typically writes
+    * `Seq("split", "game_id")` so trainers read one split subtree
+    * without touching the rest. */
+  def write(
+      graphFrames: DataFrame,
+      path: String,
+      mode: String = "overwrite",
+      partitionCols: Seq[String] = Seq("game_id")): Unit =
     graphFrames.write
       .mode(mode)
-      .partitionBy("game_id")
+      .partitionBy(partitionCols: _*)
       .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

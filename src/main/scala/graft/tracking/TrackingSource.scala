@@ -41,6 +41,14 @@ object TrackingSource {
       .option("nullValue", "NA")
       .csv(path)
 
+  /** Same declared-schema scan over JSON-lines (one frame object per
+    * line, `<id>_x`-style keys) — the raw shape of JSON tracking
+    * providers (e.g. SkillCorner structured data before kloppy's
+    * normalization). Absent keys read as null and drop in [[toLong]],
+    * like CSV "NA"s. */
+  def scanWideJson(spark: SparkSession, path: String, playerIds: Seq[String]): DataFrame =
+    spark.read.schema(wideSchema(playerIds)).json(path)
+
   /** Wide → canonical long format in one explode. Null-position objects
     * (absent from the frame) are dropped, like the reference's
     * `drop_nulls` after melt (`kloppy_polars.py:894`). */

@@ -47,4 +47,34 @@ class SourcesSpec extends AnyFunSuite {
     val it = graft.graphs.GraphDataset.toLocalGraphs(df)
     assert(it.map(_.getInt(0)).sum === 5050)
   }
+
+  test("wide JSON-lines source melts identically to CSV; absent keys drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "wide.jsonl")
+    val w = new java.io.PrintWriter(f)
+    try {
+      w.println("""{"game_id":"g","period_id":1,"frame_id":1,"timestamp":0,""" +
+        """"h1_x":10.0,"h1_y":5.0,"a1_x":-10.0,"a1_y":-5.0,""" +
+        """"ball_x":0.5,"ball_y":0.6,"ball_z":0.2}""")
+      w.println("""{"game_id":"g","period_id":1,"frame_id":2,"timestamp":40,""" +
+        """"a1_x":-9.0,"a1_y":-4.0,"ball_x":0.7,"ball_y":0.8,"ball_z":0.0}""")
+    } finally w.close()
+    val long = TrackingSource.toLong(
+      TrackingSource.scanWideJson(spark, f.getAbsolutePath, Seq("h1", "a1")),
+      Seq("h1", "a1"))
+    val rows = long.collect().map(r => (r.getLong(2), r.getString(4)))
+    assert(rows.count(_._1 == 1L) === 3)
+    assert(rows.count(_._1 == 2L) === 2) // h1 absent -> dropped
+    assert(!rows.contains((2L, "h1")))
+  }
+
+  test("GraphSink writes split-partitioned subtrees") {
+    val df = Seq(("m1", "train", 1L, 1.0), ("m1", "test", 2L, 2.0))
+      .toDF("game_id", "split", "frame_id", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_split").toString
+    graft.graphs.GraphSink.write(df, out, partitionCols = Seq("split", "game_id"))
+    assert(new java.io.File(s"$out/split=train/game_id=m1").exists())
+    val train = spark.read.parquet(out).filter(col("split") === "train")
+    assert(train.count() === 1)
+  }
 }
