@@ -76,6 +76,10 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — component " +
+        "diameter exceeds the cap; raise maxIter or switch to a " +
+        "large-star/small-star formulation for chain-shaped duplicate graphs")
     labels
   }
 

@@ -323,7 +323,12 @@ object Efpi {
           col(Cols.PositionName), col(Cols.X), col(Cols.Y),
           col(Cols.BallOwningTeamId)).as[SegRow]
       } else {
-        val pruned = dropOverlappingSubstitutions(withSeg)
+        // segment modes read the segmented table three times through
+        // dropOverlappingSubstitutions (overlap agg, rank join, anti
+        // join); persist so the upstream kinematics lineage executes
+        // once instead of three source scans at scale
+        val segBase = withSeg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pruned = dropOverlappingSubstitutions(segBase)
         // mean coordinates per (game, period, owning, object, segment)
         // (efpi.py:655-680); rounded so partial-agg order can't leak
         // into detection input
@@ -391,7 +396,8 @@ object Efpi {
     * reference's `.unique()` on the six selected columns. */
   def segments(df: DataFrame, cfg: Config): DataFrame = {
     val withSeg = dropOverlappingSubstitutions(
-      addSegmentId(df.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every))
+      addSegmentId(df.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     withSeg
       .groupBy(col(Cols.GameId), col(Cols.PeriodId), col(Cols.BallOwningTeamId),
         col(Cols.ObjectId), col("segment_id"))
