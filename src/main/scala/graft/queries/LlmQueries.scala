@@ -258,6 +258,20 @@ object LlmQueries extends QueryModule {
            |WHERE id_a < id_b AND $cos >= 0.4""".stripMargin
       }),
 
+    // ----- context-window chunking (shuffle-free sliding windows) -----
+    GraftQuery(
+      "q_doc_chunks",
+      (s, d) => Chunker.chunks(Tables.documents(s, d), "doc_id", "text",
+        size = 64, stride = 48),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |st AS (SELECT doc_id, toks,
+              |         unnest(generate_series(1, len(toks), 48)) AS s
+              |       FROM t WHERE len(toks) > 0)
+              |SELECT doc_id, (s - 1) // 48 AS chunk_idx,
+              |  len(toks[s : s + 63]) AS n_tokens,
+              |  array_to_string(toks[s : s + 63], ' ') AS chunk_text
+              |FROM st""".stripMargin)),
+
     // ----- corpus profiling: per-source length quantiles -----
     // Exact linear-interpolation percentiles (Spark `percentile` ==
     // DuckDB `quantile_cont`), so the oracle hash-matches. At 100 TB

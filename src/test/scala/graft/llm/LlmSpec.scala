@@ -205,6 +205,16 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("chunker: sliding windows with overlap, short tail, short docs single-chunk") {
+    val r = Chunker.chunks(docs, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getString(3))).toMap
+    // doc 1 has 9 tokens -> starts 1,4,7 -> chunks of 4,4,3
+    assert(r((1L, 0L)) === (4L, "the quick brown fox"))
+    assert(r((1L, 1L)) === (4L, "fox jumps over the"))
+    assert(r((1L, 2L)) === (3L, "the lazy dog"))
+    assert(r((5L, 0L)) === (1L, "ab")) // 1 token -> one short chunk
+  }
+
   test("winnow near-dup: identical long docs pair up; unrelated do not") {
     val long1 = "the quick brown fox jumps over the lazy dog again and again today"
     val docs2 = Seq(
