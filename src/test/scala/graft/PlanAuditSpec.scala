@@ -66,6 +66,13 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("chunking is shuffle-free: no Exchange anywhere in the plan") {
+    val df = graft.llm.Chunker.chunks(Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunker shuffles:\n$p")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))

@@ -45,6 +45,30 @@ class StreamingGraphsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graph stream writes to a checkpointed parquet sink and reads back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[FrameRow]
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = graphStream(source.toDS(), lateness = "5 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      source.addData(Seq(row(1, "p1", "away", 1.0), row(1, "ball", "ball", 2.0)))
+      q.processAllAvailable()
+      source.addData(Seq(row(999, "p1", "away", 0.0)))
+      q.processAllAvailable()
+      source.addData(Seq(row(1000, "p1", "away", 0.0)))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.filter($"frame_id" === 1L).count() === 1)
+      assert(back.columns.toSet === Set("game_id", "period_id", "frame_id",
+        "n", "object_ids", "x", "a"))
+    } finally q.stop()
+  }
+
   test("assemble matches the batch GraphConverter node index on a full frame") {
     import spark.implicits._
     val rows = Seq(
