@@ -190,5 +190,41 @@ object TrackingQueries extends QueryModule {
           |    SELECT game_id, ts_us + 20000 AS ts, 1 AS is_t
           |    FROM (SELECT DISTINCT game_id, ts_us FROM tracking)
           |    WHERE ts_us % 280000 = 0))
-          |WHERE is_t = 1""".stripMargin))))
+          |WHERE is_t = 1""".stripMargin))),
+
+    // ----- ray-line rotation (models/utils.py:102-269): reflect each
+    // object through its velocity ray's intersection with the goal
+    // line x=52.5 — row-local geometry, no shuffle beyond kinematics -----
+    GraftQuery(
+      "q_trk_ray_rotate",
+      (s, d) => {
+        val kin = Kinematics(SyntheticTracking.df(s, d), TrackingSettings(), None, None)
+        graft.models.RayRotation.rotateAroundLine(kin, 52.5, -34.0, 52.5, 34.0)
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
+            round(col("rvx"), 6).as("rvx"), round(col("rvy"), 6).as("rvy"),
+            col("valid"))
+      },
+      Some(withCtes(SyntheticTracking.cte, SyntheticTracking.velCte,
+        """rr AS (
+          |  SELECT *, sqrt(vx*vx + vy*vy) AS nrm FROM vel
+          |),
+          |rt AS (
+          |  SELECT *, CASE WHEN nrm > 0 AND abs(vx/nrm) >= 1e-10
+          |    THEN (52.5 - x)/(vx/nrm) END AS t FROM rr
+          |),
+          |ri AS (
+          |  SELECT *, CASE WHEN t IS NOT NULL THEN y + t*(vy/nrm) END AS iyv FROM rt
+          |),
+          |rv AS (
+          |  SELECT *, coalesce(t >= 0 AND iyv BETWEEN -34.0 AND 34.0, false) AS valid
+          |  FROM ri
+          |)""".stripMargin)(
+        """SELECT game_id, period_id, frame_id, id,
+          |  round(CASE WHEN valid THEN 2*(x + t*(vx/nrm)) - x ELSE x END, 6) + 0.0 AS rx,
+          |  round(CASE WHEN valid THEN 2*iyv - y ELSE y END, 6) + 0.0 AS ry,
+          |  round(CASE WHEN valid THEN -vx ELSE vx END, 6) + 0.0 AS rvx,
+          |  round(CASE WHEN valid THEN -vy ELSE vy END, 6) + 0.0 AS rvy,
+          |  valid
+          |FROM rv""".stripMargin))))
 }
