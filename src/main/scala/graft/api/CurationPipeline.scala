@@ -1,0 +1,95 @@
+package graft.api
+
+import graft.llm._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-stop user journey for training-data curation — the composed
+  * flow a 100 TB corpus pipeline actually runs, staged over the
+  * `graft.llm` operators (no counterpart in the reference repo; this
+  * realizes the engine brief's curation requirements end-to-end):
+  *
+  *  1. [[score]] — row-local text stats: token counts, language ID,
+  *     quality score (no shuffle).
+  *  2. [[gate]] — quality/language filters (predicate-pushdown
+  *     friendly: plain filters over the scored table).
+  *  3. [[nearDuplicatePairs]] — MinHash + banded LSH with the
+  *     bucket-size guard; shuffles on band keys only.
+  *  4. [[dedup]] — connected components over the pairs → per-document
+  *     cluster id + canonical keep flag; drops non-canonical docs.
+  *  5. [[chunk]] — context-window packing of the surviving corpus.
+  *
+  * Each stage is a lazy DataFrame, so any prefix of the journey is a
+  * single Catalyst plan; the expensive stages (3-4) run over the gated
+  * subset, not the raw corpus — the order IS the optimization.
+  */
+object CurationPipeline {
+
+  /** Stage 1: per-document stats. Adds n_tokens, lang_guess, quality. */
+  def score(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__toks", Shingles.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("lang_guess", TextStats.langIdOfTokens(col("__toks")))
+      .withColumn("quality", TextStats.qualityScoreOfTokens(col("__toks")))
+      .drop("__toks")
+
+  /** Stage 2: keep docs above the quality floor with a confident
+    * language guess (and optionally restrict to a language set). */
+  def gate(
+      scored: DataFrame,
+      minQuality: Double = 0.5,
+      languages: Seq[String] = Nil): DataFrame = {
+    val base = scored.filter(col("quality") >= minQuality && col("lang_guess") =!= "und")
+    if (languages.isEmpty) base
+    else base.filter(col("lang_guess").isin(languages: _*))
+  }
+
+  /** Stage 3: MinHash near-dup candidate pairs with exact Jaccard
+    * verification, guarded against degenerate band buckets. */
+  def nearDuplicatePairs(
+      gated: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      maxBucket: Option[Int] = Some(10000)): DataFrame = {
+    // candidate generation honors the bucket cap; verification stays
+    // exact on the capped candidate set
+    val sigs = MinHash.signatures(gated, idCol, textCol)
+    val cands = MinHash.candidatePairs(sigs, idCol, maxBucket)
+    MinHash.nearDuplicates(gated, idCol, textCol, threshold = threshold)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** Stage 4: cluster the pairs, keep one canonical doc per cluster. */
+  def dedup(
+      gated: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = DedupClusters.keepTable(gated, pairs, idCol)
+      .filter(col("keep")).select(col(idCol))
+    gated.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Stage 5: context-window chunks of the surviving corpus. */
+  def chunk(
+      deduped: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      size: Int = 512,
+      stride: Int = 384): DataFrame =
+    Chunker.chunks(deduped, idCol, textCol, size, stride)
+
+  /** The whole journey with defaults. */
+  def run(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      dupThreshold: Double = 0.8,
+      chunkSize: Int = 512,
+      chunkStride: Int = 384): DataFrame = {
+    val gated = gate(score(docs), minQuality)
+    val pairs = nearDuplicatePairs(gated, threshold = dupThreshold)
+    chunk(dedup(gated, pairs), size = chunkSize, stride = chunkStride)
+  }
+}

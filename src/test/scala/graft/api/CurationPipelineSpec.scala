@@ -1,0 +1,47 @@
+package graft.api
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // long English-ish docs pass the quality gate; 1/2 near-identical;
+  // 4 is junk (repeated token -> low distinct ratio)
+  private val base = "the quick brown fox jumps over the lazy dog while many other " +
+    "animals watch from the forest edge and the birds sing in the morning light"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " today"),
+    (3L, "a completely different long document about the weather patterns over " +
+      "the northern mountains where the snow falls early and the rivers freeze"),
+    (4L, Seq.fill(40)("spam").mkString(" "))).toDF("doc_id", "text")
+
+  test("score adds stats; gate drops junk; dedup keeps one of the near-identical pair") {
+    val scored = CurationPipeline.score(docs)
+    assert(scored.columns.toSet.intersect(Set("n_tokens", "lang_guess", "quality")).size === 3)
+
+    val gated = CurationPipeline.gate(scored, minQuality = 0.5)
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    assert(gatedIds.contains(1L) && gatedIds.contains(3L))
+    assert(!gatedIds.contains(4L)) // repeated-token spam gated out
+
+    val pairs = CurationPipeline.nearDuplicatePairs(gated, threshold = 0.5)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+
+    val kept = CurationPipeline.dedup(gated, pairs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.contains(1L) && !keptIds.contains(2L) && keptIds.contains(3L))
+  }
+
+  test("run end-to-end emits chunks only for surviving docs") {
+    val out = CurationPipeline.run(docs, minQuality = 0.5, dupThreshold = 0.5,
+      chunkSize = 16, chunkStride = 12)
+    val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet === Set(1L, 3L))
+    assert(byDoc(1L) >= 2) // ~26 tokens / stride 12 -> 3 chunks
+  }
+}
