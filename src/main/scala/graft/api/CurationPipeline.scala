@@ -53,14 +53,11 @@ object CurationPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.8,
-      maxBucket: Option[Int] = Some(10000)): DataFrame = {
-    // candidate generation honors the bucket cap; verification stays
-    // exact on the capped candidate set
-    val sigs = MinHash.signatures(gated, idCol, textCol)
-    val cands = MinHash.candidatePairs(sigs, idCol, maxBucket)
-    MinHash.nearDuplicates(gated, idCol, textCol, threshold = threshold)
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-  }
+      maxBucket: Option[Int] = Some(10000)): DataFrame =
+    // the cap reaches candidate generation inside nearDuplicates, so a
+    // pathological band bucket never executes its k² join at all
+    MinHash.nearDuplicates(gated, idCol, textCol, threshold = threshold,
+      maxBucket = maxBucket)
 
   /** Stage 4: cluster the pairs, keep one canonical doc per cluster. */
   def dedup(

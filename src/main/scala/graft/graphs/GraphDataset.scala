@@ -109,7 +109,12 @@ object GraphDataset {
   /** (N, F, S, n_out, n) of a nested graph table
     * (`graph_dataset.py:110-118`, `:438-445`): max nodes, node-feature
     * dim, edge-feature dim, distinct labels, graph count — ONE
-    * partial-aggregable pass (no per-graph driver loop). */
+    * partial-aggregable pass (no per-graph driver loop).
+    *
+    * `n_out` is the distinct-class count of a scalar label column (the
+    * usual classification case); for regression or multi-dimensional
+    * labels the reference's label dimensionality is a different number.
+    * An empty table (all maxes null) yields zeros rather than an NPE. */
   def dimensions(df: DataFrame, labelCol: String = Label): (Int, Int, Int, Long, Long) = {
     val hasLabel = df.columns.contains(labelCol)
     val r = df.agg(
@@ -118,6 +123,7 @@ object GraphDataset {
       max(size(element_at(col("e"), 1))).as("s"),
       (if (hasLabel) countDistinct(col(labelCol)) else lit(0L)).as("n_out"),
       count(lit(1)).as("cnt")).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+    def intAt(i: Int): Int = Option(r.getAs[Integer](i)).fold(0)(_.intValue())
+    (intAt(0), intAt(1), intAt(2), r.getLong(3), r.getLong(4))
   }
 }

@@ -111,14 +111,19 @@ object MinHash {
 
   /** Candidate pairs with exact shingle-set Jaccard, kept when
     * `jaccard >= threshold`. Output: id_a, id_b, inter, size_a, size_b,
-    * jaccard (exact rational arithmetic until the final division). */
+    * jaccard (exact rational arithmetic until the final division).
+    *
+    * `maxBucket` reaches the internal [[candidatePairs]] call, so the
+    * degenerate-bucket guard bounds the quadratic join itself — not
+    * just the output. */
   def nearDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.2,
-      hash: Column => Column = TextHash.polyHash): DataFrame = {
+      hash: Column => Column = TextHash.polyHash,
+      maxBucket: Option[Int] = None): DataFrame = {
     // the distinct (id, shingle-hash) table feeds four consumers
     // (signatures, sizes, both intersection sides); all four build on
     // the SAME distinct() subtree so Catalyst's ReusedExchange serves
@@ -130,7 +135,7 @@ object MinHash {
         min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
         (1 until NumHashes).map(i =>
           min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
-    val pairs = candidatePairs(sigs, idCol)
+    val pairs = candidatePairs(sigs, idCol, maxBucket)
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))

@@ -252,34 +252,48 @@ object Efpi {
       else (st.cost - cand.cost) / cand.cost > cfg.changeThreshold.get
   }
 
+  /** One segment's keep-or-update decisions plus row resolution against
+    * the running per-team state (mutated in place) — the fold body
+    * shared by [[hysteresisFold]] and the streamed `mapPartitions` path
+    * in [[fit]]. */
+  private def foldStep(
+      state: scala.collection.mutable.Map[String, TeamState],
+      game: String, periodId: Int, segId: Long, owning: String,
+      cands: Seq[Candidate], present: Seq[(String, String)],
+      cfg: Config): Seq[OutRow] = {
+    cands.foreach { c =>
+      if (isUpdate(state.get(c.team_id), c, cfg)) {
+        val dict = state.get(c.team_id).map(_.labelsDict).getOrElse(Map.empty) ++
+          c.ids.zip(c.labels).toMap
+        state(c.team_id) = TeamState(c.is_attack, c.formation, c.cost, c.ids.toSet, dict)
+      }
+    }
+    present.map { case (objId, teamId) =>
+      if (teamId == ballId)
+        OutRow(game, periodId, segId, objId, teamId, ballId, ballId, None)
+      else {
+        val st = state.get(teamId)
+        OutRow(game, periodId, segId, objId, teamId,
+          st.flatMap(_.labelsDict.get(objId)).orNull,
+          st.map(_.formation).orNull,
+          Some(teamId == owning))
+      }
+    }
+  }
+
   /** Sequential keep-or-update fold over segment-ordered candidates of
     * one game. `present` carries every (id, team) in each segment so
     * rows resolve through the (possibly stale) per-team label dict —
-    * exactly `get_detected_formations_as_dict` (`detection.py:129-148`). */
+    * exactly `get_detected_formations_as_dict` (`detection.py:129-148`).
+    * Streaming: one output chunk per input element, O(1) memory in the
+    * number of segments. */
   def hysteresisFold(
       game: String,
       perSegment: Iterator[(Long, Int, String, Seq[Candidate], Seq[(String, String)])],
       cfg: Config): Iterator[OutRow] = {
     val state = scala.collection.mutable.Map.empty[String, TeamState]
     perSegment.flatMap { case (segId, periodId, owning, cands, present) =>
-      cands.foreach { c =>
-        if (isUpdate(state.get(c.team_id), c, cfg)) {
-          val dict = state.get(c.team_id).map(_.labelsDict).getOrElse(Map.empty) ++
-            c.ids.zip(c.labels).toMap
-          state(c.team_id) = TeamState(c.is_attack, c.formation, c.cost, c.ids.toSet, dict)
-        }
-      }
-      present.map { case (objId, teamId) =>
-        if (teamId == ballId)
-          OutRow(game, periodId, segId, objId, teamId, ballId, ballId, None)
-        else {
-          val st = state.get(teamId)
-          OutRow(game, periodId, segId, objId, teamId,
-            st.flatMap(_.labelsDict.get(objId)).orNull,
-            st.map(_.formation).orNull,
-            Some(teamId == owning))
-        }
-      }
+      foldStep(state, game, periodId, segId, owning, cands, present, cfg)
     }
   }
 
@@ -332,7 +346,7 @@ object Efpi {
         // mean coordinates per (game, period, owning, object, segment)
         // (efpi.py:655-680); rounded so partial-agg order can't leak
         // into detection input
-        pruned
+        val means = pruned
           .groupBy(col(Cols.GameId), col(Cols.PeriodId), col(Cols.BallOwningTeamId),
             col(Cols.ObjectId), col("segment_id"))
           .agg(
@@ -345,6 +359,13 @@ object Efpi {
             col(Cols.ObjectId).as("id"), col(Cols.TeamId),
             col(Cols.PositionName), col(Cols.X), col(Cols.Y),
             col(Cols.BallOwningTeamId)).as[SegRow]
+        // eagerly materialize the tiny per-(object, segment) mean table
+        // (localCheckpoint blocks are GC-reclaimed by the context
+        // cleaner), then release the full segmented cache — the big
+        // persist does not outlive this call
+        val mat = means.localCheckpoint(true)
+        segBase.unpersist()
+        mat
       }
 
     if (cfg.changeThreshold.isEmpty) {
@@ -381,12 +402,24 @@ object Efpi {
           (game, period, seg, owning, detectSegment(rows, lib),
             rows.sortBy(_.id).map(r => (r.id, r.team_id)))
         }(Encoders.product)
+      // stream the fold: co-locate each game's candidate rows, let the
+      // shuffle machinery order them (spillable sort, not an in-memory
+      // toSeq), and fold with O(1) memory in segments — a full match at
+      // every="frame" would otherwise buffer ~270k candidate tuples in
+      // one task
       detected
-        .groupByKey(_._1)
-        .flatMapGroups { (game, it) =>
-          val ordered = it.toSeq.sortBy(t => (t._3, t._2))
-            .map(t => (t._3, t._2, t._4, t._5, t._6))
-          hysteresisFold(game, ordered.iterator, cfg)
+        .repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_3"), col("_2"))
+        .mapPartitions { it =>
+          var game: String = null
+          var state: scala.collection.mutable.Map[String, TeamState] = null
+          it.flatMap { case (g, period, seg, owning, cands, present) =>
+            if (g != game) { // partition holds whole games; reset per game
+              game = g
+              state = scala.collection.mutable.Map.empty[String, TeamState]
+            }
+            foldStep(state, g, period, seg, owning, cands, present, cfg)
+          }
         }.toDF()
     }
   }
@@ -395,10 +428,9 @@ object Efpi {
     * (segment, per-object frame span) combination, exactly the
     * reference's `.unique()` on the six selected columns. */
   def segments(df: DataFrame, cfg: Config): DataFrame = {
-    val withSeg = dropOverlappingSubstitutions(
-      addSegmentId(df.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    withSeg
+    val segBase = addSegmentId(df.filter(col(Cols.BallOwningTeamId).isNotNull), cfg.every)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = dropOverlappingSubstitutions(segBase)
       .groupBy(col(Cols.GameId), col(Cols.PeriodId), col(Cols.BallOwningTeamId),
         col(Cols.ObjectId), col("segment_id"))
       .agg(
@@ -410,5 +442,10 @@ object Efpi {
       .select(col("segment_id"), col("n_frames"), col("start_timestamp"),
         col("end_timestamp"), col("start_frame_id"), col("end_frame_id"))
       .distinct()
+      // eager: the distinct segment table is tiny; release the big cache
+      // before returning instead of leaking it in the session cache
+      .localCheckpoint(true)
+    segBase.unpersist()
+    out
   }
 }

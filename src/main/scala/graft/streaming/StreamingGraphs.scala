@@ -82,8 +82,13 @@ object StreamingGraphs {
             val buffered = state.getOption.getOrElse(Seq.empty) ++ it
             state.update(buffered)
             // fire once the watermark passes the frame's own event time:
-            // all on-time rows of this frame have then arrived
-            state.setTimeoutTimestamp(buffered.map(_.timestamp / 1000L).max)
+            // all on-time rows of this frame have then arrived. Clamped
+            // past the current watermark — a row admitted by the
+            // late-data predicate whose ms-truncated time fell below the
+            // eviction watermark would otherwise make the call throw
+            state.setTimeoutTimestamp(math.max(
+              buffered.map(_.timestamp / 1000L).max,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
         })

@@ -66,7 +66,10 @@ object StreamingPressing {
   private[streaming] def framePairs(
       rows: Seq[KinRow], settings: TrackingSettings,
       reactionTime: Double, timeThreshold: Double, sigma: Double): Seq[PressPair] = {
-    if (rows.isEmpty) Seq.empty
+    // batch parity: the pair join's === / =!= on a null owning team
+    // filters every row to false, so dead-ball frames emit no pairs
+    if (rows.isEmpty || rows.head.ball_owning_team_id == null ||
+        rows.head.ball_owning_team_id.isEmpty) Seq.empty
     else {
       val owning = rows.head.ball_owning_team_id
       val colSide = rows.filter(r => r.team_id == owning || r.team_id == Cols.Ball)
@@ -105,7 +108,12 @@ object StreamingPressing {
           } else {
             val buffered = state.getOption.getOrElse(Seq.empty) ++ it
             state.update(buffered)
-            state.setTimeoutTimestamp(buffered.map(_.timestamp / 1000L).max)
+            // clamp past the watermark: a row admitted by the late-data
+            // predicate whose ms-truncated time fell below the eviction
+            // watermark would otherwise make setTimeoutTimestamp throw
+            state.setTimeoutTimestamp(math.max(
+              buffered.map(_.timestamp / 1000L).max,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
         })
