@@ -61,7 +61,7 @@ object AfFeatures {
     val base = df
       .withColumn("bx", max(when(isBall, col("x"))).over(wFrame))
       .withColumn("by", max(when(isBall, col("y"))).over(wFrame))
-    val (uvSx, uvSy) = unitFromAngle(col("s"), col("dir"))
+    val (uvSx, uvSy) = unitFromAngle(col("v"), col("dir"))
     val (uvAx, uvAy) = unitFromAngle(col("a"), col("dir"))
     val owning = col("team_id") === col("ball_owning_team_id")
     val feats: Seq[(String, Column)] = Seq(
@@ -69,7 +69,7 @@ object AfFeatures {
       "y_n" -> (col("y") - yMin) / (yMax - yMin),
       "uv_sx" -> uvSx,
       "uv_sy" -> uvSy,
-      "s_n" -> clip(col("s") / when(isBall, MaxBallSpeed).otherwise(MaxPlayerSpeed), 0, 1),
+      "s_n" -> clip(col("v") / when(isBall, MaxBallSpeed).otherwise(MaxPlayerSpeed), 0, 1),
       "uv_ax" -> uvAx,
       "uv_ay" -> uvAy,
       "a_n" -> clip(col("a") / when(isBall, MaxBallAcc).otherwise(MaxPlayerAcc), -1, 1),
@@ -126,7 +126,7 @@ object AfFeatures {
   /** Within-frame pair table with AF adjacency (split_by_team + ball
     * connect) and the 9 edge feature columns (i = matrix row). */
   def pairs(df: DataFrame): DataFrame = {
-    val cols = Seq("id", "team_id", "x", "y", "s", "a", "o", "dir")
+    val cols = Seq("id", "team_id", "x", "y", "v", "a", "o", "dir")
     def sided(p: String) =
       df.select(frameKeys.map(col) ++ cols.map(c => col(c).as(s"${p}_$c")): _*)
     val joined = sided("i").join(sided("j"), frameKeys)
@@ -134,7 +134,7 @@ object AfFeatures {
     val jBall = col("j_team_id") === Football
     val a = ((col("i_team_id") === col("j_team_id")) || iBall || jBall).cast("int")
 
-    val sdiff = z(col("j_s") - col("i_s"))
+    val sdiff = z(col("j_v") - col("i_v"))
     val smax = when(iBall, MaxBallSpeed).otherwise(MaxPlayerSpeed)
     val adiff = z(col("j_a") - col("i_a"))
     val amax = when(iBall, MaxBallAcc).otherwise(MaxPlayerAcc)

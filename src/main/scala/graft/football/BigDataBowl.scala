@@ -1,16 +1,19 @@
 package graft.football
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** NFL BigDataBowl CSV ingest (S2/S3) and canonicalization, mirroring
   * `american_football/dataset/dataset.py:180-391` Spark-first:
-  * declared schemas (no inference), "NA"/empty null markers, the
+  * header-resolved columns (no positional schema — real BDB exports
+  * vary: `club` vs `team`, `position` vs `officialPosition`, optional
+  * time/jerseyNumber/dis/event columns), "NA"/empty null markers, the
   * left-play rotation to a single attacking direction (M10-NFL),
   * degree→(-π,π] radian conversion, height/weight regexp extraction
   * with 10 cm / 10 kg privacy rounding (F2/F8), frame-id synthesis
-  * `play_id·100000 + frameId`, and broadcast metadata joins (J3).
+  * `play_id·100000 + frameId`, the `s`→`v` speed rename
+  * (`dataset.py:318` — the loaded table's speed column is `v`), and
+  * broadcast metadata joins (J3).
   *
   * Everything is row-local column algebra over a lazy CSV scan —
   * Spark pushes the projection into the scan, and the only shuffles
@@ -20,33 +23,24 @@ import org.apache.spark.sql.types._
   */
 object BigDataBowl {
 
-  val trackingSchema: StructType = StructType(Seq(
-    StructField("gameId", LongType), StructField("playId", LongType),
-    StructField("frameId", LongType), StructField("nflId", DoubleType),
-    StructField("club", StringType), StructField("playDirection", StringType),
-    StructField("x", DoubleType), StructField("y", DoubleType),
-    StructField("s", DoubleType), StructField("a", DoubleType),
-    StructField("o", DoubleType), StructField("dir", DoubleType)))
-
-  val playersSchema: StructType = StructType(Seq(
-    StructField("nflId", LongType), StructField("height", StringType),
-    StructField("weight", DoubleType), StructField("position", StringType),
-    StructField("birthDate", DateType)))
-
-  val playsSchema: StructType = StructType(Seq(
-    StructField("gameId", LongType), StructField("playId", LongType),
-    StructField("possessionTeam", StringType)))
-
   val PitchLength = 120.0
   val PitchWidth = 53.3
   val Football = "football"
 
-  private def csv(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.read.schema(schema)
+  private def csv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
       .option("header", "true")
-      .option("nullValue", "NA") // empty strings null out per-type anyway
       .option("mode", "PERMISSIVE")
-      .csv(path)
+      .csv(path) // all columns StringType; typed casts by name below
+    // reference null markers: null_values=["NA","NULL",""] (dataset.py:193)
+    raw.select(raw.columns.map(c =>
+      when(col(c).isin("NA", "NULL", ""), lit(null)).otherwise(col(c)).as(c)): _*)
+  }
+
+  private def castByName(df: DataFrame, casts: (String, String)*): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
 
   /** Height "6-2" → cm, weight lbs → kg, both privacy-rounded to
     * 10 cm / 10 kg (`dataset.py:358-391`). */
@@ -60,17 +54,33 @@ object BigDataBowl {
       .drop("height", "feet", "inches", "weight")
 
   /** Degrees → radians wrapped to (-π, π] (`dataset.py:221-231`). */
-  private def toRadians(c: org.apache.spark.sql.Column) =
+  private def toRadians(c: Column) =
     ((c * math.Pi / 180.0) + math.Pi) % (2 * math.Pi) - math.Pi
 
-  /** Full load: tracking + players + plays → canonical long table with
-    * columns (game_id, play_id, frame_id, id, team_id, position_name,
-    * x, y, s, a, o, dir, height_cm, weight_kg, ball_owning_team_id).
-    * All plays are rotated to attack left→right and centered on the
-    * pitch midpoint (`dataset.py:204-249`). */
-  def load(spark: SparkSession, root: String): DataFrame = {
+  /** Full load from the three BDB files (tracking, players, plays) —
+    * the reference's constructor surface (`dataset.py:131-160`).
+    * Output: canonical long table with (game_id, play_id, frame_id,
+    * id, team_id, position_name, x, y, v, a, o, dir, height_cm,
+    * weight_kg, ball_owning_team_id) plus any provider extras
+    * (time, jerseyNumber, dis, event) passed through typed. All plays
+    * are rotated to attack left→right and centered on the pitch
+    * midpoint (`dataset.py:204-249`). */
+  def load(
+      spark: SparkSession,
+      trackingPath: String,
+      playersPath: String,
+      playsPath: String): DataFrame = {
+    val raw = csv(spark, trackingPath)
+    val teamSrc = if (raw.columns.contains("club")) "club" else "team"
+    val typed = castByName(
+      raw.withColumnRenamed(teamSrc, "club"),
+      "gameId" -> "long", "playId" -> "long", "frameId" -> "long",
+      "nflId" -> "double", "x" -> "double", "y" -> "double",
+      "s" -> "double", "a" -> "double", "o" -> "double", "dir" -> "double",
+      "dis" -> "double", "jerseyNumber" -> "double", "time" -> "timestamp")
+
     val left = col("playDirection") === "left"
-    val tracking = csv(spark, trackingSchema, AfSynthetic.trackingGlob(root))
+    val tracking = typed
       .withColumn("o", when(left, col("o") + 180.0).otherwise(col("o")))
       .withColumn("dir", when(left, col("dir") + 180.0).otherwise(col("dir")))
       .withColumn("x", col("x") - PitchLength / 2.0)
@@ -82,13 +92,16 @@ object BigDataBowl {
       .withColumn("nflId", when(col("club") === Football, lit(-9999.9)).otherwise(col("nflId")))
       .withColumn("playDirection", lit("left"))
 
+    val rawPlayers = csv(spark, playersPath)
+    val posSrc = if (rawPlayers.columns.contains("position")) "position" else "officialPosition"
     val players = withMetricHeightWeight(
-      csv(spark, playersSchema, AfSynthetic.playersGlob(root)))
+      castByName(rawPlayers.withColumnRenamed(posSrc, "position"), "weight" -> "double"))
       .withColumn("nflId", col("nflId").cast("double"))
       .select("nflId", "position", "height_cm", "weight_kg")
 
-    val plays = csv(spark, playsSchema, AfSynthetic.playsGlob(root))
-      .select(col("gameId").as("game_id"), col("playId").as("play_id"),
+    val plays = csv(spark, playsPath)
+      .select(col("gameId").cast("long").as("game_id"),
+        col("playId").cast("long").as("play_id"),
         col("possessionTeam").as("ball_owning_team_id"))
 
     tracking
@@ -98,10 +111,17 @@ object BigDataBowl {
       .withColumnRenamed("playId", "play_id")
       .withColumnRenamed("club", "team_id")
       .withColumnRenamed("position", "position_name")
+      .withColumnRenamed("s", "v")
       .join(broadcast(plays), Seq("game_id", "play_id"), "left")
       .withColumn("frame_id", col("play_id") * 100000L + col("frameId"))
-      .drop("frameId", "playDirection")
+      .drop("frameId")
   }
+
+  /** Convenience: load from a root laid out as the synthetic fixture
+    * generator writes it (tracking/, players/, plays/ subdirs). */
+  def load(spark: SparkSession, root: String): DataFrame =
+    load(spark, AfSynthetic.trackingGlob(root),
+      AfSynthetic.playersGlob(root), AfSynthetic.playsGlob(root))
 
   /** AF frame completeness (G9-AF, `graph_converter.py:206-272`):
     * drop frames with <10 objects, then frames with no football row. */

@@ -56,7 +56,7 @@ object FootballQueries extends QueryModule {
        |afload AS (
        |  SELECT r.game_id, r.play_id, r.play_id * 100000 + r.frameId AS frame_id,
        |    r.id, r.team_id, m.position_name, m.height_cm, m.weight_kg,
-       |    r.x, r.y, r.s, r.a, r.o, r.dir, p.ball_owning_team_id
+       |    r.x, r.y, r.s AS v, r.a, r.o, r.dir, p.ball_owning_team_id
        |  FROM afr r
        |  LEFT JOIN afm m ON m.id = r.id
        |  LEFT JOIN afpl p ON p.game_id = r.game_id AND p.play_id = r.play_id
@@ -72,7 +72,7 @@ object FootballQueries extends QueryModule {
   }
 
   private val outCols = Seq("game_id", "play_id", "frame_id", "id", "team_id",
-    "position_name", "height_cm", "weight_kg", "x", "y", "s", "a")
+    "position_name", "height_cm", "weight_kg", "x", "y", "v", "a")
 
   /** Ball-position / unit-vector helper CTEs over `afc` (mirrors
     * AfFeatures.withNodeFeatures staging). */
@@ -86,8 +86,8 @@ object FootballQueries extends QueryModule {
       |),
       |afuv AS (
       |  SELECT *,
-      |    coalesce(s, 0.0) * cos(coalesce(dir, 0.0)) AS svx,
-      |    coalesce(s, 0.0) * sin(coalesce(dir, 0.0)) AS svy,
+      |    coalesce(v, 0.0) * cos(coalesce(dir, 0.0)) AS svx,
+      |    coalesce(v, 0.0) * sin(coalesce(dir, 0.0)) AS svy,
       |    coalesce(a, 0.0) * cos(coalesce(dir, 0.0)) AS avx,
       |    coalesce(a, 0.0) * sin(coalesce(dir, 0.0)) AS avy
       |  FROM afb
@@ -105,7 +105,7 @@ object FootballQueries extends QueryModule {
     "y_n" -> "round(coalesce((y - (-(53.3/2.0))) / ((53.3/2.0) - (-(53.3/2.0))), 0.0), 6) + 0.0",
     "uv_sx" -> "round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svx/snorm END, 0.0), 6) + 0.0",
     "uv_sy" -> "round(coalesce(CASE WHEN snorm = 0.0 THEN 0.0 ELSE svy/snorm END, 0.0), 6) + 0.0",
-    "s_n" -> "round(coalesce(least(greatest(s / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) + 0.0",
+    "s_n" -> "round(coalesce(least(greatest(v / (CASE WHEN team_id = 'football' THEN 28.0 ELSE 12.0 END), 0.0), 1.0), 0.0), 6) + 0.0",
     "uv_ax" -> "round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avx/anorm END, 0.0), 6) + 0.0",
     "uv_ay" -> "round(coalesce(CASE WHEN anorm = 0.0 THEN 0.0 ELSE avy/anorm END, 0.0), 6) + 0.0",
     "a_n" -> "round(coalesce(least(greatest(a / (CASE WHEN team_id = 'football' THEN 13.5 ELSE 6.0 END), -1.0), 1.0), 0.0), 6) + 0.0",
@@ -140,7 +140,7 @@ object FootballQueries extends QueryModule {
       Some { // root path is deterministic per sfDir: mirror it
         s"""WITH ${loadCtes("__ROOT__")}
            |SELECT game_id, play_id, frame_id, id, team_id, position_name,
-           |  height_cm, weight_kg, x, y, s, a,
+           |  height_cm, weight_kg, x, y, v, a,
            |  round(o, 6) AS o, round(dir, 6) AS dir, ball_owning_team_id
            |FROM afload""".stripMargin
       }),
@@ -232,7 +232,7 @@ object FootballQueries extends QueryModule {
               |afe AS (
               |  SELECT i.game_id, i.play_id, i.frame_id, i.id AS i_id, j.id AS j_id,
               |    i.x AS ix, i.y AS iy, j.x AS jx, j.y AS jy,
-              |    i.s AS i_s, j.s AS j_s, i.a AS i_a, j.a AS j_a,
+              |    i.v AS i_s, j.v AS j_s, i.a AS i_a, j.a AS j_a,
               |    i.o AS i_o, j.o AS j_o, i.dir AS i_dir, j.dir AS j_dir,
               |    i.team_id AS i_team,
               |    CASE WHEN i.team_id = 'football' THEN 28.0 ELSE 12.0 END AS smax,
