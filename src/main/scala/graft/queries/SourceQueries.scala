@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SyntheticTracking, TrackingSource}
+import graft.tracking.{SportecSource, SyntheticTracking, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,5 +69,19 @@ object SourceQueries extends QueryModule {
            |)
            |SELECT * FROM (${arms.mkString("\nUNION ALL\n")})
            |WHERE x IS NOT NULL AND y IS NOT NULL""".stripMargin
-      }))
+      }),
+
+    // Real provider ingestion (the true S1): DFL/Sportec position XML →
+    // canonical long table via the built-in XML source. DuckDB has no
+    // XML reader, so this is a rows-only check here; the exact-value
+    // ground truth lives in SportecFixtureGoldensSpec (483 rows, kloppy
+    // position codes, first-frame kinematics, TTI 2.6428493704618106 —
+    // the reference's own test goldens).
+    GraftQuery(
+      "q_sportec_load",
+      (s, _) => {
+        val files = "/root/reference/tests/files"
+        SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+      },
+      None))
 }

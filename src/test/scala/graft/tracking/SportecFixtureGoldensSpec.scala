@@ -1,0 +1,127 @@
+package graft.tracking
+
+import graft.SparkTestSession
+import graft.models.PressingIntensity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-fixture ground truth for the Sportec XML provider path:
+  * the reference repo's own `sportec_tracking.xml` / `sportec_meta.xml`
+  * loaded through [[SportecSource.load]] and asserted against the
+  * goldens in `tests/test_soccer.py` — 21 frames × 23 objects = 483
+  * rows (`:514-515`), the processed per-object kinematics of the first
+  * frame (`tests/files/test_frame.json`, which the reference's own
+  * node/edge-feature goldens consume), and the flagship
+  * Pressing-Intensity TTI value 2.6428493704618106 (`:559-567`).
+  *
+  * These convert the kinematics → possession → PI chain from
+  * oracle-verified to reference-verified: any drift in XML parsing,
+  * unit handling, SavGol smoothing, speed caps, carrier inference, or
+  * the TTI kernel breaks an exact number the reference's CI also pins.
+  * Magnitude goldens (v, TTI) are invariant under the STATIC_HOME_AWAY
+  * 180° rotation, so they hold regardless of the flip decision.
+  */
+class SportecFixtureGoldensSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val files = "/root/reference/tests/files"
+  private val HomeId = "DFL-CLU-00000P"
+  private val AwayId = "DFL-CLU-000005"
+
+  private lazy val loaded =
+    SportecSource.load(spark, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml").cache()
+
+  private lazy val settings = TrackingSettings(homeTeamId = Some(HomeId), awayTeamId = Some(AwayId))
+
+  private lazy val processed =
+    Possession.inferBallCarrier(Kinematics(loaded), settings).cache()
+
+  test("21 frames x 23 objects = 483 rows (test_soccer.py:514-515)") {
+    assert(loaded.count() === 483L)
+    assert(loaded.select("frame_id").distinct().count() === 21L)
+    assert(loaded.select("id").distinct().count() === 23L)
+  }
+
+  test("frame/period/timestamp bookkeeping") {
+    val r = loaded.agg(
+      min("frame_id"), max("frame_id"),
+      countDistinct("period_id"), min("timestamp"), max("timestamp"),
+      countDistinct("game_id")).head()
+    assert(r.getLong(0) === 10000L && r.getLong(1) === 10020L)
+    assert(r.getLong(2) === 1L)
+    // 25 fps → 40_000 micros per frame, zero-based at the section start
+    assert(r.getLong(3) === 0L && r.getLong(4) === 20L * 40000L)
+    assert(r.getLong(5) === 1L)
+    assert(loaded.select("game_id").head().getString(0) === "DFL-MAT-J03WPY")
+  }
+
+  test("kloppy position-code mapping pinned by test_frame.json") {
+    val pos = loaded.filter(col("frame_id") === 10000)
+      .select("id", "position_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pos("DFL-OBJ-0001HW") === "GK")  // away TW
+    assert(pos("DFL-OBJ-0028FW") === "GK")  // home TW
+    assert(pos("DFL-OBJ-0000EJ") === "UNK") // DMZ falls through (kloppy quirk)
+    assert(pos("DFL-OBJ-0028BZ") === "LF")  // STL
+    assert(pos("DFL-OBJ-J0178P") === "ST")  // STR
+    assert(pos("DFL-OBJ-002G5J") === "CAM") // ZO
+    assert(pos("DFL-OBJ-002GMO") === "RCB") // IVR
+    assert(pos("ball") === "ball")
+  }
+
+  test("ball row carries sentinel ids, z from the XML, possession and state") {
+    val b = loaded.filter(col("frame_id") === 10000 && col("team_id") === "ball").head()
+    assert(b.getAs[String]("id") === "ball")
+    assert(b.getAs[String]("position_name") === "ball")
+    assert(math.abs(b.getAs[Double]("z") - 0.15) < 1e-12)
+    assert(b.getAs[String]("ball_state") === "alive")
+    // BallPossession="1" → home team id; the TTI test asserts the same
+    // (test_soccer.py:561-565)
+    assert(b.getAs[String]("ball_owning_team_id") === HomeId)
+    // players' z is 0.0
+    val pz = loaded.filter(col("team_id") =!= "ball").agg(max(abs(col("z")))).head().getDouble(0)
+    assert(pz === 0.0)
+  }
+
+  test("first-frame kinematics magnitudes match test_frame.json") {
+    val v = processed.filter(col("frame_id") === 10000)
+      .select("id", "v", "a").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def close(x: Double, g: Double): Boolean = math.abs(x - g) <= 1e-9 + 1e-9 * math.abs(g)
+    assert(close(v("DFL-OBJ-00008F")._1, 0.4474987173621701)) // away RCB
+    assert(close(v("DFL-OBJ-0000NZ")._1, 0.2232142857142853)) // home RB
+    assert(close(v("ball")._1, 2.3815698604072604))
+    assert(v("DFL-OBJ-00008F")._2 === 0.0) // first-frame accel is 0-filled
+  }
+
+  test("ball carrier at the first frame is the home CAM next to the ball") {
+    val carriers = processed.filter(col("frame_id") === 10000 && col("is_ball_carrier"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(carriers === Seq("DFL-OBJ-002G5J"))
+  }
+
+  test("PI teams/max/home_away TTI[0][0] = 2.6428493704618106 (test_soccer.py:559-567)") {
+    val params = PressingIntensity.Params(
+      method = "teams", ballMethod = "max", orient = "home_away",
+      speedThreshold = Some(2.0))
+    val out = PressingIntensity.matrices(
+      PressingIntensity.pairs(processed, settings, params)).cache()
+    assert(out.count() === 21L)
+
+    val first = out.filter(col("frame_id") === 10000).head()
+    val tti = first.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("time_to_intercept")
+    val rows = first.getAs[scala.collection.Seq[String]]("rows")
+    val cols = first.getAs[scala.collection.Seq[String]]("columns")
+    assert(rows.size === 11 && cols.size === 11)
+    assert(tti.size === 11 && tti.head.size === 11)
+
+    val homePlayers = SportecSource.roster(spark, s"$files/sportec_meta.xml")
+      .filter(col("is_home")).select("id").collect().map(_.getString(0)).toSet
+    assert(homePlayers.contains(rows.head))
+    assert(!homePlayers.contains(cols.head) && cols.head != "ball")
+
+    assert(math.abs(tti.head.head - 2.6428493704618106) < 1e-5)
+    out.unpersist()
+  }
+}
