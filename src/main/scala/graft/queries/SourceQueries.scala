@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SportecSource, SyntheticTracking, TrackingSource}
+import graft.tracking.{SkillCornerSource, SportecSource, SyntheticTracking, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,5 +83,27 @@ object SourceQueries extends QueryModule {
         val files = "/root/reference/tests/files"
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
-      None))
+      None),
+
+    // SkillCorner match-data (squad) parsing over the reference's real
+    // fixture, hash-matched against DuckDB's own JSON reader.
+    GraftQuery(
+      "q_skillcorner_roster",
+      (s, _) => SkillCornerSource.roster(
+        s, "/root/reference/tests/files/skillcorner_match_data.json"),
+      Some {
+        """SELECT cast(m.id AS VARCHAR) AS game_id,
+          |  cast(p.trackable_object AS VARCHAR) AS id,
+          |  p.id AS player_id,
+          |  cast(p.team_id AS VARCHAR) AS team_id,
+          |  p.team_id = m.home_team.id AS is_home,
+          |  CASE WHEN p.player_role.acronym = 'SUB' THEN NULL
+          |       ELSE p.player_role.acronym END AS position_name,
+          |  p.player_role.acronym AS role_acronym,
+          |  p.number AS shirt_number,
+          |  p.last_name AS name,
+          |  p.start_time IS NOT NULL AS starting
+          |FROM read_json('/root/reference/tests/files/skillcorner_match_data.json') m,
+          |     unnest(m.players) AS t(p)""".stripMargin
+      }))
 }

@@ -262,24 +262,7 @@ object SportecSource {
 
     val oriented = orientation match {
       case "raw" => base
-      case _ =>
-        // kloppy's STATIC_HOME_AWAY: detect home's raw attacking
-        // direction from team mean x at the first frame of period 1
-        // (home lower = LTR), assume sides alternate per period, rotate
-        // the periods where home would attack RTL. Tiny per-game
-        // aggregate, broadcast back.
-        val firstFrame = base
-          .filter(col(PeriodId) === 1 && col(FrameId) === col("min_n") && !col("is_ball_row"))
-        val ltr = firstFrame.groupBy(col(GameId))
-          .agg((avg(when(col("is_home"), col(X))) <
-            avg(when(!col("is_home"), col(X)))).as("home_ltr_p1"))
-        base.join(broadcast(ltr), Seq(GameId), "left")
-          .withColumn("__flip",
-            when(coalesce(col("home_ltr_p1"), lit(true)), col(PeriodId) % 2 === 0)
-              .otherwise(col(PeriodId) % 2 === 1))
-          .withColumn(X, when(col("__flip"), -col(X)).otherwise(col(X)))
-          .withColumn(Y, when(col("__flip"), -col(Y)).otherwise(col(Y)))
-          .drop("home_ltr_p1", "__flip")
+      case _ => Orientation.staticHomeAway(base, col("is_home"), col("is_ball_row"))
     }
 
     val filtered = if (onlyAlive) oriented.filter(col(BallState) === "alive") else oriented
