@@ -52,7 +52,12 @@ object Efpi {
       formations: Seq[String] = Templates.ShawGlickman,
       substitutions: String = "drop",
       changeAfterPossession: Boolean = true,
-      changeThreshold: Option[Double] = None)
+      changeThreshold: Option[Double] = None,
+      /** Pre-resolved template geometry (e.g. from
+        * [[Templates.library(df*]] over a user table carrying
+        * mplsoccer-exact coordinates). When set, `formations` is
+        * ignored and this library is broadcast as-is. */
+      customTemplates: Option[Templates.Library] = None)
 
   /** One detection-input row (segment-mean or raw frame coordinates). */
   final case class SegRow(
@@ -313,7 +318,7 @@ object Efpi {
       cfg: Config,
       timeRange: Option[(Long, Long, Int)] = None): DataFrame = {
     import spark.implicits._
-    val lib = Templates.library(cfg.formations)
+    val lib = cfg.customTemplates.getOrElse(Templates.library(cfg.formations))
     require(cfg.substitutions == "drop",
       "substitutions='merge' is not implemented (matches reference efpi.py:645-649)")
 

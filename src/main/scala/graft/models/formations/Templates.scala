@@ -103,8 +103,46 @@ object Templates {
 
   def library(names: Seq[String]): Library = {
     val ltr = names.map(generate)
+    fromTemplates(ltr, rtl)
+  }
+
+  /** Build a library from a user-supplied template table — the
+    * pluggability escape hatch for deployments that want
+    * reference-identical formation output: dump mplsoccer's coordinate
+    * data (or any in-house geometry) to a `(formation, slot_x, slot_y,
+    * label)` parquet/JSON/CSV table and pass it here. Coordinates are
+    * interpreted in left-to-right attack space with any units — EFPI
+    * jointly rescales every candidate set to the team's bounding box
+    * before matching (`efpi.py:150-164`), so only relative geometry
+    * matters. The RTL variants mirror each count-group inside its own
+    * joint bounds (equivalent to mplsoccer's `x_flip`/`y_flip`,
+    * `detection.py:225-231`, under the joint rescale).
+    *
+    * The table is template data (formations × ~10 slots), collected to
+    * the driver once and broadcast with the job — never a distributed
+    * join at match time. */
+  def library(df: org.apache.spark.sql.DataFrame): Library = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(
+      col("formation").cast("string"), col("slot_x").cast("double"),
+      col("slot_y").cast("double"), col("label").cast("string")).collect()
+    require(rows.nonEmpty, "template table is empty")
+    val ltr = rows.groupBy(_.getString(0)).map { case (name, rs) =>
+      Template(name, rs.map(r => Slot(r.getDouble(1), r.getDouble(2), r.getString(3)))
+        .sortBy(s => (s.x, s.y, s.label)).toVector)
+    }.toSeq
+    // mirror within the count-group's joint bounds (user units need not
+    // be the unit square the generator emits)
+    val boundsByCount = ltr.groupBy(_.n).map { case (k, v) => k -> jointBounds(v) }
+    fromTemplates(ltr, t => {
+      val (x0, y0, x1, y1) = boundsByCount(t.n)
+      Template(t.name, t.slots.map(s => Slot(x0 + x1 - s.x, y0 + y1 - s.y, s.label)))
+    })
+  }
+
+  private def fromTemplates(ltr: Seq[Template], mirror: Template => Template): Library = {
     val byCount = ltr.groupBy(_.n).map { case (k, v) => k -> v.toIndexedSeq }
-    val rtlByCount = byCount.map { case (k, v) => k -> v.map(rtl) }
+    val rtlByCount = byCount.map { case (k, v) => k -> v.map(mirror) }
     val bounds =
       byCount.map { case (k, v) => (k, true) -> jointBounds(v) } ++
       rtlByCount.map { case (k, v) => (k, false) -> jointBounds(v) }

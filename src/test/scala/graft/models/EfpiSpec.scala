@@ -215,4 +215,39 @@ class EfpiSpec extends AnyFunSuite {
     assert(scoped.select("segment_id").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
   }
+
+  test("user-supplied template table: same geometry reproduces the names-based fit, custom labels flow through") {
+    val rows = (1L to 3L).flatMap { f =>
+      Seq(
+        ("g", 1, f, f * 40000L, "h1", "home", 10.0 + f, 10.0, "home"),
+        ("g", 1, f, f * 40000L, "h2", "home", 12.0, 30.0, "home"),
+        ("g", 1, f, f * 40000L, "a1", "away", 60.0, 10.0, "home"),
+        ("g", 1, f, f * 40000L, "a2", "away", 62.0, 30.0, "home"),
+        ("g", 1, f, f * 40000L, "ball", "ball", 30.0, 20.0, "home"))
+    }
+    val df = trackingDf(rows)
+    val names = Seq("2", "11")
+
+    // (a) a table carrying the generator's own geometry must be
+    // indistinguishable from the names-based library
+    val slotRows = names.flatMap { n =>
+      Templates.generate(n).slots.map(s => (n, s.x, s.y, s.label))
+    }
+    val tdf = slotRows.toDF("formation", "slot_x", "slot_y", "label")
+    val baseline = Efpi.fit(spark, df, Efpi.Config(every = "frame", formations = names))
+      .orderBy("segment_id", "id").collect().toSeq
+    val viaTable = Efpi.fit(spark, df, Efpi.Config(every = "frame",
+      customTemplates = Some(Templates.library(tdf))))
+      .orderBy("segment_id", "id").collect().toSeq
+    assert(viaTable === baseline)
+
+    // (b) deployment-specific labels (e.g. mplsoccer's) surface verbatim
+    val custom = slotRows.map { case (n, x, y, l) => (n, x, y, s"X_$l") }
+      .toDF("formation", "slot_x", "slot_y", "label")
+    val relabeled = Efpi.fit(spark, df, Efpi.Config(every = "frame",
+      customTemplates = Some(Templates.library(custom))))
+    val positions = relabeled.filter($"team_id" =!= "ball" && $"position" =!= "GK")
+      .select("position").distinct().collect().map(_.getString(0)).toSet
+    assert(positions.nonEmpty && positions.forall(_.startsWith("X_")))
+  }
 }
