@@ -164,8 +164,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 8): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cell"), col(vecCol).as("__cent"))
+    // Deterministic hash-sample codebook: the nCentroids corpus rows
+    // with the smallest md5(id) — id-type/density agnostic (works for
+    // string ids and sparse numeric ids alike), reproducible across
+    // engines (md5 is bit-identical in the DuckDB oracle), and a
+    // distributed top-N (TakeOrderedAndProject), never a full sort.
+    // Cells are re-labeled 0..n-1 by hash order on the (tiny) codebook.
+    val wCode = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+    val cents = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h")).limit(nCentroids)
+      .withColumn("cell", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("cell"), col(vecCol).as("__cent"))
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
         .crossJoin(broadcast(cents))

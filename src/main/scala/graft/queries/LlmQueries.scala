@@ -403,7 +403,10 @@ object LlmQueries extends QueryModule {
       Some {
         val cosQC = Similarity.cosineSql("q.qv", "c.cv")
         val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
-        s"""WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
            |asg AS (
            |  SELECT vec_id, embedding, cell FROM (
            |    SELECT v.vec_id, v.embedding, ct.cell,
