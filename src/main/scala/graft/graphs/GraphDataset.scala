@@ -58,6 +58,66 @@ object GraphDataset {
         .otherwise("validation"))
   }
 
+  /** Exact-count split — the reference's permutation semantics
+    * (`graph_dataset.py:168-175`): `num_train = floor(train_pct · n)`,
+    * `num_test = floor(test_pct · n)` when a validation split is
+    * requested (else the remainder), validation takes what is left,
+    * over a seeded permutation of the distinct split keys.
+    *
+    * Scale shape: the permutation is hash-order, realized WITHOUT a
+    * global single-partition sort — keys bucket by hash (bounded
+    * groups), rank inside each bucket with a bucket-local window, and
+    * add the (tiny, driver-cumulated, broadcast) bucket offsets. One
+    * shuffle over the distinct-key table + one key join back. Use
+    * [[withSplit]] (shuffle-free, proportional in expectation) for
+    * production-size corpora; exact mode is for research datasets where
+    * per-split cardinality must match the reference bit-for-bit. */
+  def withSplitExact(
+      df: DataFrame,
+      trainFrac: Double,
+      testFrac: Double,
+      valFrac: Double,
+      byGraphId: Boolean = false,
+      seed: Long = 42L,
+      exactHash: Boolean = false): DataFrame = {
+    require(math.abs(trainFrac + testFrac + valFrac - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    require(trainFrac >= testFrac && testFrac >= valFrac,
+      "expected train >= test >= validation")
+    val keyNames = if (byGraphId) Seq(GraphId) else Seq(GameId, PeriodId, FrameId)
+    val keyCols = keyNames.map(col)
+    val hash =
+      if (exactHash) graft.llm.TextHash.polyHash(
+        concat_ws("|", (keyCols :+ lit(seed.toString)): _*))
+      else xxhash64((keyCols :+ lit(seed)): _*)
+
+    val nBuckets = 1024
+    val bucketed = df.select(keyCols: _*).distinct()
+      .withColumn("__h", hash)
+      .withColumn("__b", pmod(col("__h"), lit(nBuckets.toLong)).cast("int"))
+
+    // tiny: ≤ nBuckets rows to the driver → cumulative offsets
+    val counts = bucketed.groupBy(col("__b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val nTrain = (trainFrac * n).toLong
+    val nTest = if (valFrac > 0) (testFrac * n).toLong else n - nTrain
+
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h") +: keyCols: _*)
+    val rank = element_at(typedLit(offsets), col("__b")) +
+      row_number().over(wB).cast("long") - 1L
+    val assigned = bucketed
+      .withColumn("split",
+        when(rank < nTrain, "train")
+          .when(rank < nTrain + nTest, "test")
+          .otherwise("validation"))
+      .select(keyCols :+ col("split"): _*)
+    df.join(assigned, keyNames)
+  }
+
   /** O4: down-sample the majority class so positive/negative labels
     * match the requested ratio (`graph_dataset.py:318-384`). Sampling
     * keys are taken from the data's own label values, so any integral

@@ -369,6 +369,47 @@ object GraphQueries extends QueryModule {
           |       ELSE 'validation' END AS split
           |FROM gbucket""".stripMargin))),
 
+    // ----- M12 exact-count split (reference permutation semantics) -----
+    // The oracle replays the same permutation: bucket-major hash order
+    // (h % 1024, h, key) over distinct graph_ids, floor-sized train and
+    // test, remainder validation.
+    GraftQuery(
+      "q_split_exact",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+          .withColumn(GraphId, concat_ws("-", col(GameId), col(FrameId)))
+        graft.graphs.GraphDataset
+          .withSplitExact(trk, 0.6, 0.3, 0.1, byGraphId = true, seed = 7L, exactHash = true)
+          .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
+            col(GraphId), col("split"))
+      },
+      Some(withAll(
+        s"""gsplit AS (
+           |  SELECT *, game_id || '-' || CAST(frame_id AS VARCHAR) AS graph_id
+           |  FROM tracking
+           |),
+           |keyed AS (
+           |  SELECT graph_id,
+           |         ${graft.llm.TextHash.polyHashSql("graph_id || '|7'")} AS h
+           |  FROM (SELECT DISTINCT graph_id FROM gsplit)
+           |),
+           |ranked AS (
+           |  SELECT graph_id,
+           |         row_number() OVER (ORDER BY h % 1024, h, graph_id) - 1 AS rk,
+           |         count(*) OVER () AS n
+           |  FROM keyed
+           |),
+           |asg AS (
+           |  SELECT graph_id,
+           |    CASE WHEN rk < CAST(floor(0.6 * n) AS BIGINT) THEN 'train'
+           |         WHEN rk < CAST(floor(0.6 * n) AS BIGINT)
+           |                   + CAST(floor(0.3 * n) AS BIGINT) THEN 'test'
+           |         ELSE 'validation' END AS split
+           |  FROM ranked
+           |)""".stripMargin)(
+        """SELECT g.game_id, g.period_id, g.frame_id, g.id, g.graph_id, a.split
+          |FROM gsplit g JOIN asg a USING (graph_id)""".stripMargin))),
+
     // ----- G8 adjacency + edge tensors, oracle-checked via explode -----
     // Explodes the nested `a` matrix to cells and maps each e[k] back to
     // its (i, j) through the row-major nonzero rank — verifying the COO

@@ -47,6 +47,41 @@ class GraphDatasetSpec extends AnyFunSuite {
     assert(math.abs(counts("train") / counts.values.sum.toDouble - 0.7) < 0.07)
   }
 
+  test("withSplitExact: reference floor/remainder cardinalities, leakage-free, deterministic") {
+    val df = frames(997) // prime count → fractions can't be exact
+    val split = GraphDataset.withSplitExact(df, 0.6, 0.3, 0.1, byGraphId = true, seed = 5L)
+    val byGraph = split.select("graph_id", "split").distinct().cache()
+    // leakage control
+    assert(byGraph.count() === 997L)
+    // exact reference counts: floor(0.6·997)=598 train, floor(0.3·997)=299
+    // test, remainder 100 validation (graph_dataset.py:168-175)
+    val c = byGraph.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("train") === 598L)
+    assert(c("test") === 299L)
+    assert(c("validation") === 100L)
+    // deterministic across reruns and across the two hash modes' contract
+    val c2 = GraphDataset.withSplitExact(df, 0.6, 0.3, 0.1, byGraphId = true, seed = 5L)
+      .select("graph_id", "split").distinct().groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c === c2)
+    // exactHash flavor keeps the same exact cardinalities (different permutation)
+    val c3 = GraphDataset.withSplitExact(df, 0.6, 0.3, 0.1, byGraphId = true,
+      seed = 5L, exactHash = true)
+      .select("graph_id", "split").distinct().groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c3("train") === 598L && c3("test") === 299L && c3("validation") === 100L)
+    byGraph.unpersist()
+  }
+
+  test("withSplitExact: no-validation mode gives train the floor and test the remainder") {
+    val df = frames(10)
+    val c = GraphDataset.withSplitExact(df, 0.65, 0.35, 0.0, byGraphId = true, seed = 1L)
+      .select("graph_id", "split").distinct().groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("train") === 6L && c("test") === 4L && !c.contains("validation"))
+  }
+
   test("withSplit rejects bad fractions") {
     assertThrows[IllegalArgumentException](
       GraphDataset.withSplit(frames(5), 0.5, 0.2, 0.1))
