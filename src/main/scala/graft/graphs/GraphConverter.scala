@@ -244,7 +244,10 @@ object GraphConverter {
     // input 4× (counts, frame list, ball check, union) and the
     // node/pair aggregations each scan `prepared` — without caching,
     // the upstream kinematics/possession lineage re-executes ~6× and
-    // the source is scanned 6× instead of once.
+    // the source is scanned 6× instead of once. When the prepared set
+    // outgrows cluster memory+disk cache, use [[graphFramesBucketed]]:
+    // the same pipeline with the cache swapped for a frame-key-bucketed
+    // parquet materialization (zero-exchange downstream).
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index once here: node/pair aggregation both need node_idx, and
     // withNodeIndex is idempotent, so caching the indexed set removes a
@@ -253,7 +256,48 @@ object GraphConverter {
       if (settings.pad) padFrames(input, labelCol, graphIdCol)
       else removeIncompleteFrames(input))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assembleGraphFrames(prepared, settings, labelCol, graphIdCol)
+  }
 
+  /** The 100 TB variant of [[graphFrames]]: instead of double-caching,
+    * the prepared (padded + node-indexed) set is written ONCE as a
+    * parquet table bucketed AND bucket-sorted by the frame key, and
+    * the node aggregation, the pair self-join, the pair aggregation
+    * and the final node⋈pair join all run from the bucketed scan —
+    * every one of those operators needs exactly the frame-key
+    * clustering the buckets already provide, so the assembled plan has
+    * ZERO exchanges and the upstream lineage (source scan, kinematics,
+    * possession, padding) executes exactly once, with spill-to-disk
+    * pressure replaced by a durable, restart-safe table
+    * ([[graft.core.BucketedStore]]). Pick `numBuckets` ≈ the cluster's
+    * target parallelism for the prepared set's size. */
+  def graphFramesBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      settings: GraphSettings,
+      path: String,
+      table: String = "graft_graph_prepared",
+      numBuckets: Int = 32,
+      labelCol: String = Label,
+      graphIdCol: String = GraphId): DataFrame = {
+    // padFrames still reads its input 4× before materialization — keep
+    // the transient cache for exactly that window, then drop it.
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = withNodeIndex(
+      if (settings.pad) padFrames(input, labelCol, graphIdCol)
+      else removeIncompleteFrames(input))
+    graft.core.BucketedStore.write(prepared, table, path,
+      frameKeys, numBuckets, sortCols = frameKeys)
+    input.unpersist()
+    assembleGraphFrames(graft.core.BucketedStore.read(spark, table),
+      settings, labelCol, graphIdCol)
+  }
+
+  private def assembleGraphFrames(
+      prepared: DataFrame,
+      settings: GraphSettings,
+      labelCol: String,
+      graphIdCol: String): DataFrame = {
     val nodes = withNodeFeatures(prepared, settings)
     val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(prepared.columns.contains)
     val nodeAgg = nodes

@@ -66,6 +66,37 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("graphFramesBucketed: zero exchange downstream of the bucketed materialization, same result") {
+    import graft.tracking._
+    import graft.graphs.{GraphConverter, GraphSettings}
+    val trk = Labels.addDummyLabels(
+      Labels.addGraphIds(
+        Possession.inferBallCarrier(
+          Kinematics(SyntheticTracking.df(spark, sf), TrackingSettings(), None, None)),
+        Seq("game_id", "frame_id")),
+      Seq("game_id", "frame_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gfb").toString
+    val settings = GraphSettings()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = GraphConverter.graphFramesBucketed(
+        spark, trk, settings, s"$dir/prepared", table = "gfb_prepared", numBuckets = 4)
+      val rows = bucketed.collect()
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed graph assembly still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+      // identical output to the cached-pipeline path
+      val base = GraphConverter.graphFrames(trk, settings).collect()
+      assert(rows.length === base.length)
+      def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1), r.getLong(2))
+      assert(rows.map(key).sorted.toSeq === base.map(key).sorted.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS gfb_prepared")
+    }
+  }
+
   test("chunking is shuffle-free: no Exchange anywhere in the plan") {
     val df = graft.llm.Chunker.chunks(Tables.documents(spark, sf), "doc_id", "text")
     df.collect()
