@@ -75,20 +75,33 @@ object PressingIntensity {
     }
 
     // ONE indexed base relation serves both sides. A single window pass
-    // assigns the global frame-order index (owning players, then
-    // defenders, then ball — the reference's stable sort,
-    // pressing_intensity.py:520-552); each side's 0-based matrix index
-    // is then pure arithmetic: within the column side, owning players
-    // keep their global index and the ball lands at n_owning; within
-    // the row side, defenders shift down by n_owning. Both pair-join
-    // inputs are filters over this SAME subtree, so the second side is
-    // served from the first's shuffle files (ReusedExchange) and the
-    // upstream kinematics/possession lineage executes once, not per
-    // side; the join itself reuses the window's frame-key partitioning
-    // and sort, adding no exchange.
+    // assigns the global frame-order index replicating the reference's
+    // orient-dependent stable sort (pressing_intensity.py:520-552, ball
+    // always last via nulls_last): for "teams" the side masks make the
+    // first group the owning side regardless of orient (side-internal
+    // order is id-ascending either way), while for "full" the node
+    // order IS the sort order — home/away/owning/defending first per
+    // orient. Each side's 0-based matrix index is then pure arithmetic:
+    // within the column side, owning players keep their global index
+    // and the ball lands at n_owning; within the row side, defenders
+    // shift down by n_owning. Both pair-join inputs are filters over
+    // this SAME subtree, so the second side is served from the first's
+    // shuffle files (ReusedExchange) and the upstream kinematics/
+    // possession lineage executes once, not per side; the join itself
+    // reuses the window's frame-key partitioning and sort, adding no
+    // exchange.
+    val isHomeTeam = col(TeamId) === lit(settings.homeTeamId.getOrElse(""))
+    val sideRank: Column = params.method match {
+      case "full" => params.orient match {
+        case "home_away" => when(isBall, 2).when(isHomeTeam, 0).otherwise(1)
+        case "away_home" => when(isBall, 2).when(isHomeTeam, 1).otherwise(0)
+        case "pressing"  => when(isBall, 2).when(isOwning, 1).otherwise(0)
+        case _           => when(isBall, 2).when(isOwning, 0).otherwise(1)
+      }
+      case _ => when(isBall, 2).when(isOwning, 0).otherwise(1)
+    }
     val wF = Window.partitionBy(frameKeys.map(col): _*)
-    val gidx = row_number().over(
-      wF.orderBy(isBall.cast("int").asc, isOwning.cast("int").desc, col(ObjectId).asc)) - 1
+    val gidx = row_number().over(wF.orderBy(sideRank.asc, col(ObjectId).asc)) - 1
     val nOwn = sum((isOwning && !isBall).cast("int")).over(wF)
     val indexed = df.filter(colSide || rowSide)
       .withColumn("__gidx", gidx)

@@ -43,6 +43,11 @@ object ModelQueries extends QueryModule {
   private val sideOrder =
     "CAST(team_id = 'ball' AS INT) ASC, CAST(team_id = ball_owning_team_id AS INT) DESC, id ASC"
 
+  /** Full-method "pressing" node order (pressing_intensity.py:520-552):
+    * the defending side leads, ball last. */
+  private val pressingOrder =
+    "CAST(team_id = 'ball' AS INT) ASC, CAST(team_id = ball_owning_team_id AS INT) ASC, id ASC"
+
   override def queries: Seq[GraftQuery] = Seq(
     // ----- M1-M4: PI teams/max (default config) as pair table -----
     GraftQuery(
@@ -112,7 +117,7 @@ object ModelQueries extends QueryModule {
          |$piDatCte,
          |pfull AS (
          |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
-         |    ORDER BY $sideOrder) - 1 AS idx
+         |    ORDER BY $pressingOrder) - 1 AS idx
          |  FROM pidat WHERE team_id <> 'ball'
          |),
          |fpair AS (

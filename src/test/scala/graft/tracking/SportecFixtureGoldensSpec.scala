@@ -124,4 +124,76 @@ class SportecFixtureGoldensSpec extends AnyFunSuite {
     assert(math.abs(tti.head.head - 2.6428493704618106) < 1e-5)
     out.unpersist()
   }
+
+  // ---- the reference's full PI config matrix over the same fixture
+  // (`test_soccer.py:585-793`): shapes, node ordering per orient, and
+  // the near-zero-PTI count fingerprints. The counts pin the entire
+  // 11×11 / 23×23 PTI surface to ~1e-5, not just one cell.
+
+  private def firstFrame(method: String, ballMethod: String, orient: String,
+      speedThreshold: Option[Double]): Row = {
+    val params = PressingIntensity.Params(
+      method = method, ballMethod = ballMethod, orient = orient,
+      speedThreshold = speedThreshold)
+    PressingIntensity.matrices(
+      PressingIntensity.pairs(processed, settings, params))
+      .filter(col("frame_id") === 10000).head()
+  }
+
+  private def ptiNearZeroCount(r: Row): Int =
+    r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("probability_to_intercept")
+      .flatten.count(v => math.abs(v) <= 1e-5)
+
+  private lazy val homeIds = SportecSource.roster(spark, s"$files/sportec_meta.xml")
+    .filter(col("is_home")).select("id").collect().map(_.getString(0)).toSet
+  private lazy val awayIds = SportecSource.roster(spark, s"$files/sportec_meta.xml")
+    .filter(!col("is_home")).select("id").collect().map(_.getString(0)).toSet
+
+  test("PI teams/exclude/home_away s=2: 11x11 with 121 near-zero PTIs (:596-606)") {
+    val r = firstFrame("teams", "exclude", "home_away", Some(2.0))
+    val rows = r.getAs[scala.collection.Seq[String]]("rows")
+    val cols = r.getAs[scala.collection.Seq[String]]("columns")
+    assert(rows.size === 11 && cols.size === 11)
+    assert(ptiNearZeroCount(r) === 121)
+  }
+
+  test("PI full/max/home_away s=2: 22x22, home block then away block (:613-634)") {
+    val r = firstFrame("full", "max", "home_away", Some(2.0))
+    val rows = r.getAs[scala.collection.Seq[String]]("rows")
+    val tti = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("time_to_intercept")
+    assert(rows.size === 22 && tti.size === 22 && tti.head.size === 22)
+    assert(rows.take(11).forall(homeIds.contains))
+    assert(rows.drop(11).forall(awayIds.contains))
+  }
+
+  test("PI full/exclude/home_away s=2: rows == columns (:637-656)") {
+    val r = firstFrame("full", "exclude", "home_away", Some(2.0))
+    val rows = r.getAs[scala.collection.Seq[String]]("rows")
+    val cols = r.getAs[scala.collection.Seq[String]]("columns")
+    assert(rows.size === 22 && rows === cols)
+  }
+
+  test("PI full/include/ball_owning s=2: 23x23, owning-away-ball order, 527 near-zero PTIs (:659-711)") {
+    val r = firstFrame("full", "include", "ball_owning", Some(2.0))
+    val rows = r.getAs[scala.collection.Seq[String]]("rows")
+    assert(rows.size === 23)
+    assert(rows.take(11).forall(homeIds.contains)) // home owns frame 0
+    assert(rows.slice(11, 22).forall(awayIds.contains))
+    assert(rows(22) === "ball")
+    assert(ptiNearZeroCount(r) === 527)
+  }
+
+  test("PI full/include/pressing s=2: defending side leads, ball last on both axes (:713-745)") {
+    val r = firstFrame("full", "include", "pressing", Some(2.0))
+    val rows = r.getAs[scala.collection.Seq[String]]("rows")
+    val cols = r.getAs[scala.collection.Seq[String]]("columns")
+    assert(rows(22) === "ball" && cols(22) === "ball")
+    assert(cols.take(11).forall(awayIds.contains))
+    assert(rows.slice(11, 22).forall(homeIds.contains))
+  }
+
+  test("PI near-zero counts without speed mask: 33 and 117 (:747-793)") {
+    assert(ptiNearZeroCount(firstFrame("teams", "exclude", "home_away", None)) === 33)
+    assert(ptiNearZeroCount(firstFrame("full", "include", "ball_owning", None)) === 117)
+  }
 }
