@@ -196,4 +196,41 @@ class SportecFixtureGoldensSpec extends AnyFunSuite {
     assert(ptiNearZeroCount(firstFrame("teams", "exclude", "home_away", None)) === 33)
     assert(ptiNearZeroCount(firstFrame("full", "include", "ball_owning", None)) === 117)
   }
+
+  // ---- EFPI through the fixture (`test_soccer.py:1336-1430`):
+  // template-geometry-independent structure. (The reference's exact
+  // per-player labels depend on mplsoccer coordinate data; see
+  // Templates scaladoc for the documented deviation and the
+  // user-template escape hatch.)
+
+  test("EFPI frame mode on the fixture: 483 rows, GK labels, is_attacking (:1336-1415)") {
+    import graft.models.formations.Efpi
+    val oriented = Orientation.toBallOwning(processed, HomeId)
+    val out = Efpi.fit(spark, oriented,
+      Efpi.Config(every = "frame", changeThreshold = Some(0.0))).cache()
+    assert(out.count() === 483L) // 21 frames x 23 objects, ball included
+    val segs = out.select("segment_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(segs.length === 21 && segs.head === 10000L && segs.last === 10020L)
+
+    // reference pins both GKs and the attacking flags at frame 10018
+    // (home owns the ball all fixture long)
+    val f19 = out.filter(col("segment_id") === 10018L).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("position"), r.getAs[Boolean]("is_attacking"))).toMap
+    assert(f19("DFL-OBJ-0001HW")._1 === "GK")
+    assert(f19("DFL-OBJ-0028FW")._1 === "GK")
+    assert(f19("DFL-OBJ-00008F")._2 === false) // away defends
+    assert(f19("DFL-OBJ-002FXT")._2 === true)  // home attacks
+    out.unpersist()
+  }
+
+  test("EFPI possession mode on the fixture: one possession, 23 rows (:1416-1430)") {
+    import graft.models.formations.Efpi
+    val oriented = Orientation.toBallOwning(processed, HomeId)
+    val out = Efpi.fit(spark, oriented,
+      Efpi.Config(every = "possession", changeThreshold = Some(0.1))).cache()
+    assert(out.count() === 23L)
+    assert(out.select("segment_id").distinct().count() === 1L)
+    out.unpersist()
+  }
 }
