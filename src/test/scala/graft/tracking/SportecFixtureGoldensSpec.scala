@@ -224,6 +224,27 @@ class SportecFixtureGoldensSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("EFPI period/[442] reproduces the reference's exact labels (:1505-1589)") {
+    import graft.models.formations.Efpi
+    val oriented = Orientation.toBallOwning(processed, HomeId)
+    val out = Efpi.fit(spark, oriented, Efpi.Config(every = "period",
+      formations = Seq("442"), changeThreshold = Some(0.1))).cache()
+    assert(out.count() === 23L)
+    assert(out.select("segment_id").distinct().count() === 1L)
+    val m = out.collect().map(r => r.getAs[String]("id") ->
+      (r.getAs[String]("position"), r.getAs[String]("formation"),
+        r.getAs[Boolean]("is_attacking"))).toMap
+    // With one candidate the winning template is forced, so the
+    // per-player labels are assignment-only — and they land exactly on
+    // the reference's mplsoccer-based goldens, confirming both the
+    // orientation handling and the generated 442 slot geometry.
+    assert(m("DFL-OBJ-00008F") === (("RCB", "442", false)))
+    assert(m("DFL-OBJ-002FXT") === (("LM", "442", true)))
+    assert(m("DFL-OBJ-0001HW")._1 === "GK")
+    assert(m("DFL-OBJ-0028FW")._1 === "GK")
+    out.unpersist()
+  }
+
   test("EFPI possession mode on the fixture: one possession, 23 rows (:1416-1430)") {
     import graft.models.formations.Efpi
     val oriented = Orientation.toBallOwning(processed, HomeId)
