@@ -50,6 +50,33 @@ object SoccerPipeline {
     Possession.inferBallCarrier(kin, settings)
   }
 
+  /** Sportec/DFL position XML → canonical long table → kinematics →
+    * possession — the `KloppyPolarsDataset(sportec.load_tracking(...))`
+    * journey (`tests/test_soccer.py:135-150`) as one declarative plan.
+    * Returns the prepared table plus the per-match team ids needed by
+    * the home/away-oriented models. */
+  def loadSportec(
+      spark: SparkSession,
+      trackingXml: String,
+      metaXml: String,
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame =
+    prepare(SportecSource.load(spark, trackingXml, metaXml),
+      settings, playerSmoothing, ballSmoothing)
+
+  /** SkillCorner structured + match-data JSON → prepared table — the
+    * `KloppyPolarsDataset(skillcorner.load(...))` journey. */
+  def loadSkillCorner(
+      spark: SparkSession,
+      structuredJson: String,
+      matchDataJson: String,
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame =
+    prepare(SkillCornerSource.load(spark, structuredJson, matchDataJson),
+      settings, playerSmoothing, ballSmoothing)
+
   /** An already-long tracking DataFrame → kinematics → possession
     * (for parquet/streaming sources that skip the CSV melt). */
   def prepare(

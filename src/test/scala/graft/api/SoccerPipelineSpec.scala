@@ -65,4 +65,17 @@ class SoccerPipelineSpec extends AnyFunSuite {
     val efpi = SoccerPipeline.formations(spark, prepared)
     assert(efpi.count() > 0)
   }
+
+  test("loadSportec: provider XML through the full facade journey") {
+    val files = "/root/reference/tests/files"
+    val prepared = SoccerPipeline.loadSportec(spark,
+      s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+    assert(prepared.count() === 483L)
+    assert(prepared.columns.contains("is_ball_carrier"))
+    assert(prepared.columns.contains("v") && prepared.columns.contains("a"))
+    // graphs run off it directly
+    val g = SoccerPipeline.graphs(prepared,
+      graft.graphs.GraphSettings(pad = false), orientHome = "DFL-CLU-00000P")
+    assert(g.count() === 21L)
+  }
 }
