@@ -70,6 +70,35 @@ class StreamingKinematicsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming replay of the real Sportec fixture matches batch kinematics") {
+    import spark.implicits._
+    import graft.tracking.SportecSource
+    val files = "/root/reference/tests/files"
+    val trk = SportecSource.load(spark,
+      s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+    val events = trk.select(
+        col(Cols.GameId), col(Cols.ObjectId).as("id"), col(Cols.PeriodId),
+        col(Cols.Timestamp), col(Cols.TeamId), col(Cols.X), col(Cols.Y), col(Cols.Z))
+      .as[TrackEvent].collect().toSeq.sortBy(_.timestamp)
+    // replay in two micro-batches to force state carry-over mid-match
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val streamed = runStream(Seq(b1, b2))
+      .map(r => (r.id, r.timestamp) -> (r.vx, r.vy, r.v)).toMap
+    val batch = Kinematics(trk, TrackingSettings(), None, None)
+      .select(col(Cols.ObjectId), col(Cols.Timestamp),
+        col(Cols.Vx), col(Cols.Vy), col(Cols.Speed))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(streamed.keySet === batch.keySet && streamed.size === 483)
+    streamed.foreach { case (k, (vx, vy, v)) =>
+      assert(math.abs(vx - batch(k)._1) < 1e-9, s"vx mismatch at $k")
+      assert(math.abs(vy - batch(k)._2) < 1e-9, s"vy mismatch at $k")
+      assert(math.abs(v - batch(k)._3) < 1e-9, s"v mismatch at $k")
+    }
+  }
+
   test("windowed mean speed aggregates per second with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
