@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
 object AfFeatures {
   import BigDataBowl.{Football, PitchLength, PitchWidth}
 
+  /** Converter-level knobs (`american_football/graphs/graph_settings
+    * .py` + the caps the dataset threads through,
+    * `dataset.py:140-176`). Defaults are the library defaults; the
+    * reference's own fixture tests run 8/28/10/10 with
+    * defending_team_node_value=0.0
+    * (`test_american_football.py:47-60,160-170`). */
+  final case class AfSettings(
+      maxPlayerSpeed: Double = 12.0,
+      maxBallSpeed: Double = 28.0,
+      maxPlayerAcc: Double = 6.0,
+      maxBallAcc: Double = 13.5,
+      defendingNodeValue: Double = 0.1,
+      attackingNonQbValue: Double = 0.1)
+
   // graph_settings.py defaults
   val MaxPlayerSpeed = 12.0
   val MaxBallSpeed = 28.0
@@ -44,19 +58,28 @@ object AfFeatures {
   private def sincosNorm(c: Column): Column = (coalesce(c, lit(0.0)) + 1.0) / 2.0
   private def z(c: Column): Column = coalesce(c, lit(0.0))
 
-  /** Unit vector components from magnitude+angle
-    * (`features/utils.py:150-166`): zeros when the magnitude is 0. */
+  /** Direction components from magnitude+angle, normalized by the
+    * FRAME-GLOBAL Frobenius norm — replicating the reference exactly:
+    * `unit_vector_from_angle` (`features/utils.py:150-166`) is written
+    * for a single vector, but the AF converter feeds it the whole
+    * frame's arrays, so `np.linalg.norm` (no axis) divides every
+    * object's (m·cos, m·sin) by √Σᵢmᵢ² — NOT a per-object unit vector.
+    * The fixture goldens (`test_american_football.py:86-156`) pin this
+    * behavior, so we mirror it: a frame-key window sum plays the role
+    * of the global norm, zeros when the whole frame is static. */
   private def unitFromAngle(mag: Column, ang: Column): (Column, Column) = {
     val m = coalesce(mag, lit(0.0)); val an = coalesce(ang, lit(0.0))
     val vx = m * cos(an); val vy = m * sin(an)
-    val norm = sqrt(vx * vx + vy * vy)
+    val norm = sqrt(sum(m * m).over(wFrame))
     (when(norm === 0.0, 0.0).otherwise(vx / norm),
      when(norm === 0.0, 0.0).otherwise(vy / norm))
   }
 
   /** Adds `bx`/`by` (per-frame football position) and the 20 node
     * feature columns named f01..f20 in reference stacking order. */
-  def withNodeFeatures(df: DataFrame): DataFrame = {
+  def withNodeFeatures(
+      df: DataFrame,
+      settings: AfSettings = AfSettings()): DataFrame = {
     val isBall = col("team_id") === Football
     val base = df
       .withColumn("bx", max(when(isBall, col("x"))).over(wFrame))
@@ -69,10 +92,12 @@ object AfFeatures {
       "y_n" -> (col("y") - yMin) / (yMax - yMin),
       "uv_sx" -> uvSx,
       "uv_sy" -> uvSy,
-      "s_n" -> clip(col("v") / when(isBall, MaxBallSpeed).otherwise(MaxPlayerSpeed), 0, 1),
+      "s_n" -> clip(col("v") / when(isBall, settings.maxBallSpeed)
+        .otherwise(settings.maxPlayerSpeed), 0, 1),
       "uv_ax" -> uvAx,
       "uv_ay" -> uvAy,
-      "a_n" -> clip(col("a") / when(isBall, MaxBallAcc).otherwise(MaxPlayerAcc), -1, 1),
+      "a_n" -> clip(col("a") / when(isBall, settings.maxBallAcc)
+        .otherwise(settings.maxPlayerAcc), -1, 1),
       "dir_sin" -> sincosNorm(sin(col("dir"))),
       "dir_cos" -> sincosNorm(cos(col("dir"))),
       "o_sin" -> sincosNorm(sin(col("o"))),
@@ -81,9 +106,9 @@ object AfFeatures {
       "dball" -> sqrt((col("x") - col("bx")) * (col("x") - col("bx"))
         + (col("y") - col("by")) * (col("y") - col("by"))) / maxDist,
       "dend" -> (lit(endZone) - col("x") - 0.0) / (PitchLength - 0.0),
-      "poss" -> when(owning, 1.0).otherwise(DefendingNodeValue),
+      "poss" -> when(owning, 1.0).otherwise(settings.defendingNodeValue),
       "qb" -> when(col("position_name") === "QB", 1.0)
-        .otherwise(when(owning, AttackingNonQbValue).otherwise(0.0)),
+        .otherwise(when(owning, settings.attackingNonQbValue).otherwise(0.0)),
       "ball" -> when(isBall, 1.0).otherwise(0.0),
       "weight_n" -> (col("weight_kg") - MinWeight) / (MaxWeight - MinWeight),
       "height_n" -> (col("height_cm") - MinHeight) / (MaxHeight - MinHeight))
@@ -125,7 +150,7 @@ object AfFeatures {
 
   /** Within-frame pair table with AF adjacency (split_by_team + ball
     * connect) and the 9 edge feature columns (i = matrix row). */
-  def pairs(df: DataFrame): DataFrame = {
+  def pairs(df: DataFrame, settings: AfSettings = AfSettings()): DataFrame = {
     val cols = Seq("id", "team_id", "x", "y", "v", "a", "o", "dir")
     def sided(p: String) =
       df.select(frameKeys.map(col) ++ cols.map(c => col(c).as(s"${p}_$c")): _*)
@@ -135,9 +160,9 @@ object AfFeatures {
     val a = ((col("i_team_id") === col("j_team_id")) || iBall || jBall).cast("int")
 
     val sdiff = z(col("j_v") - col("i_v"))
-    val smax = when(iBall, MaxBallSpeed).otherwise(MaxPlayerSpeed)
+    val smax = when(iBall, settings.maxBallSpeed).otherwise(settings.maxPlayerSpeed)
     val adiff = z(col("j_a") - col("i_a"))
-    val amax = when(iBall, MaxBallAcc).otherwise(MaxPlayerAcc)
+    val amax = when(iBall, settings.maxBallAcc).otherwise(settings.maxPlayerAcc)
     val pang = atan2(col("i_y") - col("j_y"), col("i_x") - col("j_x"))
     val dirDiff = col("j_dir") - col("i_dir")
     val oDiff = col("j_o") - col("i_o")

@@ -93,7 +93,14 @@ object FootballQueries extends QueryModule {
       |  FROM afb
       |),
       |afn AS (
-      |  SELECT *, sqrt(svx*svx + svy*svy) AS snorm, sqrt(avx*avx + avy*avy) AS anorm
+      |  -- frame-global Frobenius norms: the reference feeds whole-frame
+      |  -- arrays to unit_vector_from_angle, so np.linalg.norm spans the
+      |  -- frame, not the row (features/utils.py:150-166)
+      |  SELECT *,
+      |    sqrt(sum(coalesce(v, 0.0) * coalesce(v, 0.0))
+      |      OVER (PARTITION BY game_id, play_id, frame_id)) AS snorm,
+      |    sqrt(sum(coalesce(a, 0.0) * coalesce(a, 0.0))
+      |      OVER (PARTITION BY game_id, play_id, frame_id)) AS anorm
       |  FROM afuv
       |)""".stripMargin
 

@@ -80,4 +80,61 @@ class BdbFixtureGoldensSpec extends AnyFunSuite {
     val complete = BigDataBowl.removeIncompleteFrames(loaded)
     assert(AfFeatures.graphFrames(complete).count() === 263L)
   }
+
+  // ---- exact feature-tensor goldens (`test_american_football.py:
+  // 86-156, 346-386`): the reference's converter fixture runs
+  // max speeds/accs 8/28/10/10 with defending_team_node_value=0.0.
+  // These pin the full node/edge feature algebra, including the
+  // reference's frame-global Frobenius normalization of the
+  // speed/acceleration direction vectors (see AfFeatures scaladoc).
+
+  private lazy val fixtureSettings = AfFeatures.AfSettings(
+    maxPlayerSpeed = 8.0, maxBallSpeed = 28.0,
+    maxPlayerAcc = 10.0, maxBallAcc = 10.0, defendingNodeValue = 0.0)
+
+  private lazy val goldenFrame = BigDataBowl.removeIncompleteFrames(loaded)
+    .filter(col("frame_id") === 484500005L)
+
+  test("node 14 of frame 484500005 carries the 20 exact reference feature values (:129-156)") {
+    val nf = AfFeatures.withNodeIndex(
+      AfFeatures.withNodeFeatures(goldenFrame, fixtureSettings))
+    val n14 = nf.filter(col("node_idx") === 14)
+      .select(AfFeatures.NodeFeatureNames.map(col): _*).head()
+    val golden = Seq(
+      0.6679999999999999, 0.6906191369606004, 0.0006550334862428781,
+      0.003179802408809971, 0.0025, 0.0012270197205202379,
+      0.005956459242025524, 0.001, 0.9897173160115632,
+      0.6008808723120034, 0.394422899008786, 0.9887263812669529,
+      0.31312769316888, 0.05817057703598108, 0.2486666666666667,
+      0.0, 0.0, 0.0, 0.21428571428571427, 0.5333333333333333)
+    golden.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(n14.getDouble(i) - g) < 1e-5,
+        s"feature ${AfFeatures.NodeFeatureNames(i)}: ${n14.getDouble(i)} vs $g")
+    }
+  }
+
+  test("edge 56 of frame 484500005 carries the 9 exact reference values; 287 edges total (:84-97,:359)") {
+    val nf = AfFeatures.withNodeIndex(
+      AfFeatures.withNodeFeatures(goldenFrame, fixtureSettings))
+    val idx = nf.select(col("id"), col("node_idx")).collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    val idxMap = typedLit(idx.map { case (k, v) => k.toString -> v })
+    // reference edge order = row-major over the adjacency matrix
+    // (np.where's non_zeros ordering, edge_features.py:58-83)
+    val edges = AfFeatures.pairs(goldenFrame, fixtureSettings).filter(col("a") === 1)
+      .withColumn("i_idx", element_at(idxMap, col("i_id").cast("string")))
+      .withColumn("j_idx", element_at(idxMap, col("j_id").cast("string")))
+      .orderBy("i_idx", "j_idx")
+      .select(AfFeatures.EdgeFeatureNames.map(col): _*)
+      .collect()
+    assert(edges.length === 287) // == sum of the reference adjacency fixture
+    val golden = Seq(
+      0.01313932645066367, -0.0, -0.035, 0.36378814141831695,
+      0.018911307988097092, 0.3153698930324255, 0.03533697844444089,
+      0.9964516879114877, 0.4405380662117784)
+    golden.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(edges(56).getDouble(i) - g) < 1e-5,
+        s"edge feature ${AfFeatures.EdgeFeatureNames(i)}: ${edges(56).getDouble(i)} vs $g")
+    }
+  }
 }
