@@ -59,18 +59,23 @@ object SportecSource {
   import Cols._
 
   // ---- declared schemas (never inferred — a scan at scale must not
-  // pay an inference pass, and malformed attrs null out, not fail)
+  // pay an inference pass). Numeric attributes are declared STRING and
+  // cast downstream: under the XML source's PERMISSIVE mode a single
+  // malformed typed attribute silently truncates the rest of the
+  // record's Frame array (the remainder of a player's half!), whereas
+  // a string parse always succeeds and the cast nulls only the one
+  // bad value.
 
   private val frameType = StructType(Seq(
-    StructField("_N", LongType),
+    StructField("_N", StringType),
     StructField("_T", StringType),
-    StructField("_X", DoubleType),
-    StructField("_Y", DoubleType),
-    StructField("_Z", DoubleType),
-    StructField("_D", DoubleType),
-    StructField("_S", DoubleType),
-    StructField("_A", DoubleType),
-    StructField("_M", IntegerType),
+    StructField("_X", StringType),
+    StructField("_Y", StringType),
+    StructField("_Z", StringType),
+    StructField("_D", StringType),
+    StructField("_S", StringType),
+    StructField("_A", StringType),
+    StructField("_M", StringType),
     StructField("_BallPossession", StringType),
     StructField("_BallStatus", StringType)))
 
@@ -83,13 +88,13 @@ object SportecSource {
 
   private val playerType = StructType(Seq(
     StructField("_PersonId", StringType),
-    StructField("_ShirtNumber", IntegerType),
+    StructField("_ShirtNumber", StringType),
     StructField("_FirstName", StringType),
     StructField("_LastName", StringType),
     StructField("_Shortname", StringType),
-    StructField("_Starting", BooleanType),
+    StructField("_Starting", StringType),
     StructField("_PlayingPosition", StringType),
-    StructField("_TeamLeader", BooleanType)))
+    StructField("_TeamLeader", StringType)))
 
   private val teamType = StructType(Seq(
     StructField("_TeamId", StringType),
@@ -108,8 +113,8 @@ object SportecSource {
       StructField("_GuestTeamName", StringType),
       StructField("_KickoffTime", StringType)))),
     StructField("Environment", StructType(Seq(
-      StructField("_PitchX", DoubleType),
-      StructField("_PitchY", DoubleType)))),
+      StructField("_PitchX", StringType),
+      StructField("_PitchY", StringType)))),
     StructField("Teams", StructType(Seq(
       StructField("Team", ArrayType(teamType)))))))
 
@@ -152,8 +157,8 @@ object SportecSource {
         col("General._GuestTeamId").as("away_team_id"),
         col("General._HomeTeamName").as("home_team_name"),
         col("General._GuestTeamName").as("away_team_name"),
-        coalesce(col("Environment._PitchX"), lit(105.0)).as("pitch_length"),
-        coalesce(col("Environment._PitchY"), lit(68.0)).as("pitch_width"))
+        coalesce(col("Environment._PitchX").try_cast(DoubleType), lit(105.0)).as("pitch_length"),
+        coalesce(col("Environment._PitchY").try_cast(DoubleType), lit(68.0)).as("pitch_width"))
 
   /** One row per (match, player): id, team, mapped position code.
     * Tiny (squad-sized per match) — broadcast it. */
@@ -181,9 +186,9 @@ object SportecSource {
           .otherwise(coalesce(element_at(posMap, col("p._PlayingPosition")),
             lit(UnknownPosition)))
           .as(PositionName),
-        col("p._ShirtNumber").as("shirt_number"),
+        col("p._ShirtNumber").try_cast(IntegerType).as("shirt_number"),
         col("p._LastName").as("name"),
-        col("p._Starting").as("starting"))
+        col("p._Starting").try_cast(BooleanType).as("starting"))
   }
 
   private def sectionToPeriod(section: Column): Column =
@@ -216,10 +221,14 @@ object SportecSource {
         explode(col("Frame")).as("f"))
       .select(col(GameId), col(PeriodId), col("is_ball_row"), col("fs_team"),
         col("fs_person"),
-        col("f._N").as(FrameId),
-        col("f._X").as(X), col("f._Y").as(Y), col("f._Z").as("raw_z"),
+        col("f._N").try_cast(LongType).as(FrameId),
+        col("f._X").try_cast(DoubleType).as(X),
+        col("f._Y").try_cast(DoubleType).as(Y),
+        col("f._Z").try_cast(DoubleType).as("raw_z"),
         col("f._BallPossession").as("raw_poss"),
         col("f._BallStatus").as("raw_status"))
+      // a frame whose N itself is corrupt has no identity — drop it
+      .filter(col(FrameId).isNotNull)
 
     // Per-frame ball attributes live on the single BALL row of each
     // frame; one frame-key window fans them out to every object without

@@ -113,4 +113,40 @@ class SportecTwoPeriodSpec extends AnyFunSuite {
     val states = loaded.select("period_id", "ball_owning_team_id", "ball_state").distinct().collect()
     assert(states.forall(r => r.getString(1) === "T-HOME" && r.getString(2) === "alive"))
   }
+
+  test("only_alive filters dead-ball frames; malformed attributes null out, not fail") {
+    // dead second frame + a frame with a malformed X attribute
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<PutDataRequest>
+        |<Positions>
+        |<FrameSet GameSection="firstHalf" MatchId="M1" TeamId="T-HOME" PersonId="P-H1">
+        |<Frame N="10000" T="t" X="1.0" Y="1.0" D="0" S="0" A="0" M="1"/>
+        |<Frame N="10001" T="t" X="oops" Y="1.0" D="0" S="0" A="0" M="1"/>
+        |<Frame N="10002" T="t" X="3.0" Y="1.0" D="0" S="0" A="0" M="1"/>
+        |</FrameSet>
+        |<FrameSet GameSection="firstHalf" MatchId="M1" TeamId="BALL" PersonId="B">
+        |<Frame N="10000" T="t" X="0" Y="0" Z="0.1" BallPossession="1" BallStatus="1" D="0" S="0" A="0" M="1"/>
+        |<Frame N="10001" T="t" X="0" Y="0" Z="0.1" BallPossession="1" BallStatus="0" D="0" S="0" A="0" M="1"/>
+        |<Frame N="10002" T="t" X="0" Y="0" Z="0.1" BallPossession="1" BallStatus="1" D="0" S="0" A="0" M="1"/>
+        |</FrameSet>
+        |</Positions>
+        |</PutDataRequest>""".stripMargin
+    val t = "/tmp/graft_sportec_alive_tracking.xml"
+    Files.write(Paths.get(t), xml.getBytes("UTF-8"))
+
+    val all = SportecSource.load(spark, t, meta, orientation = "raw")
+    assert(all.count() === 6L)
+    // malformed X → null under the declared schema (PERMISSIVE), row kept
+    val bad = all.filter(col("frame_id") === 10001L && col("id") === "P-H1").head()
+    assert(bad.isNullAt(bad.fieldIndex("x")))
+    assert(bad.getAs[Double]("y") === 1.0)
+    assert(all.filter(col("frame_id") === 10001L).select("ball_state")
+      .distinct().head().getString(0) === "dead") // BallStatus != "1"
+
+    val alive = SportecSource.load(spark, t, meta, onlyAlive = true, orientation = "raw")
+    assert(alive.count() === 4L)
+    assert(alive.select("frame_id").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10000L, 10002L))
+  }
 }
