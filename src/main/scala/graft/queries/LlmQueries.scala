@@ -95,6 +95,88 @@ object LlmQueries extends QueryModule {
            |FROM t WHERE len(toks) > 0""".stripMargin
       }),
 
+    // ----- Gopher-style rule filter (quality pre-gate) -----
+    GraftQuery(
+      "q_doc_quality_rules",
+      (s, d) => graft.llm.QualityRules.signals(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+          round(col("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+          round(col("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+          col("stopword_distinct"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          col("gopher_pass")),
+      Some {
+        val stops = graft.llm.QualityRules.GopherStopwords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS nel,
+           |    $toksSql AS toks
+           |  FROM documents
+           |),
+           |s AS (
+           |  SELECT doc_id,
+           |    len(toks) AS n_words,
+           |    CAST(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))) AS DOUBLE)
+           |      / len(toks) AS mwl,
+           |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+           |      + (len(string_split(text, '...')) - 1)
+           |      + (len(string_split(text, '…')) - 1)) / len(toks) AS swr,
+           |    CASE WHEN len(nel) > 0 THEN
+           |      CAST(len(list_filter(nel, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(nel)
+           |      ELSE 0.0 END AS blr,
+           |    CASE WHEN len(nel) > 0 THEN
+           |      CAST(len(list_filter(nel, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(nel)
+           |      ELSE 0.0 END AS elr,
+           |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
+           |      / len(toks) AS awr,
+           |    CAST(len(list_intersect(list_distinct(toks), $stops)) AS INTEGER) AS stopword_distinct,
+           |    CASE WHEN len(nel) > 0 THEN
+           |      1.0 - CAST(len(list_distinct(nel)) AS DOUBLE) / len(nel)
+           |      ELSE 0.0 END AS dlf
+           |  FROM t WHERE len(toks) > 0
+           |)
+           |SELECT doc_id, n_words,
+           |  round(mwl, 6) AS mean_word_len,
+           |  round(swr, 6) AS symbol_word_ratio,
+           |  round(blr, 6) AS bullet_line_ratio,
+           |  round(elr, 6) AS ellipsis_line_ratio,
+           |  round(awr, 6) AS alpha_word_ratio,
+           |  stopword_distinct,
+           |  round(dlf, 6) AS dup_line_frac,
+           |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+           |    AND swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8
+           |    AND stopword_distinct >= 2 AND dlf <= 0.3 AS gopher_pass
+           |FROM s""".stripMargin
+      }),
+
+    // ----- repetition signal: top bigram coverage per document -----
+    GraftQuery(
+      "q_doc_top_bigram",
+      (s, d) => graft.llm.QualityRules.topBigramCoverage(Tables.documents(s, d))
+        .select(col("doc_id"), col("top_bigram"),
+          col("top_bigram_count").cast("long").as("top_bigram_count"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac")),
+      Some {
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |f AS (
+           |  SELECT doc_id, len(toks) AS n,
+           |    unnest(${Shingles.shinglesSql("toks", 2)}) AS bigram
+           |  FROM t WHERE len(toks) >= 2
+           |),
+           |c AS (SELECT doc_id, n, bigram, count(*) AS cnt FROM f GROUP BY doc_id, n, bigram),
+           |r AS (
+           |  SELECT doc_id, bigram, cnt, n,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+           |  FROM c
+           |)
+           |SELECT doc_id, bigram AS top_bigram, cnt AS top_bigram_count,
+           |  round(cnt * 2.0 / n, 6) AS top_bigram_frac
+           |FROM r WHERE rn = 1""".stripMargin
+      }),
+
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
     GraftQuery(
       "q_doc_lang_agg",

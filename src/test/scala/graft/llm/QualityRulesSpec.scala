@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityRulesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(rows: (String, String)*) =
+    QualityRules.signals(rows.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("signals: bullets, ellipses, duplicate lines, symbols") {
+    val good = ("good", ("the quick brown fox jumps over lazy dogs and cats " * 10).trim)
+    val bullets = ("bullets", "- item one\n- item two\n- item three\n* item four")
+    val dups = ("dups", "same line here\nsame line here\nsame line here\nother line")
+    val symbols = ("symbols", "lots ## of ### hashes # everywhere ## ...")
+    val m = run(good, bullets, dups, symbols)
+
+    assert(m("good").getAs[Boolean]("gopher_pass"))
+    assert(m("good").getAs[Double]("dup_line_frac") === 0.0)
+    assert(m("good").getAs[Int]("stopword_distinct") >= 2) // the, and
+
+    assert(m("bullets").getAs[Double]("bullet_line_ratio") === 1.0)
+    assert(!m("bullets").getAs[Boolean]("gopher_pass"))
+
+    assert(math.abs(m("dups").getAs[Double]("dup_line_frac") - 0.5) < 1e-12)
+
+    // 6 '#' chars + one '...' over 7 tokens = 1.0
+    assert(math.abs(m("symbols").getAs[Double]("symbol_word_ratio") - 1.0) < 1e-12)
+    assert(!m("symbols").getAs[Boolean]("gopher_pass"))
+  }
+
+  test("signals: empty docs drop; alpha ratio counts lettered tokens") {
+    val out = QualityRules.signals(Seq(
+      ("empty", "   "), ("nums", "1 2 3 4 abc")).toDF("doc_id", "text")).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "nums")
+    assert(math.abs(out.head.getAs[Double]("alpha_word_ratio") - 0.2) < 1e-12)
+  }
+
+  test("topBigramCoverage: counts, fraction, lexicographic tie-break") {
+    val df = Seq(
+      ("rep", "a b a b a b c"),      // "a b" x3 of 6 bigrams, n=7
+      ("tie", "x y z"),              // "x y" and "y z" once each -> smallest wins
+      ("short", "solo")).toDF("doc_id", "text")
+    val m = QualityRules.topBigramCoverage(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!m.contains("short")) // <2 tokens
+    assert(m("rep").getAs[String]("top_bigram") === "a b")
+    assert(m("rep").getAs[Long]("top_bigram_count") === 3L)
+    assert(math.abs(m("rep").getAs[Double]("top_bigram_frac") - 6.0 / 7.0) < 1e-12)
+    assert(m("tie").getAs[String]("top_bigram") === "x y")
+  }
+}
