@@ -46,6 +46,16 @@ object CurationPipeline {
     else base.filter(col("lang_guess").isin(languages: _*))
   }
 
+  /** Stage 2b (optional, composable with [[gate]]): the Gopher-style
+    * rule gate — keep only documents whose [[QualityRules.signals]]
+    * pass the composite rule filter. One left-semi join on the doc id;
+    * the signals themselves are shuffle-free. */
+  def gopherGate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      QualityRules.signals(docs, idCol, textCol)
+        .filter(col("gopher_pass")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Stage 3: MinHash near-dup candidate pairs with exact Jaccard
     * verification, guarded against degenerate band buckets. */
   def nearDuplicatePairs(

@@ -177,6 +177,44 @@ object LlmQueries extends QueryModule {
            |FROM r WHERE rn = 1""".stripMargin
       }),
 
+    // ----- PII/URL scrubbing (masked text + telemetry counts). The
+    // synthetic corpus has no identifiers, so each doc is salted with
+    // a URL / e-mail / IP prefix in BOTH engines — every row exercises
+    // every pattern, not just the no-match path. -----
+    GraftQuery(
+      "q_doc_scrub",
+      (s, d) => graft.llm.Scrub.scrub(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("see https://ex.com/p/"), col("doc_id"),
+            lit(" mail me at u"), col("doc_id"), lit("@mail.example.org or 10.0.0."),
+            pmod(col("doc_id"), lit(256)), lit(" :: "), col("text")).as("text")))
+        .select(col("doc_id"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("scrubbed")),
+      Some {
+        val url = graft.llm.Scrub.UrlPattern
+        val email = graft.llm.Scrub.EmailPattern
+        val ip = graft.llm.Scrub.Ipv4Pattern
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    'see https://ex.com/p/' || doc_id || ' mail me at u' || doc_id ||
+           |    '@mail.example.org or 10.0.0.' || (doc_id % 256) || ' :: ' || text AS text
+           |  FROM documents
+           |),
+           |s1 AS (SELECT doc_id, text,
+           |  len(regexp_extract_all(text, '$url')) AS n_urls,
+           |  regexp_replace(text, '$url', '<URL>', 'g') AS t1 FROM t),
+           |s2 AS (SELECT doc_id, n_urls,
+           |  len(regexp_extract_all(t1, '$email')) AS n_emails,
+           |  regexp_replace(t1, '$email', '<EMAIL>', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT doc_id, n_urls, n_emails,
+           |  len(regexp_extract_all(t2, '$ip')) AS n_ips,
+           |  regexp_replace(t2, '$ip', '<IP>', 'g') AS scrubbed FROM s2)
+           |SELECT doc_id, n_urls, n_emails, n_ips, scrubbed FROM s3""".stripMargin
+      }),
+
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
     GraftQuery(
       "q_doc_lang_agg",

@@ -41,6 +41,32 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(math.abs(out.head.getAs[Double]("alpha_word_ratio") - 0.2) < 1e-12)
   }
 
+  test("scrub masks URLs, e-mails, IPv4s with counts; ordering protects nested matches") {
+    val df = Seq(
+      ("a", "visit https://x.org/a?b=1 or www.y.com now"),
+      ("b", "mail bob@corp.io and alice@ex.co from 192.168.1.7"),
+      ("c", "clean text only")).toDF("doc_id", "text")
+    val m = Scrub.scrub(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Int]("n_urls") === 2)
+    assert(m("a").getAs[String]("scrubbed") === "visit <URL> or <URL> now")
+    assert(m("b").getAs[Int]("n_emails") === 2 && m("b").getAs[Int]("n_ips") === 1)
+    assert(m("b").getAs[String]("scrubbed") === "mail <EMAIL> and <EMAIL> from <IP>")
+    assert(m("c").getAs[String]("scrubbed") === "clean text only")
+    // a URL containing an e-mail-ish path is consumed by the URL pass
+    val nested = Scrub.scrub(Seq(("n", "http://h.io/u@v.w rest")).toDF("doc_id", "text")).head()
+    assert(nested.getAs[String]("scrubbed") === "<URL> rest")
+    assert(nested.getAs[Int]("n_emails") === 0)
+  }
+
+  test("gopherGate keeps only rule-passing documents") {
+    val df = Seq(
+      ("pass", ("the quick brown fox jumps over lazy dogs and cats " * 10).trim),
+      ("fail", "- a\n- b\n- c")).toDF("doc_id", "text")
+    val kept = graft.api.CurationPipeline.gopherGate(df)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("pass"))
+  }
+
   test("topBigramCoverage: counts, fraction, lexicographic tie-break") {
     val df = Seq(
       ("rep", "a b a b a b c"),      // "a b" x3 of 6 bigrams, n=7
