@@ -215,6 +215,34 @@ object LlmQueries extends QueryModule {
            |SELECT doc_id, n_urls, n_emails, n_ips, scrubbed FROM s3""".stripMargin
       }),
 
+    // ----- corpus-level line dedup (C4-style boilerplate removal).
+    // Every doc is salted with the same footer line plus a unique
+    // line, so the banned-line path fires on every row while the
+    // unique content survives. -----
+    GraftQuery(
+      "q_doc_line_dedup",
+      (s, d) => graft.llm.LineDedup.dedupLines(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit("\nSHARED BOILERPLATE FOOTER\nunique "),
+            col("doc_id")).as("text")),
+        maxOccurrences = 2L),
+      Some {
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    text || chr(10) || 'SHARED BOILERPLATE FOOTER' || chr(10) ||
+           |    'unique ' || doc_id AS text
+           |  FROM documents
+           |),
+           |l AS (
+           |  SELECT doc_id, generate_subscripts(lines, 1) AS idx, unnest(lines) AS line
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d)
+           |),
+           |b AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
+           |k AS (SELECT l.* FROM l ANTI JOIN b USING (line))
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+           |FROM k GROUP BY doc_id""".stripMargin
+      }),
+
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
     GraftQuery(
       "q_doc_lang_agg",

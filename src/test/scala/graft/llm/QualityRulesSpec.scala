@@ -67,6 +67,25 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(kept === Seq("pass"))
   }
 
+  test("dedupLines removes corpus-repeated lines, keeps document order, drops emptied docs") {
+    val df = Seq(
+      ("a", "keep a1\nBOILER\nkeep a2"),
+      ("b", "BOILER\nkeep b1"),
+      ("c", "keep c1\nBOILER"),
+      ("d", "BOILER")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(df, maxOccurrences = 2L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") === "keep a1\nkeep a2") // order preserved around the removed line
+    assert(out("b") === "keep b1")
+    assert(out("c") === "keep c1")
+    assert(!out.contains("d")) // every line banned → doc drops
+    // at the threshold (exactly maxOccurrences) lines survive
+    val ok = LineDedup.dedupLines(
+      Seq(("x", "twice"), ("y", "twice")).toDF("doc_id", "text"), maxOccurrences = 2L)
+      .count()
+    assert(ok === 2L)
+  }
+
   test("topBigramCoverage: counts, fraction, lexicographic tie-break") {
     val df = Seq(
       ("rep", "a b a b a b c"),      // "a b" x3 of 6 bigrams, n=7
