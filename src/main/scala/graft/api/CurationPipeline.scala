@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * `graft.llm` operators (no counterpart in the reference repo; this
   * realizes the engine brief's curation requirements end-to-end):
   *
+  *  0. Optional pre-passes, each independently oracle-verified:
+  *     [[graft.llm.Scrub.scrub]] (URL/e-mail/IP masking),
+  *     [[graft.llm.LineDedup.dedupLines]] (corpus-level boilerplate
+  *     line removal), [[gopherGate]] (Gopher rule filter).
   *  1. [[score]] — row-local text stats: token counts, language ID,
   *     quality score (no shuffle).
   *  2. [[gate]] — quality/language filters (predicate-pushdown
