@@ -206,7 +206,17 @@ object GraphConverter {
       X, Y, Z, Vx, Vy, Vz, Speed, "node_idx")
     def sided(prefix: String): DataFrame =
       indexed.select(frameKeys.map(col) ++ cols.map(c => col(c).as(s"${prefix}_$c")): _*)
-    val p = sided("i").join(sided("j"), frameKeys)
+    val p0 = sided("i").join(sided("j"), frameKeys)
+    // Delaunay needs the per-frame edge table (a geometric, not
+    // pairwise-predicate, relation): left-join it onto the dense pair
+    // table so absent pairs keep a=0 for the matrix assembly. One
+    // extra (frame, i, j)-keyed shuffle, edge table is ~3 rows per
+    // player per frame.
+    val p = if (settings.adjacencyMatrixType == GraphSettings.Delaunay)
+      p0.join(
+        graft.graphs.Delaunay.edges(df).withColumn("__delaunay", lit(true)),
+        frameKeys ++ Seq(s"i_$ObjectId", s"j_$ObjectId"), "left")
+    else p0
 
     val iTeam = col(s"i_$TeamId"); val jTeam = col(s"j_$TeamId")
     val iBall = iTeam === Ball; val jBall = jTeam === Ball
@@ -219,6 +229,9 @@ object GraphConverter {
         val jDef = !jBall && jTeam =!= owning
         iDef && jDef
       case SplitByTeam => iTeam === jTeam
+      // legacy-reference Delaunay (adjacency_matrix.py:60-124):
+      // triangle edges only, no player self-loops, ball via connect
+      case Delaunay => coalesce(col("__delaunay"), lit(false))
       case other => throw new NotImplementedError(s"$other matrix not implemented for Soccer...")
     }
     val connected: Column = settings.adjacencyMatrixConnectType match {
@@ -229,6 +242,7 @@ object GraphConverter {
     }
     p.withColumn("a", connected.cast("int"))
       .withColumn("e_features", array(Features.edgeFeatureColumns(settings, feats): _*))
+      .drop("__delaunay")
   }
 
   /** Full conversion to the nested per-frame graph schema

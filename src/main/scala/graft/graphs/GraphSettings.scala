@@ -20,8 +20,10 @@ final case class GraphSettings(
     "Please specify an existing AdjacencyMatrixType...")
   require(Set(ConnectBall, ConnectBallCarrier, ConnectNone)(adjacencyMatrixConnectType),
     "Please specify an existing AdjacenyMatrixConnectType...")
-  // The active reference path raises for Delaunay (adjacency_matrix_pl.py:32-33)
-  require(adjacencyMatrixType != Delaunay, "Delaunay matrix not implemented for Soccer...")
+  // Delaunay: the reference's active polars path raises here
+  // (adjacency_matrix_pl.py:32-33), but its legacy numpy path defines
+  // the semantics (adjacency_matrix.py:60-124) and we implement them
+  // (graphs/Delaunay.scala) — a strict superset of the reference.
 
   /** √(L²+W²) — distance normalizer (`graph_settings.py:55-60`). */
   def maxDistance: Double = math.sqrt(

@@ -369,6 +369,19 @@ object GraphQueries extends QueryModule {
           |       ELSE 'validation' END AS split
           |FROM gbucket""".stripMargin))),
 
+    // ----- G1 delaunay adjacency (legacy-reference semantics; the
+    // active reference path raises NotImplementedError, so this is a
+    // superset — DuckDB cannot triangulate, rows-only check; the
+    // defining empty-circumcircle property is spec-verified) -----
+    GraftQuery(
+      "q_graph_adjacency_delaunay",
+      (s, d) => GraphConverter.pairs(pipeline(s, d),
+        GraphSettings(adjacencyMatrixType = GraphSettings.Delaunay, pad = false))
+        .filter(col("a") === 1)
+        .select(col(GameId), col(PeriodId), col(FrameId),
+          col(s"i_$ObjectId").as("i_id"), col(s"j_$ObjectId").as("j_id")),
+      None),
+
     // ----- M12 exact-count split (reference permutation semantics) -----
     // The oracle replays the same permutation: bucket-major hash order
     // (h % 1024, h, key) over distinct graph_ids, floor-sized train and

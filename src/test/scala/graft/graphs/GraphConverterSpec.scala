@@ -69,9 +69,12 @@ class GraphConverterSpec extends AnyFunSuite {
     assert(!carrier.contains((1, 4)) && !carrier.contains((4, 1)))
   }
 
-  test("delaunay raises like the reference") {
+  test("delaunay settings accepted (superset of the reference, which raises); unknown types still rejected") {
+    // the active reference path raises here (adjacency_matrix_pl.py:32-33);
+    // we implement the legacy semantics instead — see DelaunaySpec
+    GraphSettings(adjacencyMatrixType = GraphSettings.Delaunay)
     intercept[IllegalArgumentException] {
-      GraphSettings(adjacencyMatrixType = GraphSettings.Delaunay)
+      GraphSettings(adjacencyMatrixType = "voronoi")
     }
   }
 

@@ -108,6 +108,16 @@ class EfpiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Efpi.addSegmentId(df, "5x"))
   }
 
+  test("malformed every-duration raises, like the reference (test_soccer.py:1591-1604)") {
+    val df = trackingDf(Seq(("g", 1, 1L, 40000L, "h1", "home", 1.0, 1.0, "home")))
+    intercept[IllegalArgumentException] {
+      Efpi.fit(spark, df, Efpi.Config(every = "5mm"))
+    }
+    intercept[IllegalArgumentException] {
+      Efpi.fit(spark, df, Efpi.Config(every = "m5"))
+    }
+  }
+
   test("substitution drop removes shortest-appearing players beyond 11") {
     // 12 outfield players in one segment; p12 appears least
     val rows = (1 to 12).flatMap { p =>
