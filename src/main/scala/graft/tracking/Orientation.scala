@@ -25,27 +25,43 @@ object Orientation {
     * already LTR), sides are assumed to alternate each period, and the
     * periods where home would attack RTL are rotated 180° (x and y
     * negated — kloppy's flip is a point reflection, not a mirror).
+    * Distances, angles and all magnitude-derived quantities
+    * (kinematics v/a, TTI/PTI) are invariant under the rotation.
     *
-    * `df` must carry the canonical game/period/frame/x/y columns plus
-    * a boolean `is_home` column for player rows (null/false for the
-    * ball). The detection aggregate is one extra pruned scan reduced
-    * to a row per game, broadcast back — no wide shuffle. Distances,
-    * angles and all magnitude-derived quantities (kinematics v/a,
-    * TTI/PTI) are invariant under the rotation. */
-  def staticHomeAway(df: DataFrame, isHome: org.apache.spark.sql.Column,
-      isBall: org.apache.spark.sql.Column): DataFrame = {
-    val p1 = df.filter(col(PeriodId) === 1 && !isBall)
-    val firstFrame = p1.groupBy(col(GameId)).agg(min(col(FrameId)).as("__fn"))
-    val ltr = p1.join(broadcast(firstFrame), Seq(GameId))
-      .filter(col(FrameId) === col("__fn"))
+    * Split in two so readers keep their source-scan count bounded:
+    * [[detectHomeLtrP1]] builds the per-game decision table (callers
+    * should feed it the CHEAPEST upstream relation that has
+    * game/period/frame/x/is_home — re-deriving it from the fully
+    * joined table would re-expand the whole load lineage per
+    * reference, the re-scan trap PlanAuditSpec pins); [[staticHomeAway]]
+    * applies it with one broadcast join. */
+  def detectHomeLtrP1(df: DataFrame, isHome: org.apache.spark.sql.Column,
+      isBall: org.apache.spark.sql.Column): DataFrame =
+    // ONE pruned scan: per-(game, frame) team means, then an
+    // order-free struct-min picks the first frame's row per game
+    df.filter(col(PeriodId) === 1 && !isBall)
+      .groupBy(col(GameId), col(FrameId))
+      .agg(avg(when(isHome, col(X))).as("__hx"),
+        avg(when(!isHome, col(X))).as("__ax"))
       .groupBy(col(GameId))
-      .agg((avg(when(isHome, col(X))) < avg(when(!isHome, col(X)))).as("__ltr"))
-    df.join(broadcast(ltr), Seq(GameId), "left")
+      .agg(min(struct(col(FrameId), col("__hx"), col("__ax"))).as("__f"))
+      .select(col(GameId),
+        (col("__f.__hx") < col("__f.__ax")).as("home_ltr_p1"))
+
+  /** Applies the [[detectHomeLtrP1]] table: rotate the periods where
+    * home would attack right-to-left. */
+  def staticHomeAway(df: DataFrame, homeLtrP1: DataFrame): DataFrame =
+    df.join(broadcast(homeLtrP1.select(col(GameId), col("home_ltr_p1"))), Seq(GameId), "left")
       .withColumn("__flip",
-        when(coalesce(col("__ltr"), lit(true)), col(PeriodId) % 2 === 0)
+        when(coalesce(col("home_ltr_p1"), lit(true)), col(PeriodId) % 2 === 0)
           .otherwise(col(PeriodId) % 2 === 1))
       .withColumn(X, when(col("__flip"), -col(X)).otherwise(col(X)))
       .withColumn(Y, when(col("__flip"), -col(Y)).otherwise(col(Y)))
-      .drop("__ltr", "__flip")
-  }
+      .drop("home_ltr_p1", "__flip")
+
+  /** Convenience: detect from `df` itself (re-reads `df`'s lineage —
+    * fine for cached/canonical tables, avoid inside readers). */
+  def staticHomeAway(df: DataFrame, isHome: org.apache.spark.sql.Column,
+      isBall: org.apache.spark.sql.Column): DataFrame =
+    staticHomeAway(df, detectHomeLtrP1(df, isHome, isBall))
 }

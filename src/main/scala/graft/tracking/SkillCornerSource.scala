@@ -207,7 +207,14 @@ object SkillCornerSource {
 
     val oriented = orientation match {
       case "raw" => base
-      case _ => Orientation.staticHomeAway(base, col("is_home"), col("is_ball_row"))
+      case _ =>
+        // detect from the pre-join relation to keep source scans
+        // bounded (see Orientation scaladoc / PlanAuditSpec)
+        val ltrSrc = withGame.filter(col("to_id") =!= col("ball_to"))
+          .join(broadcast(rosterDf),
+            col(GameId) === col("r_game") && col("to_id") === col("r_id"))
+        val ltr = Orientation.detectHomeLtrP1(ltrSrc, col("is_home"), lit(false))
+        Orientation.staticHomeAway(base, ltr)
     }
     oriented.select(GameId, PeriodId, FrameId, Timestamp, ObjectId, TeamId,
       PositionName, X, Y, Z, BallState, BallOwningTeamId)

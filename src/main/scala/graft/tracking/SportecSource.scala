@@ -271,7 +271,16 @@ object SportecSource {
 
     val oriented = orientation match {
       case "raw" => base
-      case _ => Orientation.staticHomeAway(base, col("is_home"), col("is_ball_row"))
+      case _ =>
+        // detect the flip from the CHEAP upstream relation (raw +
+        // roster, tiny aggregates) — detecting from `base` would
+        // re-expand the whole joined lineage per reference and
+        // multiply source scans (PlanAuditSpec pins the bound)
+        val ltrSrc = raw.filter(!col("is_ball_row"))
+          .join(broadcast(rosterDf),
+            col(GameId) === col("r_game") && col("fs_person") === col("r_id"), "left")
+        val ltr = Orientation.detectHomeLtrP1(ltrSrc, col("is_home"), lit(false))
+        Orientation.staticHomeAway(base, ltr)
     }
 
     val filtered = if (onlyAlive) oriented.filter(col(BallState) === "alive") else oriented

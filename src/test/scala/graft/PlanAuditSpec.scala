@@ -97,6 +97,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sportec load: per-match aggregates broadcast, one frame-key window shuffle") {
+    import graft.tracking.SportecSource
+    val files = "/root/reference/tests/files"
+    // another suite may have cached this exact load — a cache hit would
+    // replace the audited subtree with an InMemoryTableScan
+    spark.catalog.clearCache()
+    val df = SportecSource.load(spark,
+      s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every join against the per-match aggregates (offsets, games,
+    // roster, orientation) must broadcast — the frame-row side never
+    // shuffles for a join (the tiny aggregate subtrees shuffle their
+    // row-per-match outputs, which is irrelevant at scale)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a per-match join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in load plan:\n$p")
+    // bounded source scans: tracking feeds the main path + the section
+    // offsets + the orientation detection (3), meta feeds games + the
+    // two roster joins (3) — NOT one scan per downstream reference
+    // (sparkPlan: the single pre-AQE plan, so each scan prints once)
+    val single = df.queryExecution.sparkPlan.toString
+    val scans = "FileScan xml".r.findAllIn(single).size
+    assert(scans <= 6, s"tracking/meta XML scanned $scans times:\n$single")
+  }
+
   test("chunking is shuffle-free: no Exchange anywhere in the plan") {
     val df = graft.llm.Chunker.chunks(Tables.documents(spark, sf), "doc_id", "text")
     df.collect()

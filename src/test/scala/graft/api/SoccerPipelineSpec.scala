@@ -66,6 +66,27 @@ class SoccerPipelineSpec extends AnyFunSuite {
     assert(efpi.count() > 0)
   }
 
+  test("loadSkillCorner: provider JSON through the facade (sample structured data)") {
+    // reuse the spec sample written by SkillCornerSourceSpec's schema
+    val structured = "/tmp/graft_skillcorner_sample.json"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(structured))) {
+      // minimal two-frame sample if the other spec hasn't run yet
+      java.nio.file.Files.write(java.nio.file.Paths.get(structured),
+        """[{"frame":1,"period":1,"timestamp":"0:00:00.00","possession":{"trackable_object":2405,"group":"home team"},
+          | "data":[{"track_id":1,"trackable_object":2405,"x":-20.0,"y":5.0},
+          |         {"track_id":4,"trackable_object":55,"x":0.5,"y":0.2,"z":0.11}]},
+          |{"frame":2,"period":1,"timestamp":"0:00:00.10","possession":{"trackable_object":2405,"group":"home team"},
+          | "data":[{"track_id":1,"trackable_object":2405,"x":-19.9,"y":5.0},
+          |         {"track_id":4,"trackable_object":55,"x":0.6,"y":0.2,"z":0.11}]}]""".stripMargin.getBytes("UTF-8"))
+    }
+    val prepared = SoccerPipeline.loadSkillCorner(spark, structured,
+      "/root/reference/tests/files/skillcorner_match_data.json",
+      playerSmoothing = None, ballSmoothing = None)
+    assert(prepared.count() > 0)
+    assert(prepared.columns.contains("v") && prepared.columns.contains("is_ball_carrier"))
+    assert(prepared.select("game_id").distinct().head().getString(0) === "2417")
+  }
+
   test("loadSportec: provider XML through the full facade journey") {
     val files = "/root/reference/tests/files"
     val prepared = SoccerPipeline.loadSportec(spark,
