@@ -235,6 +235,12 @@ object GraphConverter {
       case other => throw new NotImplementedError(s"$other matrix not implemented for Soccer...")
     }
     val connected: Column = settings.adjacencyMatrixConnectType match {
+      // Legacy delaunay keeps the ball self-loop OFF: its `b` block is
+      // `1 if self_loop_ball else 0` with self_loop_ball=False
+      // (adjacency_matrix.py:104-124), unlike dense's b=[[1]] — so the
+      // ball connects to every player (XOR) but not to itself.
+      case ConnectBall if settings.adjacencyMatrixType == Delaunay =>
+        base || (iBall =!= jBall)
       case ConnectBall => base || iBall || jBall
       case ConnectBallCarrier =>
         base || (col(s"i_$IsBallCarrier") && jBall) || (iBall && col(s"j_$IsBallCarrier"))

@@ -37,11 +37,18 @@ object LineDedup {
       .filter(col("__cnt") > maxOccurrences)
       .select(col("__h"))
 
-    lines.join(banned, Seq("__h"), "left_anti")
+    val rebuilt = lines.join(banned, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
           s => s.getField("__line")),
         "\n").as(textCol))
+
+    // A document whose EVERY line is banned boilerplate has no
+    // surviving rows and would vanish from the aggregate — surface it
+    // as an empty-text row instead so downstream doc_id joins keep it.
+    docs.select(col(idCol)).dropDuplicates(idCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 }

@@ -60,6 +60,12 @@ object PressingIntensity {
       df: DataFrame,
       settings: TrackingSettings = TrackingSettings(),
       params: Params = Params()): DataFrame = {
+    // home/away orients compare team_id against the home id in BOTH the
+    // full-method node ordering and the transpose decision; with it
+    // unset every comparison would be silently false (id-order nodes,
+    // never transposed) instead of an error.
+    require(!Set("home_away", "away_home")(params.orient) || settings.homeTeamId.isDefined,
+      s"orient='${params.orient}' requires TrackingSettings.homeTeamId to be set")
     val isBall = col(TeamId) === Ball
     val isOwning = col(TeamId) === col(BallOwningTeamId)
 

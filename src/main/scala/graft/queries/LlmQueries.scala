@@ -238,9 +238,11 @@ object LlmQueries extends QueryModule {
            |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d)
            |),
            |b AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
-           |k AS (SELECT l.* FROM l ANTI JOIN b USING (line))
-           |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
-           |FROM k GROUP BY doc_id""".stripMargin
+           |k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+           |      FROM k GROUP BY doc_id)
+           |SELECT ids.doc_id, coalesce(r.text, '') AS text
+           |FROM (SELECT DISTINCT doc_id FROM d) ids LEFT JOIN r USING (doc_id)""".stripMargin
       }),
 
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----

@@ -174,7 +174,18 @@ object SkillCornerSource {
         col("d.x").as(X), col("d.y").as(Y),
         coalesce(col("d.z"), lit(0.0)).as(Z))
 
-    // single-match files: stamp game/team ids from the (1-row) match data
+    // single-match files: stamp game/team ids from the (1-row) match
+    // data. The crossJoin is only sound with exactly one match row — a
+    // glob/directory of several match_data files would silently
+    // duplicate every frame per match with wrong game_id stamping, so
+    // fail fast instead (the structured frames carry no match id to
+    // key a real join on). The count is a driver-side action on a tiny
+    // metadata JSON.
+    val nGames = gamesDf.limit(2).count()
+    require(nGames == 1,
+      s"matchDataPath must resolve to exactly one SkillCorner match_data " +
+        s"document (found ${if (nGames == 0) "none" else "several"}: " +
+        s"$matchDataPath); load one match at a time and union the results")
     val withGame = exploded.crossJoin(broadcast(
       gamesDf.select(col(GameId), col("home_team_id"), col("away_team_id"),
         col("ball_trackable_object").cast(StringType).as("ball_to"))))
@@ -213,7 +224,7 @@ object SkillCornerSource {
         val ltrSrc = withGame.filter(col("to_id") =!= col("ball_to"))
           .join(broadcast(rosterDf),
             col(GameId) === col("r_game") && col("to_id") === col("r_id"))
-        val ltr = Orientation.detectHomeLtrP1(ltrSrc, col("is_home"), lit(false))
+        val ltr = Orientation.detectHomeLtr(ltrSrc, col("is_home"), lit(false))
         Orientation.staticHomeAway(base, ltr)
     }
     oriented.select(GameId, PeriodId, FrameId, Timestamp, ObjectId, TeamId,

@@ -279,7 +279,7 @@ object SportecSource {
         val ltrSrc = raw.filter(!col("is_ball_row"))
           .join(broadcast(rosterDf),
             col(GameId) === col("r_game") && col("fs_person") === col("r_id"), "left")
-        val ltr = Orientation.detectHomeLtrP1(ltrSrc, col("is_home"), lit(false))
+        val ltr = Orientation.detectHomeLtr(ltrSrc, col("is_home"), lit(false))
         Orientation.staticHomeAway(base, ltr)
     }
 

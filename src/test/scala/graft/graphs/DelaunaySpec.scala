@@ -109,8 +109,10 @@ class DelaunaySpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSet
     // symmetry
     assert(on.forall { case (f, i, j) => on.contains((f, j, i)) })
-    // no player self-loops; ball row/col all on (connect type "ball")
-    assert(!on.exists { case (_, i, j) => i == j && i != "ball" })
+    // no self-loops at all — including the ball: the legacy reference's
+    // delaunay b-block is `1 if self_loop_ball else 0` with
+    // self_loop_ball=False (adjacency_matrix.py:104-124)
+    assert(!on.exists { case (_, i, j) => i == j })
     (1 to 3).foreach { f =>
       (1 to 11).foreach { i =>
         assert(on.contains((f.toLong, s"h$i", "ball")) && on.contains((f.toLong, "ball", s"h$i")))

@@ -67,7 +67,7 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(kept === Seq("pass"))
   }
 
-  test("dedupLines removes corpus-repeated lines, keeps document order, drops emptied docs") {
+  test("dedupLines removes corpus-repeated lines, keeps document order, empties all-banned docs") {
     val df = Seq(
       ("a", "keep a1\nBOILER\nkeep a2"),
       ("b", "BOILER\nkeep b1"),
@@ -78,7 +78,7 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(out("a") === "keep a1\nkeep a2") // order preserved around the removed line
     assert(out("b") === "keep b1")
     assert(out("c") === "keep c1")
-    assert(!out.contains("d")) // every line banned → doc drops
+    assert(out("d") === "") // every line banned → doc survives as empty text
     // at the threshold (exactly maxOccurrences) lines survive
     val ok = LineDedup.dedupLines(
       Seq(("x", "twice"), ("y", "twice")).toDF("doc_id", "text"), maxOccurrences = 2L)

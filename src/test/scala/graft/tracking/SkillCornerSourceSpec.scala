@@ -99,16 +99,39 @@ class SkillCornerSourceSpec extends AnyFunSuite {
     assert(ts((2, 40001L)) === 100000L)
   }
 
-  test("STATIC_HOME_AWAY: no flip in period 1 (home already LTR), 180-degree flip in period 2") {
-    // p1 first frame: home mean x = -32.5 < away 10.0 → home LTR, p1 raw
+  test("STATIC_HOME_AWAY detects per period: home LTR in both halves here → nothing flips") {
+    // p1 first frame: home mean x = -32.5 < away 10.0 → home LTR, raw
     val p1 = loaded.filter(col("frame_id") === 2001 && col("id") === "2405").head()
     assert(p1.getAs[Double]("x") === -20.0 && p1.getAs[Double]("y") === 5.0)
-    // p2 flips both axes
+    // p2 first frame: home -20.0 < away 15.0 → home STILL LTR (a
+    // non-alternating feed, e.g. already normalized upstream) → kloppy
+    // flips exactly the RTL periods, i.e. none — a parity rule would
+    // have silently rotated the half
     val p2 = loaded.filter(col("frame_id") === 40000 && col("id") === "2405").head()
-    assert(p2.getAs[Double]("x") === 20.0 && p2.getAs[Double]("y") === -5.0)
+    assert(p2.getAs[Double]("x") === -20.0 && p2.getAs[Double]("y") === 5.0)
     // canonical columns: team/position from the roster join
     assert(p2.getAs[String]("team_id") === "100")
     assert(p2.getAs[String]("position_name") === "LCB")
+  }
+
+  test("STATIC_HOME_AWAY rotates the RTL periods 180 degrees") {
+    // same schema, sides genuinely switch at half time: home RTL in p2
+    val frames =
+      """[
+        |{"frame":1,"period":1,"timestamp":"0:00:00.00","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":-20.0,"y":5.0},
+        |         {"track_id":3,"trackable_object":6806,"x":10.0,"y":-3.0}]},
+        |{"frame":50000,"period":2,"timestamp":"0:45:00.00","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":20.0,"y":-5.0},
+        |         {"track_id":3,"trackable_object":6806,"x":-10.0,"y":3.0}]}
+        |]""".stripMargin
+    val p = "/tmp/graft_skillcorner_flip_sample.json"
+    Files.write(Paths.get(p), frames.getBytes("UTF-8"))
+    val flipped = SkillCornerSource.load(spark, p, matchData)
+    val p1 = flipped.filter(col("frame_id") === 1 && col("id") === "2405").head()
+    assert(p1.getAs[Double]("x") === -20.0 && p1.getAs[Double]("y") === 5.0)
+    val p2 = flipped.filter(col("frame_id") === 50000 && col("id") === "2405").head()
+    assert(p2.getAs[Double]("x") === -20.0 && p2.getAs[Double]("y") === 5.0)
   }
 
   test("ball carries z and the sentinel ids; players z = 0") {
