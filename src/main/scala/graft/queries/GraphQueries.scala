@@ -371,8 +371,13 @@ object GraphQueries extends QueryModule {
 
     // ----- G1 delaunay adjacency (legacy-reference semantics; the
     // active reference path raises NotImplementedError, so this is a
-    // superset — DuckDB cannot triangulate, rows-only check; the
-    // defining empty-circumcircle property is spec-verified) -----
+    // superset). DuckDB cannot triangulate, so the oracle reads the
+    // committed golden parquet (goldens/delaunay_sf0.01.parquet,
+    // written by graft.tools.GoldenGen) — an independent regression
+    // anchor whose correctness is pinned by DelaunaySpec's defining
+    // empty-circumcircle property and hand-computed small cases; the
+    // edge list itself is exact ids/keys (no floats), so the golden is
+    // bit-stable across runs. -----
     GraftQuery(
       "q_graph_adjacency_delaunay",
       (s, d) => GraphConverter.pairs(pipeline(s, d),
@@ -380,7 +385,7 @@ object GraphQueries extends QueryModule {
         .filter(col("a") === 1)
         .select(col(GameId), col(PeriodId), col(FrameId),
           col(s"i_$ObjectId").as("i_id"), col(s"j_$ObjectId").as("j_id")),
-      None),
+      Some("SELECT * FROM read_parquet('/root/repo/goldens/delaunay_sf0.01.parquet')")),
 
     // ----- M12 exact-count split (reference permutation semantics) -----
     // The oracle replays the same permutation: bucket-major hash order

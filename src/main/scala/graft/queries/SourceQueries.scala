@@ -73,17 +73,20 @@ object SourceQueries extends QueryModule {
 
     // Real provider ingestion (the true S1): DFL/Sportec position XML →
     // canonical long table via the built-in XML source. DuckDB has no
-    // XML reader, so this is a rows-only check here; the exact-value
-    // ground truth lives in SportecFixtureGoldensSpec (483 rows, kloppy
-    // position codes, first-frame kinematics, TTI 2.6428493704618106 —
-    // the reference's own test goldens).
+    // XML reader, so the oracle reads the committed golden parquet
+    // (goldens/sportec_load.parquet, written by graft.tools.GoldenGen)
+    // — an independent regression anchor whose VALUES are pinned by
+    // SportecFixtureGoldensSpec against the reference's own test
+    // goldens (483 rows, kloppy position codes, first-frame
+    // kinematics, TTI 2.6428493704618106): if the loader ever drifts,
+    // the hash compare fails the round.
     GraftQuery(
       "q_sportec_load",
       (s, _) => {
         val files = "/root/reference/tests/files"
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
-      None),
+      Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')")),
 
     // SkillCorner match-data (squad) parsing over the reference's real
     // fixture, hash-matched against DuckDB's own JSON reader.
