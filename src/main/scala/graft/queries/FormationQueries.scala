@@ -161,6 +161,41 @@ object FormationQueries extends QueryModule {
 
   private lazy val lib = Templates.library(SmallFormations)
 
+  /** Possession sessionization → per-segment mean coordinates, shared
+    * by the possession-mode and hysteresis queries. */
+  private val possessionSegCtes: String =
+    """pframes AS (SELECT DISTINCT game_id, period_id, frame_id, owning FROM flipped),
+      |pchg AS (
+      |  SELECT game_id, period_id, frame_id,
+      |    CASE WHEN coalesce((owning <> lag(owning) OVER w)
+      |              OR (period_id <> lag(period_id) OVER w), TRUE)
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM pframes
+      |  WINDOW w AS (PARTITION BY game_id ORDER BY frame_id)
+      |),
+      |pseg AS (
+      |  SELECT game_id, period_id, frame_id,
+      |    CAST(sum(chg) OVER (PARTITION BY game_id ORDER BY frame_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
+      |  FROM pchg
+      |),
+      |segd AS (
+      |  SELECT f.*, g.segment_id FROM flipped f
+      |  JOIN pseg g USING (game_id, period_id, frame_id)
+      |),
+      |spl AS (
+      |  SELECT game_id, period_id, segment_id, id,
+      |    max(team_id) AS team_id,
+      |    round(avg(x), 9) AS x, round(avg(y), 9) AS y, owning
+      |  FROM segd WHERE team_id <> 'ball'
+      |  GROUP BY game_id, period_id, owning, id, segment_id
+      |),
+      |sball AS (
+      |  SELECT game_id, period_id, segment_id
+      |  FROM (SELECT DISTINCT game_id, period_id, owning, segment_id
+      |        FROM segd WHERE team_id = 'ball')
+      |)""".stripMargin
+
   private val finalSelect =
     """SELECT game_id, period_id, segment_id, id, team_id, position, formation, is_attacking
       |FROM (SELECT * FROM outp UNION ALL SELECT * FROM ballout)""".stripMargin
@@ -243,38 +278,77 @@ object FormationQueries extends QueryModule {
         Efpi.Config(every = "possession", formations = SmallFormations)),
       Some(withCtes(
         SyntheticTracking.cte, SyntheticTracking.possessionCte, flippedCte,
-        """pframes AS (SELECT DISTINCT game_id, period_id, frame_id, owning FROM flipped),
-          |pchg AS (
-          |  SELECT game_id, period_id, frame_id,
-          |    CASE WHEN coalesce((owning <> lag(owning) OVER w)
-          |              OR (period_id <> lag(period_id) OVER w), TRUE)
-          |         THEN 1 ELSE 0 END AS chg
-          |  FROM pframes
-          |  WINDOW w AS (PARTITION BY game_id ORDER BY frame_id)
-          |),
-          |pseg AS (
-          |  SELECT game_id, period_id, frame_id,
-          |    CAST(sum(chg) OVER (PARTITION BY game_id ORDER BY frame_id
-          |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
-          |  FROM pchg
-          |),
-          |segd AS (
-          |  SELECT f.*, g.segment_id FROM flipped f
-          |  JOIN pseg g USING (game_id, period_id, frame_id)
-          |),
-          |spl AS (
-          |  SELECT game_id, period_id, segment_id, id,
-          |    max(team_id) AS team_id,
-          |    round(avg(x), 9) AS x, round(avg(y), 9) AS y, owning
-          |  FROM segd WHERE team_id <> 'ball'
-          |  GROUP BY game_id, period_id, owning, id, segment_id
-          |),
-          |sball AS (
-          |  SELECT game_id, period_id, segment_id
-          |  FROM (SELECT DISTINCT game_id, period_id, owning, segment_id
-          |        FROM segd WHERE team_id = 'ball')
-          |)""".stripMargin,
-        assignSql(lib))(finalSelect))),
+        possessionSegCtes, assignSql(lib))(finalSelect))),
+
+    // ----- M6 hysteresis fold (changeThreshold set). The keep-or-
+    // update decision is the one genuinely sequential computation in
+    // the engine; the oracle replays it as a DuckDB RECURSIVE CTE over
+    // the segment-ordered candidates: state per (game, team) is the
+    // segment of the last update plus its cost, advanced one segment
+    // per recursion step with the same two update triggers: the player
+    // set changed (objects drop out of frames in the synthetic data,
+    // so rosters genuinely vary; fingerprinted as the sorted id list)
+    // or the relative improvement beats the threshold
+    // ((prev_cost - cost)/cost > θ). changeAfterPossession=false keeps
+    // possession flips from forcing an update every segment, which
+    // would degenerate the fold to always-update.
+    // Kept segments resolve labels/formation from the last-update
+    // segment's candidate — exactly the reference's stale-dict
+    // semantics (detection.py:129-148). -----
+    GraftQuery(
+      "q_efpi_hysteresis",
+      (s, d) => Efpi.fit(s, efpiInput(s, d),
+        Efpi.Config(every = "possession", formations = SmallFormations,
+          changeAfterPossession = false, changeThreshold = Some(0.1))),
+      Some {
+        val parts = Seq(
+          SyntheticTracking.cte, SyntheticTracking.possessionCte, flippedCte,
+          possessionSegCtes, assignSql(lib),
+          """tids AS (
+            |  SELECT game_id, team_id, segment_id,
+            |    string_agg(id, ',' ORDER BY id) AS ids_fp
+            |  FROM spl GROUP BY game_id, team_id, segment_id
+            |),
+            |selc AS (
+            |  SELECT s.game_id, s.team_id, s.period_id, s.segment_id, s.owning,
+            |    s.cost, t.ids_fp,
+            |    row_number() OVER (PARTITION BY s.game_id, s.team_id
+            |                       ORDER BY s.segment_id) AS ord
+            |  FROM sel s
+            |  JOIN tids t ON t.game_id = s.game_id AND t.team_id = s.team_id
+            |             AND t.segment_id = s.segment_id
+            |),
+            |fold AS (
+            |  SELECT game_id, team_id, ord, segment_id,
+            |    cost AS st_cost, segment_id AS st_seg, ids_fp AS st_ids
+            |  FROM selc WHERE ord = 1
+            |  UNION ALL
+            |  SELECT c.game_id, c.team_id, c.ord, c.segment_id,
+            |    CASE WHEN c.ids_fp <> f.st_ids OR (f.st_cost - c.cost) / c.cost > 0.1
+            |         THEN c.cost ELSE f.st_cost END,
+            |    CASE WHEN c.ids_fp <> f.st_ids OR (f.st_cost - c.cost) / c.cost > 0.1
+            |         THEN c.segment_id ELSE f.st_seg END,
+            |    CASE WHEN c.ids_fp <> f.st_ids OR (f.st_cost - c.cost) / c.cost > 0.1
+            |         THEN c.ids_fp ELSE f.st_ids END
+            |  FROM fold f
+            |  JOIN selc c ON c.game_id = f.game_id AND c.team_id = f.team_id
+            |             AND c.ord = f.ord + 1
+            |),
+            |hout AS (
+            |  SELECT f.game_id, sc.period_id, f.segment_id, o.id, o.team_id,
+            |    o.position, o.formation,
+            |    (o.team_id = sc.owning) AS is_attacking
+            |  FROM fold f
+            |  JOIN selc sc ON sc.game_id = f.game_id AND sc.team_id = f.team_id
+            |              AND sc.segment_id = f.segment_id
+            |  JOIN outp o ON o.game_id = f.game_id AND o.team_id = f.team_id
+            |             AND o.segment_id = f.st_seg
+            |)""".stripMargin)
+        s"""WITH RECURSIVE ${parts.mkString(",\n")}
+           |SELECT game_id, period_id, segment_id, id, team_id, position,
+           |       formation, is_attacking
+           |FROM (SELECT * FROM hout UNION ALL SELECT * FROM ballout)""".stripMargin
+      }),
 
     // ----- M7 segment metadata table -----
     GraftQuery(

@@ -119,11 +119,11 @@ object SyntheticTracking {
   val possessionCte: String =
     """pball AS (
       |  SELECT *,
-      |    max(CASE WHEN team_id = 'ball' THEN x END) OVER wf AS bx,
-      |    max(CASE WHEN team_id = 'ball' THEN y END) OVER wf AS by,
-      |    max(CASE WHEN team_id = 'ball' THEN z END) OVER wf AS bz
+      |    max(CASE WHEN team_id = 'ball' THEN x END) OVER wfb AS bx,
+      |    max(CASE WHEN team_id = 'ball' THEN y END) OVER wfb AS by,
+      |    max(CASE WHEN team_id = 'ball' THEN z END) OVER wfb AS bz
       |  FROM tracking
-      |  WINDOW wf AS (PARTITION BY game_id, period_id, frame_id)
+      |  WINDOW wfb AS (PARTITION BY game_id, period_id, frame_id)
       |),
       |pdist AS (
       |  SELECT *, CASE WHEN team_id = 'ball' THEN NULL
@@ -136,9 +136,9 @@ object SyntheticTracking {
       |  FROM pdist
       |),
       |p1 AS (
-      |  SELECT *, max(CASE WHEN rn1 = 1 AND dist < 25.0 THEN team_id END) OVER wf AS owning
+      |  SELECT *, max(CASE WHEN rn1 = 1 AND dist < 25.0 THEN team_id END) OVER wfo AS owning
       |  FROM prn1
-      |  WINDOW wf AS (PARTITION BY game_id, period_id, frame_id)
+      |  WINDOW wfo AS (PARTITION BY game_id, period_id, frame_id)
       |),
       |prn2 AS (
       |  SELECT *, row_number() OVER (PARTITION BY game_id, period_id, frame_id
@@ -146,8 +146,8 @@ object SyntheticTracking {
       |  FROM p1
       |),
       |poss AS (
-      |  SELECT *, max(CASE WHEN rn2 = 1 AND team_id = owning AND dist < 25.0 THEN id END) OVER wf AS carrier
+      |  SELECT *, max(CASE WHEN rn2 = 1 AND team_id = owning AND dist < 25.0 THEN id END) OVER wfc AS carrier
       |  FROM prn2
-      |  WINDOW wf AS (PARTITION BY game_id, period_id, frame_id)
+      |  WINDOW wfc AS (PARTITION BY game_id, period_id, frame_id)
       |)""".stripMargin
 }
