@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SkillCornerSource, SportecSource, SyntheticTracking, TrackingSource}
+import graft.tracking.{SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,77 @@ object SourceQueries extends QueryModule {
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
       Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')")),
+
+    // Sportec event XML → canonical event table over the reference's
+    // real fixture (1504 events). Same golden mechanism as
+    // q_sportec_load: DuckDB reads the committed golden parquet, so the
+    // hash row pins the parser against drift; the golden's values are
+    // spec-anchored (SportecEventsSpec checks counts per family and the
+    // kickoff/pass envelope against the raw XML).
+    GraftQuery(
+      "q_sportec_events",
+      (s, _) => SportecEvents.events(
+        s, "/root/reference/tests/files/sportec_events.xml"),
+      Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_events.parquet')")),
+
+    // The W6 label journey: every tracking row stamped with the latest
+    // event at or before its absolute frame time. This one is a REAL
+    // recomputed oracle, not a re-dump: DuckDB takes the two committed
+    // goldens (canonical tracking + canonical events) as inputs and
+    // independently replays the forward-fill with its own window
+    // machinery; only the section-start bridge table is golden-read.
+    GraftQuery(
+      "q_sportec_event_labels",
+      (s, _) => {
+        val files = "/root/reference/tests/files"
+        val trk = SportecSource.load(
+          s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+        val ev = SportecEvents.events(s, s"$files/sportec_events.xml")
+        val starts = SportecEvents.sectionStarts(s, s"$files/sportec_tracking.xml")
+        SportecEvents.attach(trk, ev, starts)
+          .select(col("game_id"), col("period_id"), col("frame_id"),
+            col("id"), col("team_id"),
+            col("event_id"), col("event_type"),
+            col("event_team_id"), col("event_player_id"))
+      },
+      Some {
+        """WITH t AS (SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')),
+          |e AS (SELECT * FROM read_parquet('/root/repo/goldens/sportec_events.parquet')),
+          |st AS (SELECT * FROM read_parquet('/root/repo/goldens/sportec_section_starts.parquet')),
+          |f AS (SELECT DISTINCT game_id, period_id, frame_id, timestamp FROM t),
+          |fa AS (
+          |  SELECT f.game_id, f.period_id, f.frame_id,
+          |    st.section_start_utc + f.timestamp AS abs
+          |  FROM f JOIN st USING (game_id, period_id)
+          |),
+          |u AS (
+          |  SELECT game_id, period_id, frame_id, abs, 1 AS isf,
+          |    CAST(NULL AS VARCHAR) AS eid, CAST(NULL AS VARCHAR) AS etype,
+          |    CAST(NULL AS VARCHAR) AS eteam, CAST(NULL AS VARCHAR) AS eplayer
+          |  FROM fa
+          |  UNION ALL
+          |  SELECT game_id, NULL, NULL, event_ts_utc, 0,
+          |    event_id, event_type, team_id, player_id
+          |  FROM e
+          |),
+          |filled AS (
+          |  SELECT game_id, period_id, frame_id, isf,
+          |    last_value(eid IGNORE NULLS) OVER w AS event_id,
+          |    last_value(etype IGNORE NULLS) OVER w AS event_type,
+          |    last_value(eteam IGNORE NULLS) OVER w AS event_team_id,
+          |    last_value(eplayer IGNORE NULLS) OVER w AS event_player_id
+          |  FROM u
+          |  WINDOW w AS (PARTITION BY game_id
+          |               ORDER BY abs, isf, coalesce(eid, '')
+          |               ROWS UNBOUNDED PRECEDING)
+          |)
+          |SELECT t.game_id, t.period_id, t.frame_id, t.id, t.team_id,
+          |  fl.event_id, fl.event_type, fl.event_team_id, fl.event_player_id
+          |FROM t
+          |LEFT JOIN (SELECT * FROM filled WHERE isf = 1) fl
+          |  ON fl.game_id = t.game_id AND fl.period_id = t.period_id
+          |  AND fl.frame_id = t.frame_id""".stripMargin
+      }),
 
     // SkillCorner match-data (squad) parsing over the reference's real
     // fixture, hash-matched against DuckDB's own JSON reader.

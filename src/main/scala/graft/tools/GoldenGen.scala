@@ -28,7 +28,13 @@ object GoldenGen {
   /** name → (query key, sf dir the golden is pinned at). */
   val Goldens: Map[String, (String, String)] = Map(
     "sportec_load" -> ("q_sportec_load", "/root/testdata/sf0.01"),
+    "sportec_events" -> ("q_sportec_events", "/root/testdata/sf0.01"),
     "delaunay_sf0.01" -> ("q_graph_adjacency_delaunay", "/root/testdata/sf0.01"))
+
+  /** Extra non-query goldens: name → DataFrame builder. */
+  def extras(spark: SparkSession): Map[String, org.apache.spark.sql.DataFrame] = Map(
+    "sportec_section_starts" -> graft.tracking.SportecEvents.sectionStarts(
+      spark, "/root/reference/tests/files/sportec_tracking.xml"))
 
   def path(name: String): String = s"/root/repo/goldens/$name.parquet"
 
@@ -36,16 +42,19 @@ object GoldenGen {
     val spark = SparkEntry.configure(SparkSession.builder(), "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get("/root/repo/goldens"))
-    Goldens.foreach { case (name, (query, sfDir)) =>
+    def dump(name: String, df: org.apache.spark.sql.DataFrame, src: String): Unit = {
       val tmp = s"/tmp/graft_golden_$name"
-      SparkEntry.queries(query)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       Files.move(Paths.get(part), Paths.get(path(name)),
         StandardCopyOption.REPLACE_EXISTING)
-      println(s"[goldengen] wrote ${path(name)} from $query @ $sfDir")
+      println(s"[goldengen] wrote ${path(name)} from $src")
     }
+    Goldens.foreach { case (name, (query, sfDir)) =>
+      dump(name, SparkEntry.queries(query)(spark, sfDir), s"$query @ $sfDir")
+    }
+    extras(spark).foreach { case (name, df) => dump(name, df, "extras") }
     spark.stop()
   }
 }

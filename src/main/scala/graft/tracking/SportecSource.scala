@@ -46,10 +46,10 @@ import org.apache.spark.sql.types._
   *
   * Orientation: the reference requests STATIC_HOME_AWAY (home attacks
   * left→right in every period, `kloppy_polars.py:194-218`). Kloppy
-  * detects the raw orientation from the mean x of each team in the
-  * first frame of period 1 (home lower = home attacks LTR) and assumes
-  * sides alternate each period; periods where home would attack RTL are
-  * rotated 180° (x,y negated). We replicate that rule. All
+  * detects the raw direction PER (game, period) from the mean x of
+  * each team in that period's first frame (home lower = home attacks
+  * LTR) and rotates exactly the periods where home attacks RTL 180°
+  * (x,y negated). We replicate that rule. All
   * distance/angle-derived quantities (kinematics magnitudes, TTI/PTI)
   * are invariant under the rotation, which is what the reference's own
   * fixture goldens pin; pass `orientation="raw"` to keep provider
@@ -191,7 +191,7 @@ object SportecSource {
         col("p._Starting").try_cast(BooleanType).as("starting"))
   }
 
-  private def sectionToPeriod(section: Column): Column =
+  private[tracking] def sectionToPeriod(section: Column): Column =
     when(section === "firstHalf", 1)
       .when(section === "secondHalf", 2)
       .when(section === "firstHalfExtra", 3)
