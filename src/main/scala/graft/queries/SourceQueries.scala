@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TrackingSource}
+import graft.tracking.{SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,17 @@ object SourceQueries extends QueryModule {
     Map("h1" -> 2, "h2" -> 4, "h3" -> 6, "a1" -> 1, "a2" -> 3, "a3" -> 5)
 
   private val generated = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tracabGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match Tracab DAT fixture generated from the synthetic table
+    * (game '0'), once per (sfDir, JVM). */
+  def tracabDir(spark: SparkSession, sfDir: String): String =
+    tracabGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_tracab_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TracabSource.writeDat(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "0"), out)
+      out
+    })
 
   def dir(spark: SparkSession, sfDir: String): String =
     generated.getOrElseUpdate(sfDir, {
@@ -87,6 +98,69 @@ object SourceQueries extends QueryModule {
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
       Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')")),
+
+    // Tracab/ChyronHego DAT → canonical long table. No reference
+    // fixture exists, so the DAT is generated once per scale factor
+    // from the synthetic tracking table (game '0', TracabSource
+    // .writeDat) and BOTH engines parse the same text independently:
+    // Spark through TracabSource.load, DuckDB with its own string
+    // splitting — a fully recomputed oracle of the parser, period
+    // range mapping, centimeter conversion and clock rebase.
+    GraftQuery(
+      "q_tracab_load",
+      (s, d) => {
+        val root = tracabDir(s, d)
+        TracabSource.load(s, s"$root/dat/*.txt", s"$root/meta.xml")
+      },
+      Some {
+        val root = "/tmp/graft_tracab__root_testdata_sf0.01"
+        val off = 10000000L
+        s"""WITH lines AS (
+           |  SELECT line FROM read_csv('$root/dat/*.txt', header=false,
+           |    delim='|', quote='', columns={'line':'VARCHAR'})
+           |),
+           |seg AS (SELECT string_split(line, ':') AS s FROM lines),
+           |fr AS (
+           |  SELECT CAST(s[1] AS BIGINT) AS n, s[2] AS tgt, s[3] AS ballseg
+           |  FROM seg WHERE try_cast(s[1] AS BIGINT) IS NOT NULL
+           |),
+           |tf AS (
+           |  SELECT n, string_split(t, ',') AS a
+           |  FROM (SELECT n, unnest(string_split(tgt, ';')) AS t FROM fr)
+           |  WHERE t <> ''
+           |),
+           |pl AS (
+           |  SELECT n, a[2] AS id,
+           |    CASE WHEN a[1] = '1' THEN 'home' ELSE 'away' END AS team_id,
+           |    CAST(NULL AS VARCHAR) AS position_name,
+           |    CAST(a[4] AS INTEGER)/100.0 AS x, CAST(a[5] AS INTEGER)/100.0 AS y,
+           |    0.0 AS z,
+           |    CAST(NULL AS VARCHAR) AS own_flag, CAST(NULL AS VARCHAR) AS status_flag
+           |  FROM tf WHERE a[1] IN ('0','1')
+           |),
+           |bl AS (
+           |  SELECT n, 'ball' AS id, 'ball' AS team_id, 'ball' AS position_name,
+           |    CAST(b[1] AS INTEGER)/100.0 AS x, CAST(b[2] AS INTEGER)/100.0 AS y,
+           |    CAST(b[3] AS INTEGER)/100.0 AS z,
+           |    b[5] AS own_flag, b[6] AS status_flag
+           |  FROM (SELECT n, string_split(string_split(ballseg, ';')[1], ',') AS b
+           |        FROM fr WHERE ballseg <> '')
+           |  WHERE len(b) >= 6
+           |),
+           |allr AS (SELECT * FROM pl UNION ALL SELECT * FROM bl),
+           |withp AS (
+           |  SELECT *, CASE WHEN n >= $off THEN 2 ELSE 1 END AS period_id FROM allr
+           |),
+           |ts AS (SELECT *, min(n) OVER (PARTITION BY period_id) AS start_n FROM withp)
+           |SELECT '0' AS game_id, period_id, n AS frame_id,
+           |  CAST((n - start_n) * 40000 AS BIGINT) AS "timestamp",
+           |  id, team_id, position_name, x, y, z,
+           |  CASE WHEN status_flag = 'Alive' THEN 'alive'
+           |       WHEN status_flag = 'Dead' THEN 'dead' END AS ball_state,
+           |  CASE WHEN own_flag = 'H' THEN 'home'
+           |       WHEN own_flag = 'A' THEN 'away' END AS ball_owning_team_id
+           |FROM ts""".stripMargin
+      }),
 
     // Sportec event XML → canonical event table over the reference's
     // real fixture (1504 events). Same golden mechanism as

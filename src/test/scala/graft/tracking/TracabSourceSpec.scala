@@ -1,0 +1,98 @@
+package graft.tracking
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Tracab DAT provider path. The reference repo ships no Tracab
+  * fixture, so the format contract is pinned two ways: a synthetic
+  * round-trip (canonical table → writeDat → load → same table) over
+  * the sf0.001 synthetic tracking, and hand-written DAT lines covering
+  * the format's edge semantics (referee/official drops, H/A/−
+  * possession flags, Alive/Dead status, frames outside the period
+  * ranges, ball-less frames). */
+class TracabSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val Offset = 10000000L
+
+  test("synthetic round-trip: write → load reproduces the canonical table") {
+    val input = SyntheticTracking.df(spark, "/root/testdata/sf0.001")
+      .filter(col("game_id") === "0").cache()
+    val out = "/tmp/graft_tracab_roundtrip"
+    TracabSource.writeDat(input, out)
+    val loaded = TracabSource.load(spark, s"$out/dat/*.txt", s"$out/meta.xml")
+      // recover the original frame id and period-relative clock base
+      .withColumn("orig_frame", col("frame_id") - (col("period_id") - 1) * Offset)
+
+    assert(loaded.count() === input.count()) // row-preserving, ball-less frames included
+
+    // per-period start frames for the expected rebased clock
+    val starts = input.groupBy("period_id").agg(min("frame_id").as("f0"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val joined = input.alias("i").join(loaded.alias("l"),
+      col("i.game_id") === col("l.game_id") &&
+        col("i.period_id") === col("l.period_id") &&
+        col("i.frame_id") === col("l.orig_frame") &&
+        col("i.id") === col("l.id"))
+    assert(joined.count() === input.count()) // every row matched by key
+
+    val bad = joined.filter(
+      col("i.team_id") =!= col("l.team_id") ||
+        abs(col("i.x") - col("l.x")) > 1e-9 ||
+        abs(col("i.y") - col("l.y")) > 1e-9 ||
+        abs(col("i.z") - col("l.z")) > 1e-9 ||
+        col("l.ball_state").isNotNull =!= (col("i.team_id") === "ball") ||
+        (col("i.team_id") === "ball" && col("l.ball_state") =!= "alive"))
+    assert(bad.count() === 0L)
+
+    // clock rebases to each period's first frame at 25 fps
+    val p1 = starts(1)
+    val ts = loaded.filter(col("period_id") === 1 && col("orig_frame") === p1)
+      .select("timestamp").distinct().collect()
+    assert(ts.map(_.getLong(0)).toSeq === Seq(0L))
+    input.unpersist()
+  }
+
+  test("hand-written lines: referees/officials drop, flags map, out-of-range frames drop") {
+    val dir = "/tmp/graft_tracab_edge"
+    Files.createDirectories(Paths.get(s"$dir/dat"))
+    // frame 100: 2 players + referee(-1) + official(4); ball owned Home, Alive
+    // frame 101: away player only, ball Dead owned Away
+    // frame 102: ball-less frame (empty ball block)
+    // frame 999: outside both period ranges → drops entirely
+    Files.write(Paths.get(s"$dir/dat/lines.txt"),
+      ("100:1,7,7,105,-230,0;0,11,11,-1203,0,0;-1,90,90,0,0,0;4,91,91,1,1,0;:50,-25,11,0,H,Alive;:\n" +
+        "101:0,11,11,-1200,5,0;:0,0,0,0,A,Dead;:\n" +
+        "102:1,7,7,110,-225,0;::\n" +
+        "999:1,7,7,0,0,0;:0,0,0,0,H,Alive;:\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/meta.xml"),
+      ("""<TracabMetaData sVersion="1.0">
+         |  <match iId="m1" iFrameRateFps="25" fPitchXSizeMeters="105.00" fPitchYSizeMeters="68.00">
+         |    <period iId="1" iStartFrame="100" iEndFrame="200"/>
+         |  </match>
+         |</TracabMetaData>
+         |""".stripMargin).getBytes("UTF-8"))
+
+    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml").cache()
+    assert(out.filter(col("frame_id") === 999).count() === 0L)
+    val f100 = out.filter(col("frame_id") === 100).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(f100.keySet === Set("7", "11", "ball")) // -1 and 4 dropped
+    assert(f100("7").getAs[String]("team_id") === "home")
+    assert(f100("7").getAs[Double]("x") === 1.05 && f100("7").getAs[Double]("y") === -2.30)
+    assert(f100("11").getAs[String]("team_id") === "away")
+    assert(f100("ball").getAs[Double]("z") === 0.11)
+    assert(f100("ball").getAs[String]("ball_owning_team_id") === "home")
+    assert(f100("ball").getAs[String]("ball_state") === "alive")
+    assert(f100("7").getAs[Long]("timestamp") === 0L)
+    val f101 = out.filter(col("frame_id") === 101 && col("id") === "ball").head()
+    assert(f101.getAs[String]("ball_state") === "dead")
+    assert(f101.getAs[String]("ball_owning_team_id") === "away")
+    assert(f101.getAs[Long]("timestamp") === 40000L)
+    assert(out.filter(col("frame_id") === 102).count() === 1L) // player row survives, no ball row
+    assert(out.filter(col("game_id") =!= "m1").count() === 0L)
+    out.unpersist()
+  }
+}
