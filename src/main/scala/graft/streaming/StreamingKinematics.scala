@@ -52,7 +52,16 @@ object StreamingKinematics {
           val isBall = id == graft.tracking.Cols.Ball
           val vMax = if (isBall) settings.maxBallSpeed else settings.maxPlayerSpeed
           var last = state.getOption
-          val out = it.toSeq.sortBy(_.timestamp).map { e =>
+          // Buffer-and-sort is bounded by ONE key's events within ONE
+          // micro-batch — a single object of a single game period. At
+          // 25 fps that is ~250 events per 10-s trigger, and even a
+          // pathological full-period replay delivered as one batch is
+          // ~67k 48-byte events (~3 MB) for the key — far below task
+          // memory. StreamingKinematicsSpec drives a 100k-event
+          // single-key batch to pin this.
+          val buf = it.toArray
+          scala.util.Sorting.stableSort(buf, (a: TrackEvent, b: TrackEvent) => a.timestamp < b.timestamp)
+          val out = buf.iterator.map { e =>
             val row = last match {
               case Some(lp) =>
                 val dt = sec(e.timestamp) - sec(lp.timestamp)
@@ -66,7 +75,7 @@ object StreamingKinematics {
             }
             last = Some(LastPos(e.timestamp, e.x, e.y, e.z))
             row
-          }
+          }.toVector
           last.foreach(state.update)
           out.iterator
         })

@@ -99,6 +99,24 @@ class StreamingKinematicsSpec extends AnyFunSuite {
     }
   }
 
+  test("single-key 100k-event micro-batch: the per-key buffer bound holds") {
+    // one object, one game period, 100k unsorted events in ONE batch —
+    // the worst case the buffer-and-sort in velocities() has to absorb
+    // (a full period replayed as a single trigger is ~67k events).
+    val n = 100000
+    val rnd = new scala.util.Random(11)
+    val events = rnd.shuffle((0 until n).toVector).map { i =>
+      TrackEvent("g", "p1", 1, i.toLong * 40000L, "home", i * 0.01, 0.0, 0.0)
+    }
+    val out = runStream(Seq(events))
+    assert(out.length === n)
+    val byTs = out.map(r => r.timestamp -> r.vx).toMap
+    assert(byTs(0L) === 0.0) // first event of the key
+    // every subsequent diff is 0.01 m / 0.04 s regardless of arrival order
+    assert(byTs(40000L * (n - 1)) === 0.25)
+    assert(byTs(40000L) === 0.25 && byTs(40000L * 1234) === 0.25)
+  }
+
   test("windowed mean speed aggregates per second with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
