@@ -1,0 +1,124 @@
+package graft.graphs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed CGConv forward pass — inference for the
+  * CrystalGraphClassifier the reference trains in PyG/Spektral
+  * (`classifiers/crystal_graph.py:6-41`,
+  * `crystal_graph_pyg.py:84-146`): n× CGConv → global mean pool →
+  * dense stack. Training stays in PyG/Spektral on the exported graph
+  * parquet; this runs a TRAINED model over every frame as one Spark
+  * plan, so scoring a 100 TB season is a join + aggregate pipeline
+  * instead of a driver-side tensor loop.
+  *
+  * CGConv (Xie & Grossman 2018, as in `torch_geometric.nn.CGConv`,
+  * sum aggregation):
+  * {{{ x_i' = x_i + Σ_{j→i} σ(z_ij·W_f + b_f) ⊙ softplus(z_ij·W_s + b_s),
+  *     z_ij = x_i ‖ x_j ‖ e_ij }}}
+  *
+  * Layout: the LONG tables the converter already produces — nodes
+  * (frame key, node_idx, features array) and edges (frame key, i_idx,
+  * j_idx, e_features array, a=1) — not the per-frame matrices; the
+  * message pass is then one edge⋈node join per side plus one
+  * (frame, node) aggregation, all shuffles on keys the graph pipeline
+  * already uses. Weights are literal arrays baked into the plan
+  * (model sizes are KBs — they ride the closure, no broadcast
+  * plumbing needed).
+  *
+  * The array math runs through Spark's higher-order functions
+  * (`transform`/`aggregate`), which evaluate interpreted rather than
+  * codegen'd: fine for the ~2k multiply-adds per edge of the
+  * reference-sized model; a custom codegen Expression is the upgrade
+  * path if inference ever dominates a pipeline.
+  */
+object GnnInference {
+
+  /** One CGConv layer's parameters. Dimensions: wf/ws are
+    * (zDim = 2·F + E) × F, row-major (wf(m)(k) multiplies z(m) into
+    * out(k)); bf/bs are length F. */
+  final case class CgLayer(
+      wf: Seq[Seq[Double]], bf: Seq[Double],
+      ws: Seq[Seq[Double]], bs: Seq[Double])
+
+  /** Dense layer: w is (inDim × outDim) row-major, b length outDim;
+    * activation ∈ {relu, sigmoid, linear}. */
+  final case class DenseLayer(w: Seq[Seq[Double]], b: Seq[Double], activation: String)
+
+  /** out(k) = act( b(k) + Σ_m z(m)·w(m)(k) ) as an array column. */
+  private def affine(z: Column, w: Seq[Seq[Double]], b: Seq[Double], act: String): Column = {
+    val wl = typedLit(w)
+    val bl = typedLit(b)
+    val raw = transform(sequence(lit(0), lit(b.size - 1)), k =>
+      element_at(bl, k + 1) +
+        aggregate(
+          zip_with(z, transform(wl, row => element_at(row, k + 1)), (zi, wi) => zi * wi),
+          lit(0.0), (acc, v) => acc + v))
+    act match {
+      case "relu" => transform(raw, v => greatest(v, lit(0.0)))
+      case "sigmoid" => transform(raw, v => lit(1.0) / (lit(1.0) + exp(-v)))
+      case "softplus" =>
+        // ln(1+eˣ) with the standard overflow guard max(x,0)+ln(1+e^−|x|)
+        transform(raw, v => greatest(v, lit(0.0)) + log(lit(1.0) + exp(-abs(v))))
+      case _ => raw
+    }
+  }
+
+  /** One CGConv message pass over long-form tables.
+    * @param nodes  (keys…, `idx`, `x` ARRAY<DOUBLE>)
+    * @param edges  (keys…, `i`, `j`, `e` ARRAY<DOUBLE>) — directed
+    *               rows; symmetric graphs carry both directions, like
+    *               the converter's pair table.
+    * @return nodes with `x` replaced by the layer output. */
+  def cgconv(nodes: DataFrame, edges: DataFrame, keys: Seq[String], layer: CgLayer): DataFrame = {
+    val nj = nodes.select((keys.map(col) :+ col("idx").as("j") :+ col("x").as("xj")): _*)
+    val ni = nodes.select((keys.map(col) :+ col("idx").as("i") :+ col("x").as("xi")): _*)
+    val z = concat(col("xi"), col("xj"), col("e"))
+    val messages = edges
+      .join(ni, keys :+ "i")
+      .join(nj, keys :+ "j")
+      // materialize z once; both matvecs consume it (HOF lambdas
+      // re-evaluate embedded subtrees per element — see /verify notes)
+      .withColumn("z", z)
+      .withColumn("msg",
+        zip_with(
+          affine(col("z"), layer.wf, layer.bf, "sigmoid"),
+          affine(col("z"), layer.ws, layer.bs, "softplus"),
+          (g, s) => g * s))
+      .groupBy((keys.map(col) :+ col("i").as("idx")): _*)
+      .agg(aggregate(collect_list(col("msg")),
+        typedLit(Seq.fill(layer.bf.size)(0.0)),
+        (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("sum_msg"))
+    nodes.join(messages, keys :+ "idx", "left")
+      .withColumn("x",
+        when(col("sum_msg").isNull, col("x"))
+          .otherwise(zip_with(col("x"), col("sum_msg"), (a, b) => a + b)))
+      .drop("sum_msg")
+  }
+
+  /** Full classifier forward pass: n× CGConv → global mean pool per
+    * graph → dense stack. Returns one row per graph with `score`
+    * ARRAY<DOUBLE> (the head's output, e.g. length 1 sigmoid). */
+  def forward(
+      nodes: DataFrame,
+      edges: DataFrame,
+      keys: Seq[String],
+      convs: Seq[CgLayer],
+      head: Seq[DenseLayer]): DataFrame = {
+    val convolved = convs.foldLeft(nodes)((n, l) => cgconv(n, edges, keys, l))
+    val dim = convs.last.bf.size
+    val pooled = convolved
+      .groupBy(keys.map(col): _*)
+      .agg(
+        aggregate(collect_list(col("x")),
+          typedLit(Seq.fill(dim)(0.0)),
+          (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("__sum"),
+        count(lit(1)).as("__n"))
+      .withColumn("score", transform(col("__sum"), v => v / col("__n")))
+      .drop("__sum", "__n")
+    val scored = head.foldLeft(pooled) { (df, l) =>
+      df.withColumn("score", affine(col("score"), l.w, l.b, l.activation))
+    }
+    scored.select((keys.map(col) :+ col("score")): _*)
+  }
+}
