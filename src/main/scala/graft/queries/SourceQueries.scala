@@ -105,7 +105,9 @@ object SourceQueries extends QueryModule {
     // .writeDat) and BOTH engines parse the same text independently:
     // Spark through TracabSource.load, DuckDB with its own string
     // splitting — a fully recomputed oracle of the parser, period
-    // range mapping, centimeter conversion and clock rebase.
+    // range mapping, centimeter conversion, clock rebase AND the
+    // per-period STATIC_HOME_AWAY flip (replayed in SQL via the same
+    // first-frame mean-x rule).
     GraftQuery(
       "q_tracab_load",
       (s, d) => {
@@ -151,15 +153,34 @@ object SourceQueries extends QueryModule {
            |withp AS (
            |  SELECT *, CASE WHEN n >= $off THEN 2 ELSE 1 END AS period_id FROM allr
            |),
-           |ts AS (SELECT *, min(n) OVER (PARTITION BY period_id) AS start_n FROM withp)
-           |SELECT '0' AS game_id, period_id, n AS frame_id,
-           |  CAST((n - start_n) * 40000 AS BIGINT) AS "timestamp",
-           |  id, team_id, position_name, x, y, z,
-           |  CASE WHEN status_flag = 'Alive' THEN 'alive'
-           |       WHEN status_flag = 'Dead' THEN 'dead' END AS ball_state,
-           |  CASE WHEN own_flag = 'H' THEN 'home'
-           |       WHEN own_flag = 'A' THEN 'away' END AS ball_owning_team_id
-           |FROM ts""".stripMargin
+           |ts AS (SELECT *, min(n) OVER (PARTITION BY period_id) AS start_n FROM withp),
+           |canon AS (
+           |  SELECT '0' AS game_id, period_id, n AS frame_id,
+           |    CAST((n - start_n) * 40000 AS BIGINT) AS "timestamp",
+           |    id, team_id, position_name, x, y, z,
+           |    CASE WHEN status_flag = 'Alive' THEN 'alive'
+           |         WHEN status_flag = 'Dead' THEN 'dead' END AS ball_state,
+           |    CASE WHEN own_flag = 'H' THEN 'home'
+           |         WHEN own_flag = 'A' THEN 'away' END AS ball_owning_team_id
+           |  FROM ts
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN team_id = 'home' THEN x END) AS hx,
+           |    avg(CASE WHEN team_id = 'away' THEN x END) AS ax
+           |  FROM canon WHERE team_id <> 'ball'
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
       }),
 
     // Sportec event XML → canonical event table over the reference's

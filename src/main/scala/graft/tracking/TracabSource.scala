@@ -69,8 +69,18 @@ object TracabSource {
       .filter(col(PeriodId).isNotNull && col("start_frame").isNotNull)
 
   /** Full load of one match: DAT glob + metadata XML → canonical long
-    * table (same contract as [[SportecSource.load]]). */
-  def load(spark: SparkSession, datPath: String, metaPath: String): DataFrame = {
+    * table (same contract as [[SportecSource.load]]). The reference
+    * requests STATIC_HOME_AWAY for every provider
+    * (`kloppy_polars.py:194-218`), so the same per-(game, period)
+    * mean-x flip the other readers apply is the default here too;
+    * `orientation="raw"` keeps provider coordinates. */
+  def load(
+      spark: SparkSession,
+      datPath: String,
+      metaPath: String,
+      orientation: String = "static_home_away"): DataFrame = {
+    require(Set("static_home_away", "raw")(orientation),
+      "orientation should be 'static_home_away' or 'raw'")
     val matchDf = matches(spark, metaPath).drop("period")
     val nMatches = matchDf.limit(2).count()
     require(nMatches == 1,
@@ -124,7 +134,7 @@ object TracabSource {
     val perDf = periods(spark, metaPath)
       .select(col(GameId).as("p_game"), col(PeriodId),
         col("start_frame"), col("end_frame"))
-    rows
+    val canonical = rows
       .join(broadcast(perDf),
         col(GameId) === col("p_game") &&
           col("n").between(col("start_frame"), col("end_frame")))
@@ -141,6 +151,16 @@ object TracabSource {
         when(col("own_flag") === "H", lit("home"))
           .when(col("own_flag") === "A", lit("away"))
           .otherwise(lit(null).cast(StringType)).as(BallOwningTeamId))
+    orientation match {
+      case "raw" => canonical
+      case _ =>
+        // the canonical relation here IS the cheap upstream (one text
+        // scan + broadcast joins), so detecting from it directly keeps
+        // the source-scan count bounded
+        val ltr = Orientation.detectHomeLtr(canonical,
+          col(TeamId) === "home", col(TeamId) === Ball)
+        Orientation.staticHomeAway(canonical, ltr)
+    }
   }
 
   /** Round-trip fixture generator: canonical long table → DAT text +

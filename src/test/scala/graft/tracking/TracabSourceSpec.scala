@@ -22,7 +22,10 @@ class TracabSourceSpec extends AnyFunSuite {
       .filter(col("game_id") === "0").cache()
     val out = "/tmp/graft_tracab_roundtrip"
     TracabSource.writeDat(input, out)
-    val loaded = TracabSource.load(spark, s"$out/dat/*.txt", s"$out/meta.xml")
+    // raw orientation: the round trip pins the FORMAT; the static flip
+    // is pinned separately below and replayed in the q_tracab_load oracle
+    val loaded = TracabSource.load(spark, s"$out/dat/*.txt", s"$out/meta.xml",
+      orientation = "raw")
       // recover the original frame id and period-relative clock base
       .withColumn("orig_frame", col("frame_id") - (col("period_id") - 1) * Offset)
 
@@ -75,7 +78,8 @@ class TracabSourceSpec extends AnyFunSuite {
          |</TracabMetaData>
          |""".stripMargin).getBytes("UTF-8"))
 
-    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml").cache()
+    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml",
+      orientation = "raw").cache()
     assert(out.filter(col("frame_id") === 999).count() === 0L)
     val f100 = out.filter(col("frame_id") === 100).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
@@ -94,5 +98,28 @@ class TracabSourceSpec extends AnyFunSuite {
     assert(out.filter(col("frame_id") === 102).count() === 1L) // player row survives, no ball row
     assert(out.filter(col("game_id") =!= "m1").count() === 0L)
     out.unpersist()
+  }
+
+  test("STATIC_HOME_AWAY default rotates the RTL periods, like the other readers") {
+    val dir = "/tmp/graft_tracab_flip"
+    Files.createDirectories(Paths.get(s"$dir/dat"))
+    // p1: home (7) at x=-20, away (11) at x=+10 → home LTR, raw
+    // p2: home at x=+20, away at x=-10 → home RTL → 180° rotation
+    Files.write(Paths.get(s"$dir/dat/lines.txt"),
+      ("100:1,7,7,-2000,500,0;0,11,11,1000,-300,0;:0,0,11,0,H,Alive;:\n" +
+        "5000:1,7,7,2000,-500,0;0,11,11,-1000,300,0;:0,0,11,0,H,Alive;:\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/meta.xml"),
+      ("""<TracabMetaData sVersion="1.0">
+         |  <match iId="m2" iFrameRateFps="25" fPitchXSizeMeters="105.00" fPitchYSizeMeters="68.00">
+         |    <period iId="1" iStartFrame="100" iEndFrame="200"/>
+         |    <period iId="2" iStartFrame="5000" iEndFrame="5100"/>
+         |  </match>
+         |</TracabMetaData>
+         |""".stripMargin).getBytes("UTF-8"))
+    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml")
+      .filter(col("id") === "7").collect()
+      .map(r => r.getAs[Int]("period_id") -> (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    assert(out(1) === ((-20.0, 5.0))) // p1 untouched
+    assert(out(2) === ((-20.0, 5.0))) // p2 rotated back to home-LTR
   }
 }
