@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_tracab_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       TracabSource.writeDat(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "0"), out)
+      out
+    })
+
+  private val spectrumGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match SecondSpectrum JSONL fixture generated from the
+    * synthetic table (game '1'), once per (sfDir, JVM). */
+  def spectrumDir(spark: SparkSession, sfDir: String): String =
+    spectrumGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_2spectrum_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      SecondSpectrumSource.writeJsonl(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
       out
     })
 
@@ -98,6 +110,81 @@ object SourceQueries extends QueryModule {
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
       Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')")),
+
+    // SecondSpectrum JSONL → canonical long table. Like Tracab, no
+    // reference fixture ships, so the JSONL is generated once per
+    // scale factor from the synthetic table (game '1') and BOTH
+    // engines parse the same text independently — DuckDB with its own
+    // JSON reader, including the lastTouch/live mapping, the
+    // gameClock→micros conversion and the per-period static flip.
+    GraftQuery(
+      "q_2spectrum_load",
+      (s, d) => {
+        val root = spectrumDir(s, d)
+        SecondSpectrumSource.load(s, s"$root/frames/*.txt", s"$root/meta.json")
+      },
+      Some {
+        val root = "/tmp/graft_2spectrum__root_testdata_sf0.01"
+        s"""WITH j AS (
+           |  SELECT * FROM read_json('$root/frames/*.txt',
+           |    format='newline_delimited',
+           |    columns={'period':'INTEGER','frameIdx':'BIGINT','gameClock':'DOUBLE',
+           |      'live':'BOOLEAN','lastTouch':'VARCHAR',
+           |      'homePlayers':'STRUCT(playerId VARCHAR, xyz DOUBLE[])[]',
+           |      'awayPlayers':'STRUCT(playerId VARCHAR, xyz DOUBLE[])[]',
+           |      'ball':'STRUCT(xyz DOUBLE[])'})
+           |),
+           |sides AS (
+           |  SELECT period, frameIdx, gameClock, live, lastTouch,
+           |    unnest(homePlayers) AS p, TRUE AS is_home FROM j
+           |  UNION ALL
+           |  SELECT period, frameIdx, gameClock, live, lastTouch,
+           |    unnest(awayPlayers) AS p, FALSE AS is_home FROM j
+           |),
+           |pl AS (
+           |  SELECT period, frameIdx, gameClock, live, lastTouch,
+           |    p.playerId AS id, is_home,
+           |    p.xyz[1] AS x, p.xyz[2] AS y, 0.0 AS z, FALSE AS is_ball
+           |  FROM sides
+           |),
+           |bl AS (
+           |  SELECT period, frameIdx, gameClock, live, lastTouch,
+           |    'ball' AS id, FALSE AS is_home,
+           |    ball.xyz[1] AS x, ball.xyz[2] AS y,
+           |    coalesce(ball.xyz[3], 0.0) AS z, TRUE AS is_ball
+           |  FROM j WHERE ball IS NOT NULL AND ball.xyz IS NOT NULL
+           |),
+           |canon AS (
+           |  SELECT '1' AS game_id, period AS period_id, frameIdx AS frame_id,
+           |    CAST(round(gameClock * 1000000.0) AS BIGINT) AS "timestamp",
+           |    id,
+           |    CASE WHEN is_ball THEN 'ball' WHEN is_home THEN 'home'
+           |         ELSE 'away' END AS team_id,
+           |    CASE WHEN is_ball THEN 'ball' END AS position_name,
+           |    x, y, z, is_home, is_ball,
+           |    CASE WHEN live THEN 'alive' WHEN NOT live THEN 'dead' END AS ball_state,
+           |    CASE WHEN lastTouch = 'home' THEN 'home'
+           |         WHEN lastTouch = 'away' THEN 'away' END AS ball_owning_team_id
+           |  FROM (SELECT * FROM pl UNION ALL SELECT * FROM bl)
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN is_home THEN x END) AS hx,
+           |    avg(CASE WHEN NOT is_home THEN x END) AS ax
+           |  FROM canon WHERE NOT is_ball
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
+      }),
 
     // Tracab/ChyronHego DAT → canonical long table. No reference
     // fixture exists, so the DAT is generated once per scale factor
