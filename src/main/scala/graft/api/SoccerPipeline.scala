@@ -77,6 +77,41 @@ object SoccerPipeline {
     prepare(SkillCornerSource.load(spark, structuredJson, matchDataJson),
       settings, playerSmoothing, ballSmoothing)
 
+  /** Tracab/ChyronHego DAT + metadata XML → prepared table. */
+  def loadTracab(
+      spark: SparkSession,
+      datGlob: String,
+      metaXml: String,
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame =
+    prepare(TracabSource.load(spark, datGlob, metaXml),
+      settings, playerSmoothing, ballSmoothing)
+
+  /** SecondSpectrum JSONL + metadata JSON → prepared table. */
+  def loadSecondSpectrum(
+      spark: SparkSession,
+      jsonlGlob: String,
+      metaJson: String,
+      settings: TrackingSettings = TrackingSettings(),
+      playerSmoothing: Option[SavGol] = Some(SavGol.DefaultPlayer),
+      ballSmoothing: Option[SavGol] = Some(SavGol.DefaultBall)): DataFrame =
+    prepare(SecondSpectrumSource.load(spark, jsonlGlob, metaJson),
+      settings, playerSmoothing, ballSmoothing)
+
+  /** The event-label journey (README's label-real-graphs workflow):
+    * stamp a prepared Sportec table with the latest event at or before
+    * each frame — feed the result to [[graphs]] with an event-derived
+    * label column. */
+  def attachSportecEvents(
+      spark: SparkSession,
+      prepared: DataFrame,
+      trackingXml: String,
+      eventsXml: String): DataFrame =
+    SportecEvents.attach(prepared,
+      SportecEvents.events(spark, eventsXml),
+      SportecEvents.sectionStarts(spark, trackingXml))
+
   /** An already-long tracking DataFrame → kinematics → possession
     * (for parquet/streaming sources that skip the CSV melt). */
   def prepare(

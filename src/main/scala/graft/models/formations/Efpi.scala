@@ -242,7 +242,7 @@ object Efpi {
   // Stage 5: hysteresis fold (reference state classes detection.py:19-148)
   // -------------------------------------------------------------------
 
-  private final case class TeamState(
+  private[graft] final case class TeamState(
       isAttack: Boolean, formation: String, cost: Double,
       ids: Set[String], var labelsDict: Map[String, String])
 
@@ -259,9 +259,9 @@ object Efpi {
 
   /** One segment's keep-or-update decisions plus row resolution against
     * the running per-team state (mutated in place) — the fold body
-    * shared by [[hysteresisFold]] and the streamed `mapPartitions` path
-    * in [[fit]]. */
-  private def foldStep(
+    * shared by [[hysteresisFold]], the streamed `mapPartitions` path
+    * in [[fit]], and [[graft.streaming.StreamingFormations]]. */
+  private[graft] def foldStep(
       state: scala.collection.mutable.Map[String, TeamState],
       game: String, periodId: Int, segId: Long, owning: String,
       cands: Seq[Candidate], present: Seq[(String, String)],

@@ -123,6 +123,68 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 6, s"tracking/meta XML scanned $scans times:\n$single")
   }
 
+  test("tracab load: broadcast-only joins, bounded text/meta scans") {
+    import graft.tracking.{SyntheticTracking, TracabSource}
+    spark.catalog.clearCache()
+    val out = "/tmp/graft_tracab_planaudit"
+    TracabSource.writeDat(
+      SyntheticTracking.df(spark, sf).filter(col("game_id") === "0"), out)
+    val df = TracabSource.load(spark, s"$out/dat/*.txt", s"$out/meta.xml")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"a per-match join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in load plan:\n$p")
+    val single = df.queryExecution.sparkPlan.toString
+    // text feeds players+ball on the main path and again under the
+    // orientation detection (4); meta feeds match+periods twice (4)
+    val txtScans = "FileScan text".r.findAllIn(single).size
+    val xmlScans = "FileScan xml".r.findAllIn(single).size
+    assert(txtScans <= 4, s"DAT text scanned $txtScans times:\n$single")
+    assert(xmlScans <= 4, s"meta XML scanned $xmlScans times:\n$single")
+  }
+
+  test("secondspectrum load: broadcast-only joins, bounded jsonl/meta scans") {
+    import graft.tracking.{SecondSpectrumSource, SyntheticTracking}
+    spark.catalog.clearCache()
+    val out = "/tmp/graft_2spectrum_planaudit"
+    SecondSpectrumSource.writeJsonl(
+      SyntheticTracking.df(spark, sf).filter(col("game_id") === "1"), out)
+    val df = SecondSpectrumSource.load(spark, s"$out/frames/*.txt", s"$out/meta.json")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"a per-match join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in load plan:\n$p")
+    val single = df.queryExecution.sparkPlan.toString
+    // jsonl feeds home+away+ball on the main path and again under the
+    // orientation detection (6); meta feeds games+roster twice (4)
+    val jsonScans = "FileScan json".r.findAllIn(single).size
+    assert(jsonScans <= 10, s"jsonl/meta scanned $jsonScans times:\n$single")
+  }
+
+  test("event attach: section starts and the fill broadcast nothing data-sized unasked") {
+    import graft.tracking.{SportecEvents, SportecSource}
+    spark.catalog.clearCache()
+    val files = "/root/reference/tests/files"
+    val trk = SportecSource.load(spark,
+      s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
+    val df = SportecEvents.attach(trk,
+      SportecEvents.events(spark, s"$files/sportec_events.xml"),
+      SportecEvents.sectionStarts(spark, s"$files/sportec_tracking.xml"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the section-start bridge must broadcast; the final frame-key
+    // equi-join may be any strategy (it is data-sized by design)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in attach plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in attach plan:\n$p")
+    // exactly one window (the forward fill) beyond the loader's own
+    val loaderWindows = "Window".r.findAllIn(
+      trk.queryExecution.sparkPlan.toString).size
+    val attachWindows = "Window".r.findAllIn(
+      df.queryExecution.sparkPlan.toString).size
+    assert(attachWindows <= loaderWindows + 1,
+      s"attach added ${attachWindows - loaderWindows} windows:\n$p")
+  }
+
   test("chunking is shuffle-free: no Exchange anywhere in the plan") {
     val df = graft.llm.Chunker.chunks(Tables.documents(spark, sf), "doc_id", "text")
     df.collect()
