@@ -86,7 +86,12 @@ object GnnInference {
           affine(col("z"), layer.ws, layer.bs, "softplus"),
           (g, s) => g * s))
       .groupBy((keys.map(col) :+ col("i").as("idx")): _*)
-      .agg(aggregate(collect_list(col("msg")),
+      // deterministic: messages sum in source-node order (collect_list
+      // order varies run to run; sorted folds make inference
+      // reproducible bit-for-bit on reruns)
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("msg")))),
+          _.getField("msg")),
         typedLit(Seq.fill(layer.bf.size)(0.0)),
         (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("sum_msg"))
     nodes.join(messages, keys :+ "idx", "left")
@@ -110,7 +115,9 @@ object GnnInference {
     val pooled = convolved
       .groupBy(keys.map(col): _*)
       .agg(
-        aggregate(collect_list(col("x")),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("idx"), col("x")))),
+            _.getField("x")),
           typedLit(Seq.fill(dim)(0.0)),
           (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("__sum"),
         count(lit(1)).as("__n"))
