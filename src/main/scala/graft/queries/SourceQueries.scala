@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{MetricaSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_2spectrum_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       SecondSpectrumSource.writeJsonl(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
+      out
+    })
+
+  private val metricaGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match Metrica home/away CSV fixture generated from the
+    * synthetic table (game '2'), once per (sfDir, JVM). */
+  def metricaDir(spark: SparkSession, sfDir: String): String =
+    metricaGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_metrica_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      MetricaSource.writeCsv(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "2"), out)
       out
     })
 
@@ -110,6 +122,76 @@ object SourceQueries extends QueryModule {
         SportecSource.load(s, s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
       },
       Some("SELECT * FROM read_parquet('/root/repo/goldens/sportec_load.parquet')")),
+
+    // Metrica open-data CSV pair → canonical long table. Same
+    // fully-recomputed oracle pattern: DuckDB re-reads the generated
+    // home/away CSVs (skip=3 headers), unpivots with UNION ALL arms,
+    // denormalizes the [0,1] top-left coordinates to center-origin
+    // meters with the y flip, rebases the continuous match clock per
+    // period, and replays the static flip.
+    GraftQuery(
+      "q_metrica_load",
+      (s, d) => {
+        val root = metricaDir(s, d)
+        MetricaSource.load(s, s"$root/home/tracking.csv",
+          s"$root/away/tracking.csv", gameId = "2")
+      },
+      Some {
+        val root = "/tmp/graft_metrica__root_testdata_sf0.01"
+        def cols(js: Seq[Int]) =
+          (Seq("'period':'INTEGER'", "'frame':'BIGINT'", "'t':'DOUBLE'") ++
+            js.flatMap(j => Seq(s"'x$j':'DOUBLE'", s"'y$j':'DOUBLE'")) ++
+            Seq("'bx':'DOUBLE'", "'by':'DOUBLE'")).mkString(", ")
+        def arms(side: String, js: Seq[Int], tbl: String) =
+          js.map(j =>
+            s"""SELECT period, frame, t, '${side}_$j' AS id, '$side' AS team_id,
+               |  x$j AS xn, y$j AS yn FROM $tbl""".stripMargin)
+        val armsAll = (arms("home", Seq(2, 4, 6), "h") ++
+          Seq("""SELECT period, frame, t, 'ball' AS id, 'ball' AS team_id,
+                |  bx AS xn, by AS yn FROM h""".stripMargin) ++
+          arms("away", Seq(1, 3, 5), "a")).mkString("\nUNION ALL\n")
+        s"""WITH h AS (
+           |  SELECT * FROM read_csv('$root/home/tracking.csv', skip=3,
+           |    header=false, nullstr='', columns={${cols(Seq(2, 4, 6))}})
+           |),
+           |a AS (
+           |  SELECT * FROM read_csv('$root/away/tracking.csv', skip=3,
+           |    header=false, nullstr='', columns={${cols(Seq(1, 3, 5))}})
+           |),
+           |long AS (
+           |  SELECT * FROM ($armsAll)
+           |  WHERE xn IS NOT NULL AND yn IS NOT NULL
+           |),
+           |offs AS (SELECT period, min(t) AS t0 FROM long GROUP BY period),
+           |canon AS (
+           |  SELECT '2' AS game_id, l.period AS period_id, l.frame AS frame_id,
+           |    CAST(round((l.t - o.t0) * 1000000.0) AS BIGINT) AS "timestamp",
+           |    l.id, l.team_id,
+           |    CASE WHEN l.team_id = 'ball' THEN 'ball' END AS position_name,
+           |    (l.xn - 0.5) * 105.0 AS x, (0.5 - l.yn) * 68.0 AS y,
+           |    CAST(0.0 AS DOUBLE) AS z,
+           |    CAST(NULL AS VARCHAR) AS ball_state,
+           |    CAST(NULL AS VARCHAR) AS ball_owning_team_id
+           |  FROM long l JOIN offs o ON o.period = l.period
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN team_id = 'home' THEN x END) AS hx,
+           |    avg(CASE WHEN team_id = 'away' THEN x END) AS ax
+           |  FROM canon WHERE team_id <> 'ball'
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
+      }),
 
     // SecondSpectrum JSONL → canonical long table. Like Tracab, no
     // reference fixture ships, so the JSONL is generated once per
