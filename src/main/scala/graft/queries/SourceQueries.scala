@@ -227,7 +227,7 @@ object SourceQueries extends QueryModule {
            |  SELECT period, frameIdx, gameClock, live, lastTouch,
            |    p.playerId AS id, is_home,
            |    p.xyz[1] AS x, p.xyz[2] AS y, 0.0 AS z, FALSE AS is_ball
-           |  FROM sides
+           |  FROM sides WHERE p.xyz[1] IS NOT NULL AND p.xyz[2] IS NOT NULL
            |),
            |bl AS (
            |  SELECT period, frameIdx, gameClock, live, lastTouch,
@@ -235,6 +235,7 @@ object SourceQueries extends QueryModule {
            |    ball.xyz[1] AS x, ball.xyz[2] AS y,
            |    coalesce(ball.xyz[3], 0.0) AS z, TRUE AS is_ball
            |  FROM j WHERE ball IS NOT NULL AND ball.xyz IS NOT NULL
+           |    AND ball.xyz[1] IS NOT NULL AND ball.xyz[2] IS NOT NULL
            |),
            |canon AS (
            |  SELECT '1' AS game_id, period AS period_id, frameIdx AS frame_id,
@@ -304,19 +305,23 @@ object SourceQueries extends QueryModule {
            |  SELECT n, a[2] AS id,
            |    CASE WHEN a[1] = '1' THEN 'home' ELSE 'away' END AS team_id,
            |    CAST(NULL AS VARCHAR) AS position_name,
-           |    CAST(a[4] AS INTEGER)/100.0 AS x, CAST(a[5] AS INTEGER)/100.0 AS y,
+           |    TRY_CAST(a[4] AS INTEGER)/100.0 AS x, TRY_CAST(a[5] AS INTEGER)/100.0 AS y,
            |    0.0 AS z,
            |    CAST(NULL AS VARCHAR) AS own_flag, CAST(NULL AS VARCHAR) AS status_flag
            |  FROM tf WHERE a[1] IN ('0','1')
+           |    AND TRY_CAST(a[4] AS INTEGER) IS NOT NULL
+           |    AND TRY_CAST(a[5] AS INTEGER) IS NOT NULL
            |),
            |bl AS (
            |  SELECT n, 'ball' AS id, 'ball' AS team_id, 'ball' AS position_name,
-           |    CAST(b[1] AS INTEGER)/100.0 AS x, CAST(b[2] AS INTEGER)/100.0 AS y,
-           |    CAST(b[3] AS INTEGER)/100.0 AS z,
+           |    TRY_CAST(b[1] AS INTEGER)/100.0 AS x, TRY_CAST(b[2] AS INTEGER)/100.0 AS y,
+           |    TRY_CAST(b[3] AS INTEGER)/100.0 AS z,
            |    b[5] AS own_flag, b[6] AS status_flag
            |  FROM (SELECT n, string_split(string_split(ballseg, ';')[1], ',') AS b
            |        FROM fr WHERE ballseg <> '')
            |  WHERE len(b) >= 6
+           |    AND TRY_CAST(b[1] AS INTEGER) IS NOT NULL
+           |    AND TRY_CAST(b[2] AS INTEGER) IS NOT NULL
            |),
            |allr AS (SELECT * FROM pl UNION ALL SELECT * FROM bl),
            |withp AS (

@@ -90,9 +90,10 @@ object StreamingFormations {
             .toSeq.sortBy(_._1)
             .flatMap { case ((frame, period), rws) =>
               val owning = rws.head.ball_owning_team_id
-              // batch parity: fit drops null-owning rows before
-              // segmentation, so those frames emit nothing
-              if (owning == null || owning.isEmpty) Nil
+              // batch parity: fit drops exactly the NULL-owning rows
+              // before segmentation (empty strings flow through like
+              // any other id), so only those frames emit nothing
+              if (owning == null) Nil
               else {
                 val segRows = rws.sortBy(_.id).map(r => Efpi.SegRow(
                   r.game_id, r.period_id, r.frame_id, r.id, r.team_id,

@@ -63,7 +63,7 @@ object ScaleGen {
     write(copies(read("documents"))
       .withColumn("doc_id", col("doc_id") + col("__c") * liK)
       .withColumn("text", concat(col("text"), lit(" copysalt"), col("__c")))
-      .withColumn("n_chars", length(concat(col("text"), lit(" copysalt"), col("__c"))))
+      .withColumn("n_chars", length(col("text"))) // of the salted text
       .drop("__c"), "documents", 8)
     write(copies(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("__c") * liK)

@@ -145,6 +145,10 @@ object MetricaSource {
 
     def write(team: String): Unit = {
       val js = side(team)
+      // only this side's players (plus the ball) feed the side file —
+      // without the filter, home/away players SHARING a jersey number
+      // would corrupt each other's columns through the bare-id match
+      val sideDf = df.filter(col(TeamId) === team || col(TeamId) === Ball)
       def coord(j: String, c: Column) =
         max(when(col(ObjectId) === (if (j == Ball) Ball else j), c)).as(s"c_$j")
       val xn = (col(X) / pitchLength) + 0.5
@@ -161,7 +165,7 @@ object MetricaSource {
       // cells must stay as empty strings, like the real format's
       // off-pitch players
       def cell(c: Column) = coalesce(c.cast(StringType), lit(""))
-      val rows = df
+      val rows = sideDf
         .groupBy(col(PeriodId), col(FrameId))
         .agg(min(col(Timestamp)).as("ts"), pairs: _*)
         .orderBy(col(FrameId))

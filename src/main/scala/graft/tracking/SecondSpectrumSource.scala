@@ -111,6 +111,9 @@ object SecondSpectrumSource {
           element_at(col("p.xyz"), 2).as(Y),
           lit(0.0).as(Z),
           lit(false).as("is_ball_row"))
+        // corrupt records with missing/truncated xyz drop instead of
+        // leaking null coordinates (wide-CSV melt contract)
+        .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val ballRows = frames
       .filter(col("ball").isNotNull && col("ball.xyz").isNotNull)
@@ -122,6 +125,7 @@ object SecondSpectrumSource {
         element_at(col("ball.xyz"), 2).as(Y),
         coalesce(element_at(col("ball.xyz"), 3), lit(0.0)).as(Z),
         lit(true).as("is_ball_row"))
+      .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val roster = gamesDf
       .select(col(GameId).as("r_game"), explode_outer(col("players")).as("p"))

@@ -111,6 +111,10 @@ object TracabSource {
         lit(0.0).as(Z),
         lit(null).cast(StringType).as("own_flag"),
         lit(null).cast(StringType).as("status_flag"))
+      // corrupt/truncated targets (unparseable cm ints) drop instead of
+      // leaking null coordinates into kinematics — the same contract as
+      // the wide-CSV melt and the Metrica reader
+      .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val b = split(element_at(split(col("ballseg"), ";"), 1), ",")
     val ball = base
@@ -126,6 +130,7 @@ object TracabSource {
         (element_at(col("b"), 3).try_cast(IntegerType) / 100.0).as(Z),
         element_at(col("b"), 5).as("own_flag"),
         element_at(col("b"), 6).as("status_flag"))
+      .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val rows = players.unionByName(ball)
       .crossJoin(broadcast(matchDf))
@@ -172,6 +177,12 @@ object TracabSource {
     * `iStartFrame` is each period's minimum (offset) frame. Null
     * owning/state emit the `-` placeholder, which loads back as null. */
   def writeDat(df: DataFrame, outDir: String, periodOffset: Long = 10000000L): Unit = {
+    // overlapping period ranges would make load's between-join match a
+    // frame to several periods — refuse inputs the offset can't separate
+    val maxFrame = df.agg(max(col(FrameId))).head().getLong(0)
+    require(maxFrame < periodOffset,
+      s"periodOffset=$periodOffset must exceed the max frame id $maxFrame " +
+        "or the generated period ranges overlap")
     val n = col(FrameId) + (col(PeriodId).cast("long") - 1) * periodOffset
     val isBall = col(TeamId) === Ball
     val cm = (c: org.apache.spark.sql.Column) => round(c * 100).cast("int").cast("string")
