@@ -107,8 +107,8 @@ object SecondSpectrumSource {
           col("live"), col("lastTouch"),
           col("p.playerId").as(ObjectId),
           lit(homeSide).as("is_home_side"),
-          element_at(col("p.xyz"), 1).as(X),
-          element_at(col("p.xyz"), 2).as(Y),
+          try_element_at(col("p.xyz"), lit(1)).as(X),
+          try_element_at(col("p.xyz"), lit(2)).as(Y),
           lit(0.0).as(Z),
           lit(false).as("is_ball_row"))
         // corrupt records with missing/truncated xyz drop instead of
@@ -121,9 +121,9 @@ object SecondSpectrumSource {
         col("gameClock"), col("live"), col("lastTouch"),
         lit(Ball).as(ObjectId),
         lit(false).as("is_home_side"),
-        element_at(col("ball.xyz"), 1).as(X),
-        element_at(col("ball.xyz"), 2).as(Y),
-        coalesce(element_at(col("ball.xyz"), 3), lit(0.0)).as(Z),
+        try_element_at(col("ball.xyz"), lit(1)).as(X),
+        try_element_at(col("ball.xyz"), lit(2)).as(Y),
+        coalesce(try_element_at(col("ball.xyz"), lit(3)), lit(0.0)).as(Z),
         lit(true).as("is_ball_row"))
       .filter(col(X).isNotNull && col(Y).isNotNull)
 

@@ -172,8 +172,8 @@ object SportecEvents {
       .select(
         col("_MatchId").as(GameId),
         SportecSource.sectionToPeriod(col("_GameSection")).as(PeriodId),
-        element_at(col("Frame"), 1).getField("_N").try_cast(LongType).as("n0"),
-        unix_micros(element_at(col("Frame"), 1).getField("_T")
+        try_element_at(col("Frame"), lit(1)).getField("_N").try_cast(LongType).as("n0"),
+        unix_micros(try_element_at(col("Frame"), lit(1)).getField("_T")
           .try_cast(TimestampType)).as("t0"))
       .filter(col("n0").isNotNull && col("t0").isNotNull)
     first.groupBy(col(GameId), col(PeriodId))

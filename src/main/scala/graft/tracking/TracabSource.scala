@@ -91,9 +91,9 @@ object TracabSource {
     val seg = split(col("value"), ":")
     val base = spark.read.text(datPath)
       .select(
-        element_at(seg, 1).try_cast(LongType).as("n"),
-        element_at(seg, 2).as("tgt"),
-        element_at(seg, 3).as("ballseg"))
+        try_element_at(seg, lit(1)).try_cast(LongType).as("n"),
+        try_element_at(seg, lit(2)).as("tgt"),
+        try_element_at(seg, lit(3)).as("ballseg"))
       .filter(col("n").isNotNull)
 
     val a = split(col("t"), ",")
@@ -101,13 +101,13 @@ object TracabSource {
       .select(col("n"), explode(split(col("tgt"), ";")).as("t"))
       .filter(col("t") =!= "")
       .select(col("n"), a.as("a"))
-      .filter(element_at(col("a"), 1).isin("0", "1"))
+      .filter(try_element_at(col("a"), lit(1)).isin("0", "1"))
       .select(col("n"),
-        element_at(col("a"), 2).as(ObjectId),
-        when(element_at(col("a"), 1) === "1", "home").otherwise("away").as(TeamId),
+        try_element_at(col("a"), lit(2)).as(ObjectId),
+        when(try_element_at(col("a"), lit(1)) === "1", "home").otherwise("away").as(TeamId),
         lit(null).cast(StringType).as(PositionName),
-        (element_at(col("a"), 4).try_cast(IntegerType) / 100.0).as(X),
-        (element_at(col("a"), 5).try_cast(IntegerType) / 100.0).as(Y),
+        (try_element_at(col("a"), lit(4)).try_cast(IntegerType) / 100.0).as(X),
+        (try_element_at(col("a"), lit(5)).try_cast(IntegerType) / 100.0).as(Y),
         lit(0.0).as(Z),
         lit(null).cast(StringType).as("own_flag"),
         lit(null).cast(StringType).as("status_flag"))
@@ -116,7 +116,7 @@ object TracabSource {
       // the wide-CSV melt and the Metrica reader
       .filter(col(X).isNotNull && col(Y).isNotNull)
 
-    val b = split(element_at(split(col("ballseg"), ";"), 1), ",")
+    val b = split(try_element_at(split(col("ballseg"), ";"), lit(1)), ",")
     val ball = base
       .filter(col("ballseg").isNotNull && col("ballseg") =!= "")
       .select(col("n"), b.as("b"))
@@ -125,11 +125,11 @@ object TracabSource {
         lit(Ball).as(ObjectId),
         lit(Ball).as(TeamId),
         lit(Ball).as(PositionName),
-        (element_at(col("b"), 1).try_cast(IntegerType) / 100.0).as(X),
-        (element_at(col("b"), 2).try_cast(IntegerType) / 100.0).as(Y),
-        (element_at(col("b"), 3).try_cast(IntegerType) / 100.0).as(Z),
-        element_at(col("b"), 5).as("own_flag"),
-        element_at(col("b"), 6).as("status_flag"))
+        (try_element_at(col("b"), lit(1)).try_cast(IntegerType) / 100.0).as(X),
+        (try_element_at(col("b"), lit(2)).try_cast(IntegerType) / 100.0).as(Y),
+        (try_element_at(col("b"), lit(3)).try_cast(IntegerType) / 100.0).as(Z),
+        try_element_at(col("b"), lit(5)).as("own_flag"),
+        try_element_at(col("b"), lit(6)).as("status_flag"))
       .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val rows = players.unionByName(ball)

@@ -36,6 +36,24 @@ class SecondSpectrumSourceSpec extends AnyFunSuite {
     input.unpersist()
   }
 
+  test("corrupt rows drop: missing/truncated xyz and null frame keys") {
+    val dir = "/tmp/graft_2spectrum_corrupt"
+    Files.createDirectories(Paths.get(s"$dir/frames"))
+    Files.write(Paths.get(s"$dir/frames/lines.txt"),
+      ("""{"period":1,"frameIdx":1,"gameClock":0.0,"live":true,"homePlayers":[{"playerId":"ok","xyz":[1.0,2.0,0.0]},{"playerId":"noxyz"},{"playerId":"short","xyz":[3.0]}],"awayPlayers":[],"ball":{"xyz":[0.5]}}""" + "\n" +
+        """{"frameIdx":2,"gameClock":0.04,"live":true,"homePlayers":[{"playerId":"ok","xyz":[1.0,2.0,0.0]}],"awayPlayers":[]}""" + "\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/meta.json"),
+      ("""{"gameId": "mc", "homeTeamId": "H", "awayTeamId": "A"}""").getBytes("UTF-8"))
+    val out = SecondSpectrumSource.load(
+      spark, s"$dir/frames/*.txt", s"$dir/meta.json", orientation = "raw")
+    val rows = out.collect().map(r => (r.getAs[Long]("frame_id"), r.getAs[String]("id")))
+    // frame 1: only the fully-coordinated player survives (ball xyz
+    // truncated → drops); frame 2 has no period → whole line drops
+    assert(rows.toSet === Set((1L, "ok")))
+    assert(out.filter(col("x").isNull || col("y").isNull).count() === 0L)
+  }
+
   test("hand-written lines: lastTouch/live/roster/ball-z semantics and the static flip") {
     val dir = "/tmp/graft_2spectrum_edge"
     Files.createDirectories(Paths.get(s"$dir/frames"))

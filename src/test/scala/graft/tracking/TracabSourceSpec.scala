@@ -100,6 +100,44 @@ class TracabSourceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("corrupt rows drop: unparseable coordinates, garbage frame ids, short ball blocks") {
+    val dir = "/tmp/graft_tracab_corrupt"
+    Files.createDirectories(Paths.get(s"$dir/dat"))
+    // frame 100: one good target, one with garbage x, ball with garbage y
+    // frame 101: good everything
+    // "junk" line: unparseable frame id
+    Files.write(Paths.get(s"$dir/dat/lines.txt"),
+      ("100:1,7,7,105,-230,0;0,11,11,abc,0,0;:50,xyz,11,0,H,Alive;:\n" +
+        "junk:nonsense:::\n" +
+        "101:1,7,7,110,-225,0;:50,-25,11,0,H,Alive;:\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/meta.xml"),
+      ("""<TracabMetaData sVersion="1.0">
+         |  <match iId="mc" iFrameRateFps="25">
+         |    <period iId="1" iStartFrame="100" iEndFrame="200"/>
+         |  </match>
+         |</TracabMetaData>
+         |""".stripMargin).getBytes("UTF-8"))
+    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml",
+      orientation = "raw")
+    val rows = out.collect().map(r => (r.getAs[Long]("frame_id"), r.getAs[String]("id")))
+    // frame 100: corrupt target AND corrupt ball drop, good target stays
+    assert(rows.toSet === Set((100L, "7"), (101L, "7"), (101L, "ball")))
+    // nothing leaks null coordinates
+    assert(out.filter(col("x").isNull || col("y").isNull).count() === 0L)
+  }
+
+  test("writeDat refuses frame ids that would overlap the period offset") {
+    import spark.implicits._
+    val bad = Seq(("g", 1, 20000000L, 0L, "7", "home", null: String,
+      1.0, 2.0, 0.0, "alive", null: String))
+      .toDF("game_id", "period_id", "frame_id", "timestamp", "id", "team_id",
+        "position_name", "x", "y", "z", "ball_state", "ball_owning_team_id")
+    val e = intercept[IllegalArgumentException] {
+      TracabSource.writeDat(bad, "/tmp/graft_tracab_refuse")
+    }
+    assert(e.getMessage.contains("periodOffset"))
+  }
+
   test("STATIC_HOME_AWAY default rotates the RTL periods, like the other readers") {
     val dir = "/tmp/graft_tracab_flip"
     Files.createDirectories(Paths.get(s"$dir/dat"))
