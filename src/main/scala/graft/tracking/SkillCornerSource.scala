@@ -131,12 +131,15 @@ object SkillCornerSource {
 
   /** "H:MM:SS.ff" → micros. SkillCorner clock strings vary in hour
     * digits and fraction length, so split-and-scale beats a strict
-    * datetime pattern; stays in codegen (no UDF). */
+    * datetime pattern; stays in codegen (no UDF). try_element_at: a
+    * malformed short clock ("0:00") nulls instead of failing the scan
+    * (Spark 4 element_at throws on out-of-bounds). */
   private def clockMicros(c: org.apache.spark.sql.Column) = {
     val p = split(c, ":")
-    ((element_at(p, 1).cast(LongType) * 3600L + element_at(p, 2).cast(LongType) * 60L)
+    ((try_element_at(p, lit(1)).cast(LongType) * 3600L +
+      try_element_at(p, lit(2)).cast(LongType) * 60L)
       .cast("double") * 1000000.0 +
-      element_at(p, 3).cast("double") * 1000000.0).cast(LongType)
+      try_element_at(p, lit(3)).cast("double") * 1000000.0).cast(LongType)
   }
 
   /** Full load of one match (tracking + match data) into the canonical
