@@ -293,12 +293,15 @@ object SourceQueries extends QueryModule {
            |),
            |seg AS (SELECT string_split(line, ':') AS s FROM lines),
            |fr AS (
-           |  SELECT CAST(s[1] AS BIGINT) AS n, s[2] AS tgt, s[3] AS ballseg
+           |  SELECT CAST(s[1] AS BIGINT) AS n, s[2] AS tgt,
+           |    string_split(string_split(s[3], ';')[1], ',') AS b
            |  FROM seg WHERE try_cast(s[1] AS BIGINT) IS NOT NULL
            |),
+           |frf AS (SELECT *, b[5] AS own_flag, b[6] AS status_flag FROM fr),
            |tf AS (
-           |  SELECT n, string_split(t, ',') AS a
-           |  FROM (SELECT n, unnest(string_split(tgt, ';')) AS t FROM fr)
+           |  SELECT n, own_flag, status_flag, string_split(t, ',') AS a
+           |  FROM (SELECT n, own_flag, status_flag,
+           |          unnest(string_split(tgt, ';')) AS t FROM frf)
            |  WHERE t <> ''
            |),
            |pl AS (
@@ -307,7 +310,7 @@ object SourceQueries extends QueryModule {
            |    CAST(NULL AS VARCHAR) AS position_name,
            |    TRY_CAST(a[4] AS INTEGER)/100.0 AS x, TRY_CAST(a[5] AS INTEGER)/100.0 AS y,
            |    0.0 AS z,
-           |    CAST(NULL AS VARCHAR) AS own_flag, CAST(NULL AS VARCHAR) AS status_flag
+           |    own_flag, status_flag
            |  FROM tf WHERE a[1] IN ('0','1')
            |    AND TRY_CAST(a[4] AS INTEGER) IS NOT NULL
            |    AND TRY_CAST(a[5] AS INTEGER) IS NOT NULL
@@ -316,9 +319,8 @@ object SourceQueries extends QueryModule {
            |  SELECT n, 'ball' AS id, 'ball' AS team_id, 'ball' AS position_name,
            |    TRY_CAST(b[1] AS INTEGER)/100.0 AS x, TRY_CAST(b[2] AS INTEGER)/100.0 AS y,
            |    TRY_CAST(b[3] AS INTEGER)/100.0 AS z,
-           |    b[5] AS own_flag, b[6] AS status_flag
-           |  FROM (SELECT n, string_split(string_split(ballseg, ';')[1], ',') AS b
-           |        FROM fr WHERE ballseg <> '')
+           |    own_flag, status_flag
+           |  FROM frf
            |  WHERE len(b) >= 6
            |    AND TRY_CAST(b[1] AS INTEGER) IS NOT NULL
            |    AND TRY_CAST(b[2] AS INTEGER) IS NOT NULL

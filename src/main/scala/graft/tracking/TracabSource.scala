@@ -78,7 +78,8 @@ object TracabSource {
       spark: SparkSession,
       datPath: String,
       metaPath: String,
-      orientation: String = "static_home_away"): DataFrame = {
+      orientation: String = "static_home_away",
+      onlyAlive: Boolean = false): DataFrame = {
     require(Set("static_home_away", "raw")(orientation),
       "orientation should be 'static_home_away' or 'raw'")
     val matchDf = matches(spark, metaPath).drop("period")
@@ -88,19 +89,29 @@ object TracabSource {
         s"${if (nMatches == 0) "none" else "several"}: $metaPath); DAT files " +
         "carry no match id, so load one match at a time")
 
+    // The ball block rides every line, so the frame-level possession /
+    // status flags are extracted at LINE level and inherited by the
+    // player rows — the canonical contract (ball_state / owning on
+    // every row, matching the Sportec/SkillCorner readers) costs no
+    // fan-out window or join here, and kloppy's only_alive filter
+    // becomes a plain line predicate.
     val seg = split(col("value"), ":")
+    val lineBall = split(try_element_at(split(try_element_at(seg, lit(3)), ";"), lit(1)), ",")
     val base = spark.read.text(datPath)
       .select(
         try_element_at(seg, lit(1)).try_cast(LongType).as("n"),
         try_element_at(seg, lit(2)).as("tgt"),
-        try_element_at(seg, lit(3)).as("ballseg"))
+        lineBall.as("b"))
       .filter(col("n").isNotNull)
+      .withColumn("own_flag", try_element_at(col("b"), lit(5)))
+      .withColumn("status_flag", try_element_at(col("b"), lit(6)))
 
     val a = split(col("t"), ",")
     val players = base
-      .select(col("n"), explode(split(col("tgt"), ";")).as("t"))
+      .select(col("n"), col("own_flag"), col("status_flag"),
+        explode(split(col("tgt"), ";")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("n"), a.as("a"))
+      .select(col("n"), col("own_flag"), col("status_flag"), a.as("a"))
       .filter(try_element_at(col("a"), lit(1)).isin("0", "1"))
       .select(col("n"),
         try_element_at(col("a"), lit(2)).as(ObjectId),
@@ -109,17 +120,13 @@ object TracabSource {
         (try_element_at(col("a"), lit(4)).try_cast(IntegerType) / 100.0).as(X),
         (try_element_at(col("a"), lit(5)).try_cast(IntegerType) / 100.0).as(Y),
         lit(0.0).as(Z),
-        lit(null).cast(StringType).as("own_flag"),
-        lit(null).cast(StringType).as("status_flag"))
+        col("own_flag"), col("status_flag"))
       // corrupt/truncated targets (unparseable cm ints) drop instead of
       // leaking null coordinates into kinematics — the same contract as
       // the wide-CSV melt and the Metrica reader
       .filter(col(X).isNotNull && col(Y).isNotNull)
 
-    val b = split(try_element_at(split(col("ballseg"), ";"), lit(1)), ",")
     val ball = base
-      .filter(col("ballseg").isNotNull && col("ballseg") =!= "")
-      .select(col("n"), b.as("b"))
       .filter(size(col("b")) >= 6)
       .select(col("n"),
         lit(Ball).as(ObjectId),
@@ -128,8 +135,7 @@ object TracabSource {
         (try_element_at(col("b"), lit(1)).try_cast(IntegerType) / 100.0).as(X),
         (try_element_at(col("b"), lit(2)).try_cast(IntegerType) / 100.0).as(Y),
         (try_element_at(col("b"), lit(3)).try_cast(IntegerType) / 100.0).as(Z),
-        try_element_at(col("b"), lit(5)).as("own_flag"),
-        try_element_at(col("b"), lit(6)).as("status_flag"))
+        col("own_flag"), col("status_flag"))
       .filter(col(X).isNotNull && col(Y).isNotNull)
 
     val rows = players.unionByName(ball)
@@ -156,15 +162,20 @@ object TracabSource {
         when(col("own_flag") === "H", lit("home"))
           .when(col("own_flag") === "A", lit("away"))
           .otherwise(lit(null).cast(StringType)).as(BallOwningTeamId))
+    // kloppy's TRACABDatDeserializer defaults only_alive=True; ours
+    // defaults false so dead-ball analysis stays possible — pass true
+    // for kloppy-default behavior
+    val filtered =
+      if (onlyAlive) canonical.filter(col(BallState) === "alive") else canonical
     orientation match {
-      case "raw" => canonical
+      case "raw" => filtered
       case _ =>
-        // the canonical relation here IS the cheap upstream (one text
+        // the filtered relation here IS the cheap upstream (one text
         // scan + broadcast joins), so detecting from it directly keeps
         // the source-scan count bounded
-        val ltr = Orientation.detectHomeLtr(canonical,
+        val ltr = Orientation.detectHomeLtr(filtered,
           col(TeamId) === "home", col(TeamId) === Ball)
-        Orientation.staticHomeAway(canonical, ltr)
+        Orientation.staticHomeAway(filtered, ltr)
     }
   }
 

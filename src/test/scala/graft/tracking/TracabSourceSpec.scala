@@ -45,10 +45,19 @@ class TracabSourceSpec extends AnyFunSuite {
       col("i.team_id") =!= col("l.team_id") ||
         abs(col("i.x") - col("l.x")) > 1e-9 ||
         abs(col("i.y") - col("l.y")) > 1e-9 ||
-        abs(col("i.z") - col("l.z")) > 1e-9 ||
-        col("l.ball_state").isNotNull =!= (col("i.team_id") === "ball") ||
-        (col("i.team_id") === "ball" && col("l.ball_state") =!= "alive"))
+        abs(col("i.z") - col("l.z")) > 1e-9)
     assert(bad.count() === 0L)
+
+    // ball attrs fan out to every row of frames that HAVE a ball block;
+    // ball-less frames cannot carry state through DAT and load back null
+    val hasBall = input.filter(col("team_id") === "ball")
+      .select(col("period_id").as("hb_p"), col("frame_id").as("hb_f")).distinct()
+    val stateful = loaded.join(hasBall,
+      col("period_id") === col("hb_p") && col("orig_frame") === col("hb_f"), "left")
+    assert(stateful.filter(col("hb_f").isNotNull && col("ball_state") =!= "alive")
+      .count() === 0L)
+    assert(stateful.filter(col("hb_f").isNull && col("ball_state").isNotNull)
+      .count() === 0L)
 
     // clock rebases to each period's first frame at 25 fps
     val p1 = starts(1)
@@ -95,6 +104,15 @@ class TracabSourceSpec extends AnyFunSuite {
     assert(f101.getAs[String]("ball_state") === "dead")
     assert(f101.getAs[String]("ball_owning_team_id") === "away")
     assert(f101.getAs[Long]("timestamp") === 40000L)
+    // line-level flags fan out to player rows (canonical contract)
+    val p101 = out.filter(col("frame_id") === 101 && col("id") === "11").head()
+    assert(p101.getAs[String]("ball_state") === "dead")
+    assert(p101.getAs[String]("ball_owning_team_id") === "away")
+    // kloppy-default only_alive drops the dead-ball frame entirely
+    val alive = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml",
+      orientation = "raw", onlyAlive = true)
+    assert(alive.filter(col("frame_id") === 101).count() === 0L)
+    assert(alive.filter(col("frame_id") === 100).count() === 3L)
     assert(out.filter(col("frame_id") === 102).count() === 1L) // player row survives, no ball row
     assert(out.filter(col("game_id") =!= "m1").count() === 0L)
     out.unpersist()
