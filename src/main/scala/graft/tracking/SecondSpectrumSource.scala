@@ -85,7 +85,8 @@ object SecondSpectrumSource {
       spark: SparkSession,
       jsonlPath: String,
       metaPath: String,
-      orientation: String = "static_home_away"): DataFrame = {
+      orientation: String = "static_home_away",
+      onlyAlive: Boolean = false): DataFrame = {
     require(Set("static_home_away", "raw")(orientation),
       "orientation should be 'static_home_away' or 'raw'")
     val gamesDf = games(spark, metaPath)
@@ -95,8 +96,11 @@ object SecondSpectrumSource {
         s"${if (nGames == 0) "none" else "several"}: $metaPath); frame lines " +
         "carry no match id, so load one match at a time")
 
-    val frames = spark.read.schema(frameSchema).json(jsonlPath)
+    // kloppy's SecondSpectrumDeserializer defaults only_alive=True;
+    // ours defaults false so dead-ball analysis stays possible
+    val frames0 = spark.read.schema(frameSchema).json(jsonlPath)
       .filter(col("period").isNotNull && col("frameIdx").isNotNull)
+    val frames = if (onlyAlive) frames0.filter(col("live") === true) else frames0
 
     def sideRows(arrCol: String, homeSide: Boolean): DataFrame =
       frames

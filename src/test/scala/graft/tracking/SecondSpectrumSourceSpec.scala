@@ -89,6 +89,11 @@ class SecondSpectrumSourceSpec extends AnyFunSuite {
     val f3 = out.filter(col("frame_id") === 3).collect()
     assert(f3.length === 1) // no ball object, empty away array
     assert(f3.head.getAs[String]("ball_state") === "dead")
+    // kloppy-default only_alive drops the dead frame entirely
+    val alive = SecondSpectrumSource.load(
+      spark, s"$dir/frames/*.txt", s"$dir/meta.json", onlyAlive = true)
+    assert(alive.filter(col("frame_id") === 3).count() === 0L)
+    assert(alive.filter(col("frame_id") === 1).count() === 3L)
     assert(f3.head.isNullAt(f3.head.fieldIndex("ball_owning_team_id")))
     assert(f3.head.getAs[Long]("timestamp") === 80000L) // 0.08 s
 
