@@ -88,7 +88,12 @@ object StreamingEventLabels {
           val pending = st.pending ++ newFrames.map(t =>
             FrameTick(t.game_id, t.period_id, t.frame_id, t.abs_ts))
           val wm = state.getCurrentWatermarkMs()
-          val (ready, still) = pending.partition(_.abs_ts / 1000L <= wm)
+          // micros-exact finality: a frame is final only when its FULL
+          // timestamp is strictly below the watermark — comparing
+          // ms-truncated values would emit frames up to 999us early,
+          // inside the window where an admissible event can still
+          // arrive
+          val (ready, still) = pending.partition(_.abs_ts < wm * 1000L)
 
           val out = ready.sortBy(f => (f.abs_ts, f.frame_id)).map { f =>
             // latest event at or before the frame (events pre-sorted)
@@ -98,17 +103,23 @@ object StreamingEventLabels {
               latest.map(_.event_team_id).orNull, latest.map(_.event_player_id).orNull)
           }
 
-          // prune events fully behind the emitted frontier: keep those
-          // after it plus the single latest at-or-before it (still
-          // needed by the next frame)
-          val frontier =
-            if (ready.nonEmpty) ready.map(_.abs_ts).max else Long.MinValue
+          // prune events behind BOTH the emitted frontier and the
+          // watermark (any future admissible frame has ts >= watermark,
+          // so of the events at-or-below it only the latest can ever be
+          // an as-of label) — bounds event state by the lateness window
+          // even when the frame stream stalls
+          val frontier = math.max(
+            if (ready.nonEmpty) ready.map(_.abs_ts).max else Long.MinValue,
+            wm * 1000L - 1L)
           val (behind, ahead) = allEvents.partition(_.abs_ts <= frontier)
           state.update(AttachState(behind.lastOption.toSeq ++ ahead, still))
 
-          val target =
-            if (still.nonEmpty) still.map(_.abs_ts / 1000L).min else wm + 1
-          state.setTimeoutTimestamp(math.max(target, wm + 1))
+          // re-arm only while frames are pending: an idle game keeps
+          // its (tiny) as-of state but is not re-invoked on every
+          // subsequent watermark advance
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(still.map(_.abs_ts / 1000L).min, wm + 1))
           out.iterator
         })
   }

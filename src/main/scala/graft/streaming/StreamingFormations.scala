@@ -81,9 +81,11 @@ object StreamingFormations {
           val st = state.getOption.getOrElse(GameState(Nil, Nil))
           val pending = st.pending ++ it
           val wm = state.getCurrentWatermarkMs()
-          // frames whose event time the watermark has passed are final:
-          // no admissible late row can still join them
-          val (ready, still) = pending.partition(_.timestamp / 1000L <= wm)
+          // frames whose FULL event time is strictly below the
+          // watermark are final: no admissible late row can still join
+          // them (ms-truncated compares would release frames up to
+          // 999us early)
+          val (ready, still) = pending.partition(_.timestamp < wm * 1000L)
           val teamState = thaw(st.teams)
           val out = ready
             .groupBy(r => (r.frame_id, r.period_id))
@@ -104,11 +106,12 @@ object StreamingFormations {
               }
             }
           state.update(GameState(freeze(teamState), still))
-          // re-arm: fire when the watermark passes the oldest pending
-          // frame, or just after the next watermark advance otherwise
-          val target =
-            if (still.nonEmpty) still.map(_.timestamp / 1000L).min else wm + 1
-          state.setTimeoutTimestamp(math.max(target, wm + 1))
+          // re-arm only while frames are pending: an idle game keeps
+          // its hysteresis state (needed when play resumes) without
+          // being re-invoked on every watermark advance
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(still.map(_.timestamp / 1000L).min, wm + 1))
           out.iterator
         })
   }

@@ -172,6 +172,9 @@ object SkillCornerSource {
         col("possession.group").as("poss_group"),
         explode(col("data")).as("d"))
       .filter(col("d.trackable_object").isNotNull) // anonymous tracks dropped
+      // a frame whose clock failed to parse has no usable time — drop
+      // it like the corrupt-coordinate paths in the other readers
+      .filter(col("clock").isNotNull)
       .select(col(FrameId), col(PeriodId), col("clock"), col("poss_group"),
         col("d.trackable_object").cast(StringType).as("to_id"),
         col("d.x").as(X), col("d.y").as(Y),
