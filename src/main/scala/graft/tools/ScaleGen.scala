@@ -56,9 +56,11 @@ object ScaleGen {
     write(copies(read("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("__c") * liK)
       .drop("__c"), "orders", 8)
+    // user_id stays unshifted: users are a dimension-like key, and the
+    // customer dim is fixed — shifting would leave ~90% of event rows
+    // FK-unmatched and understate join cost in the soak
     write(copies(read("events"))
       .withColumn("event_id", col("event_id") + col("__c") * liK)
-      .withColumn("user_id", col("user_id") + col("__c") * liK)
       .drop("__c"), "events", 8)
     write(copies(read("documents"))
       .withColumn("doc_id", col("doc_id") + col("__c") * liK)

@@ -133,13 +133,15 @@ object SkillCornerSource {
     * digits and fraction length, so split-and-scale beats a strict
     * datetime pattern; stays in codegen (no UDF). try_element_at: a
     * malformed short clock ("0:00") nulls instead of failing the scan
-    * (Spark 4 element_at throws on out-of-bounds). */
+    * (Spark 4 element_at throws on out-of-bounds); try_cast: a
+    * non-numeric component ("a:00:00.0") likewise nulls the clock
+    * instead of throwing under ANSI mode. */
   private def clockMicros(c: org.apache.spark.sql.Column) = {
     val p = split(c, ":")
-    ((try_element_at(p, lit(1)).cast(LongType) * 3600L +
-      try_element_at(p, lit(2)).cast(LongType) * 60L)
+    ((try_element_at(p, lit(1)).try_cast(LongType) * 3600L +
+      try_element_at(p, lit(2)).try_cast(LongType) * 60L)
       .cast("double") * 1000000.0 +
-      try_element_at(p, lit(3)).cast("double") * 1000000.0).cast(LongType)
+      try_element_at(p, lit(3)).try_cast("double") * 1000000.0).cast(LongType)
   }
 
   /** Full load of one match (tracking + match data) into the canonical

@@ -152,7 +152,9 @@ object TracabSource {
       .select(
         col(GameId), col(PeriodId),
         col("n").as(FrameId),
-        ((col("n") - col("start_frame")) * (lit(1000000L) / col("fps")))
+        // round, don't truncate: for fps that doesn't divide 1e6 (e.g.
+        // 24) a floor drifts up to 1us below kloppy's frame/fps delta
+        round((col("n") - col("start_frame")) * (lit(1000000L) / col("fps")))
           .cast(LongType).as(Timestamp),
         col(ObjectId), col(TeamId), col(PositionName),
         col(X), col(Y), col(Z),

@@ -99,6 +99,27 @@ class SkillCornerSourceSpec extends AnyFunSuite {
     assert(ts((2, 40001L)) === 100000L)
   }
 
+  test("malformed clocks (short or non-numeric) drop the frame, not the scan") {
+    val frames =
+      """[
+        |{"frame":1,"period":1,"timestamp":"0:00:00.00","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":-20.0,"y":5.0}]},
+        |{"frame":2,"period":1,"timestamp":"0:00","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":-19.0,"y":5.0}]},
+        |{"frame":3,"period":1,"timestamp":"a:00:00.0","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":-18.0,"y":5.0}]},
+        |{"frame":4,"period":1,"timestamp":"0:00:00.30","possession":{"trackable_object":null,"group":null},
+        | "data":[{"track_id":1,"trackable_object":2405,"x":-17.0,"y":5.0}]}
+        |]""".stripMargin
+    val p = "/tmp/graft_skillcorner_badclock_sample.json"
+    Files.write(Paths.get(p), frames.getBytes("UTF-8"))
+    val df = SkillCornerSource.load(spark, p, matchData)
+    // under ANSI mode a plain cast of "a" would abort the whole scan;
+    // frames 2 (short) and 3 (non-numeric) must drop instead
+    assert(df.select("frame_id").distinct().collect().map(_.getLong(0)).sorted
+      === Array(1L, 4L))
+  }
+
   test("STATIC_HOME_AWAY detects per period: home LTR in both halves here → nothing flips") {
     // p1 first frame: home mean x = -32.5 < away 10.0 → home LTR, raw
     val p1 = loaded.filter(col("frame_id") === 2001 && col("id") === "2405").head()

@@ -118,6 +118,32 @@ class TracabSourceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("fps that doesn't divide 1e6 rounds the timestamp instead of flooring") {
+    val dir = "/tmp/graft_tracab_fps24"
+    Files.createDirectories(Paths.get(s"$dir/dat"))
+    Files.write(Paths.get(s"$dir/dat/lines.txt"),
+      ("100:1,7,7,105,-230,0;:50,-25,11,0,H,Alive;:\n" +
+        "101:1,7,7,110,-225,0;:50,-25,11,0,H,Alive;:\n" +
+        "103:1,7,7,115,-220,0;:50,-25,11,0,H,Alive;:\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/meta.xml"),
+      ("""<TracabMetaData sVersion="1.0">
+         |  <match iId="m24" iFrameRateFps="24">
+         |    <period iId="1" iStartFrame="100" iEndFrame="200"/>
+         |  </match>
+         |</TracabMetaData>
+         |""".stripMargin).getBytes("UTF-8"))
+    val out = TracabSource.load(spark, s"$dir/dat/*.txt", s"$dir/meta.xml",
+      orientation = "raw")
+    val ts = out.filter(col("id") === "7")
+      .select("frame_id", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1e6/24 = 41666.66…: kloppy's frame/fps timedelta rounds to 41667,
+    // a floor would drift to 41666 / 124999
+    assert(ts(100L) === 0L)
+    assert(ts(101L) === 41667L)
+    assert(ts(103L) === 125000L)
+  }
+
   test("corrupt rows drop: unparseable coordinates, garbage frame ids, short ball blocks") {
     val dir = "/tmp/graft_tracab_corrupt"
     Files.createDirectories(Paths.get(s"$dir/dat"))
