@@ -412,9 +412,12 @@ object Efpi {
       // toSeq), and fold with O(1) memory in segments — a full match at
       // every="frame" would otherwise buffer ~270k candidate tuples in
       // one task
+      // (game, period, segment): period before segment, because segment
+      // ids may restart per period and the fold must never interleave
+      // periods (same order as the streaming fold)
       detected
         .repartition(col("_1"))
-        .sortWithinPartitions(col("_1"), col("_3"), col("_2"))
+        .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
         .mapPartitions { it =>
           var game: String = null
           var state: scala.collection.mutable.Map[String, TeamState] = null

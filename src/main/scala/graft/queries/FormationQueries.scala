@@ -313,7 +313,7 @@ object FormationQueries extends QueryModule {
             |  SELECT s.game_id, s.team_id, s.period_id, s.segment_id, s.owning,
             |    s.cost, t.ids_fp,
             |    row_number() OVER (PARTITION BY s.game_id, s.team_id
-            |                       ORDER BY s.segment_id) AS ord
+            |                       ORDER BY s.period_id, s.segment_id) AS ord
             |  FROM sel s
             |  JOIN tids t ON t.game_id = s.game_id AND t.team_id = s.team_id
             |             AND t.segment_id = s.segment_id

@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     the watermark passes the frame's event time (same completion
   *     contract as [[StreamingGraphs]]/[[StreamingPressing]]);
   *  2. '''ordered fold''' — completed frames are processed in
-  *     (frame, period) order through the exact batch fold body
+  *     (period, frame) order through the exact batch fold body
   *     ([[Efpi.foldStep]]): parallel detection per frame (≤23 rows, a
   *     bounded kernel), then the keep-or-update decision against the
   *     running per-team state.
@@ -36,8 +36,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFormations {
 
+  /** `abs_ts` = absolute event-time micros (monotone across periods,
+    * see [[AbsoluteTime]]); `timestamp` stays canonical
+    * period-relative. */
   final case class FrameRow(
       game_id: String, period_id: Int, frame_id: Long, timestamp: Long,
+      abs_ts: Long,
       id: String, team_id: String, position_name: String,
       x: Double, y: Double, ball_owning_team_id: String)
 
@@ -72,7 +76,7 @@ object StreamingFormations {
     val lib = cfg.customTemplates.getOrElse(Templates.library(cfg.formations))
 
     rows
-      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withColumn("event_time", timestamp_micros(col("abs_ts")))
       .withWatermark("event_time", lateness)
       .as[FrameRow]
       .groupByKey(_.game_id)
@@ -85,12 +89,15 @@ object StreamingFormations {
           // watermark are final: no admissible late row can still join
           // them (ms-truncated compares would release frames up to
           // 999us early)
-          val (ready, still) = pending.partition(_.timestamp < wm * 1000L)
+          val (ready, still) = pending.partition(_.abs_ts < wm * 1000L)
           val teamState = thaw(st.teams)
+          // period before frame: frame ids may restart per period, and
+          // the fold must never interleave periods (matches the batch
+          // fold's (game, period, segment) sortWithinPartitions)
           val out = ready
-            .groupBy(r => (r.frame_id, r.period_id))
+            .groupBy(r => (r.period_id, r.frame_id))
             .toSeq.sortBy(_._1)
-            .flatMap { case ((frame, period), rws) =>
+            .flatMap { case ((period, frame), rws) =>
               val owning = rws.head.ball_owning_team_id
               // batch parity: fit drops exactly the NULL-owning rows
               // before segmentation (empty strings flow through like
@@ -111,7 +118,7 @@ object StreamingFormations {
           // being re-invoked on every watermark advance
           if (still.nonEmpty)
             state.setTimeoutTimestamp(
-              math.max(still.map(_.timestamp / 1000L).min, wm + 1))
+              math.max(still.map(_.abs_ts / 1000L).min, wm + 1))
           out.iterator
         })
   }

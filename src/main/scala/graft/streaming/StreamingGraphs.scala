@@ -27,8 +27,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingGraphs {
 
+  /** `timestamp` stays canonical (micros since period start, a data
+    * column); `abs_ts` is the event-time axis — absolute micros,
+    * monotone across periods (see [[AbsoluteTime]]). Watermarking on
+    * the period-relative clock would mark all of period 2 late at
+    * half-time. */
   final case class FrameRow(
       game_id: String, period_id: Int, frame_id: Long, timestamp: Long,
+      abs_ts: Long,
       id: String, team_id: String, ball_owning_team_id: String,
       x: Double, y: Double, z: Double)
 
@@ -61,13 +67,12 @@ object StreamingGraphs {
       a)
   }
 
-  /** Frame-graph stream. Input must be watermarked upstream on an
-    * `event_time` timestamp column derived from `timestamp` micros —
-    * see [[graphStream]] for the assembled pipeline. */
+  /** Frame-graph stream; event time is the absolute `abs_ts` clock
+    * (bridge period-relative feeds via [[AbsoluteTime]]). */
   def graphs(rows: Dataset[FrameRow], lateness: String = "10 seconds"): Dataset[StreamGraph] = {
     import rows.sparkSession.implicits._
     rows
-      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withColumn("event_time", timestamp_micros(col("abs_ts")))
       .withWatermark("event_time", lateness)
       .as[FrameRow]
       .groupByKey(r => (r.game_id, r.period_id, r.frame_id))
@@ -87,7 +92,7 @@ object StreamingGraphs {
             // late-data predicate whose ms-truncated time fell below the
             // eviction watermark would otherwise make the call throw
             state.setTimeoutTimestamp(math.max(
-              buffered.map(_.timestamp / 1000L).max,
+              buffered.map(_.abs_ts / 1000L).max,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }

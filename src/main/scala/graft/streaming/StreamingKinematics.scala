@@ -25,12 +25,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingKinematics {
 
+  /** `abs_ts` = absolute event-time micros (monotone across periods,
+    * see [[AbsoluteTime]]); `timestamp` stays canonical
+    * period-relative. The velocity arithmetic keys on period, so it is
+    * period-safe by construction — `abs_ts` exists to order events
+    * in-batch and to give [[windowedMeanSpeed]] a watermarkable axis
+    * that does not regress at half-time. */
   final case class TrackEvent(
       game_id: String, id: String, period_id: Int, timestamp: Long,
+      abs_ts: Long,
       team_id: String, x: Double, y: Double, z: Double)
 
   final case class VelocityRow(
       game_id: String, id: String, period_id: Int, timestamp: Long,
+      abs_ts: Long,
       vx: Double, vy: Double, vz: Double, v: Double)
 
   final case class LastPos(timestamp: Long, x: Double, y: Double, z: Double)
@@ -69,9 +77,9 @@ object StreamingKinematics {
                   if (dt == 0.0) (0.0, 0.0, 0.0)
                   else ((e.x - lp.x) / dt, (e.y - lp.y) / dt, (e.z - lp.z) / dt)
                 val vRaw = math.sqrt(vx * vx + vy * vy + vz * vz)
-                VelocityRow(game, id, period, e.timestamp, vx, vy, vz, math.min(vRaw, vMax))
+                VelocityRow(game, id, period, e.timestamp, e.abs_ts, vx, vy, vz, math.min(vRaw, vMax))
               case None =>
-                VelocityRow(game, id, period, e.timestamp, 0.0, 0.0, 0.0, 0.0)
+                VelocityRow(game, id, period, e.timestamp, e.abs_ts, 0.0, 0.0, 0.0, 0.0)
             }
             last = Some(LastPos(e.timestamp, e.x, e.y, e.z))
             row
@@ -87,7 +95,7 @@ object StreamingKinematics {
     * the watermark instead of buffered forever. */
   def windowedMeanSpeed(velocities: Dataset[VelocityRow]): DataFrame =
     velocities
-      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withColumn("event_time", timestamp_micros(col("abs_ts")))
       .withWatermark("event_time", "10 seconds")
       .groupBy(window(col("event_time"), "1 second"), col("game_id"))
       .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n_events"))

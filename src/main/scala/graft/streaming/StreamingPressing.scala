@@ -30,8 +30,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPressing {
 
+  /** `abs_ts` = absolute event-time micros (monotone across periods,
+    * see [[AbsoluteTime]]); `timestamp` stays canonical
+    * period-relative. */
   final case class KinRow(
       game_id: String, period_id: Int, frame_id: Long, timestamp: Long,
+      abs_ts: Long,
       id: String, team_id: String, ball_owning_team_id: String,
       x: Double, y: Double, z: Double,
       vx: Double, vy: Double, vz: Double)
@@ -94,7 +98,7 @@ object StreamingPressing {
       sigma: Double = 0.45): Dataset[PressPair] = {
     import rows.sparkSession.implicits._
     rows
-      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withColumn("event_time", timestamp_micros(col("abs_ts")))
       .withWatermark("event_time", lateness)
       .as[KinRow]
       .groupByKey(r => (r.game_id, r.period_id, r.frame_id))
@@ -112,7 +116,7 @@ object StreamingPressing {
             // predicate whose ms-truncated time fell below the eviction
             // watermark would otherwise make setTimeoutTimestamp throw
             state.setTimeoutTimestamp(math.max(
-              buffered.map(_.timestamp / 1000L).max,
+              buffered.map(_.abs_ts / 1000L).max,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }

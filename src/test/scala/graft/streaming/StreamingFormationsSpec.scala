@@ -34,9 +34,10 @@ class StreamingFormationsSpec extends AnyFunSuite {
       // driver batch advances the watermark past everything pending,
       // the second runs the batch in which the timed-out state emits
       // (same pattern as StreamingPressingSpec)
-      val maxTs = batches.flatten.map(_.timestamp).max
+      val maxTs = batches.flatten.map(_.abs_ts).max
       (1 to 2).foreach { i =>
-        source.addData(Seq(FrameRow("_wm", 1, 0L, maxTs + i * 3600L * 1000000L,
+        val wmTs = maxTs + i * 3600L * 1000000L
+        source.addData(Seq(FrameRow("_wm", 1, 0L, wmTs, wmTs,
           "x", "home", null, 0.0, 0.0, null)))
         q.processAllAvailable()
       }
@@ -57,12 +58,14 @@ class StreamingFormationsSpec extends AnyFunSuite {
 
     val rows = input.select(
         col(Cols.GameId), col(Cols.PeriodId), col(Cols.FrameId), col(Cols.Timestamp),
+        col(Cols.Timestamp).as("abs_ts"),
         col(Cols.ObjectId).as("id"), col(Cols.TeamId), col(Cols.PositionName),
         col(Cols.X), col(Cols.Y), col(Cols.BallOwningTeamId))
       .as[FrameRow].collect().sortBy(_.frame_id)
-      // shift off epoch 0: the global-watermark late filter sits exactly
-      // at t=0 before the first batch establishes a watermark
-      .map(r => r.copy(timestamp = r.timestamp + 3600L * 1000000L))
+      // shift the event-time axis off epoch 0: the global-watermark late
+      // filter sits exactly at t=0 before the first batch establishes a
+      // watermark; the canonical timestamp stays period-relative
+      .map(r => r.copy(abs_ts = r.abs_ts + 3600L * 1000000L))
     // three micro-batches; runStream's trailing driver batches flush
     val (b1, rest) = rows.splitAt(rows.length / 3)
     val (b2, b3) = rest.splitAt(rest.length / 2)
@@ -81,16 +84,16 @@ class StreamingFormationsSpec extends AnyFunSuite {
     // formation+labels at frame 2
     val t0 = 3600L * 1000000L
     def frame(f: Long, ts: Long, dx: Double = 0.0): Seq[FrameRow] = Seq(
-      FrameRow("g", 1, f, ts, "h1", "home", null, -10.0 + dx, 0.0, "home"),
-      FrameRow("g", 1, f, ts, "h2", "home", null, -5.0 + dx, 3.0, "home"),
-      FrameRow("g", 1, f, ts, "a1", "away", null, 8.0 + dx, -2.0, "home"),
-      FrameRow("g", 1, f, ts, "ball", "ball", null, 0.0, 0.0, "home"))
+      FrameRow("g", 1, f, ts, ts, "h1", "home", null, -10.0 + dx, 0.0, "home"),
+      FrameRow("g", 1, f, ts, ts, "h2", "home", null, -5.0 + dx, 3.0, "home"),
+      FrameRow("g", 1, f, ts, ts, "a1", "away", null, 8.0 + dx, -2.0, "home"),
+      FrameRow("g", 1, f, ts, ts, "ball", "ball", null, 0.0, 0.0, "home"))
     // a watermark-driver batch between the frames forces frame 1 to
     // emit (and its fold state to persist to the store) BEFORE frame
     // 2's rows are even processed — the carried state is then read
     // back in a later invocation. The driver lands the watermark at
     // t0+10ms: past frame 1 (t0), before frame 2 (t0+40ms).
-    val driver = FrameRow("_wm", 1, 0L, t0 + 10010L * 1000L,
+    val driver = FrameRow("_wm", 1, 0L, t0 + 10010L * 1000L, t0 + 10010L * 1000L,
       "x", "home", null, 0.0, 0.0, null)
     val out = runStream(Seq(
       frame(1, t0), Seq(driver), frame(2, t0 + 40000L, dx = 0.01)))

@@ -11,8 +11,10 @@ class StreamingGraphsSpec extends AnyFunSuite {
   private val base = 1700000000L * 1000000L
   private val sec = 1000000L
 
-  private def row(frame: Long, id: String, team: String, x: Double): FrameRow =
-    FrameRow("g1", 1, frame, base + frame * sec, id, team, "home", x, 0.0, 0.0)
+  private def row(frame: Long, id: String, team: String, x: Double): FrameRow = {
+    val ts = base + frame * sec
+    FrameRow("g1", 1, frame, ts, ts, id, team, "home", x, 0.0, 0.0)
+  }
 
   test("emits a frame graph once the watermark passes it; batch-parity order") {
     import spark.implicits._

@@ -24,9 +24,9 @@ class StreamingKinematicsSpec extends AnyFunSuite {
   }
 
   private val base = Seq(
-    TrackEvent("g", "p1", 1, 0L, "home", 0.0, 0.0, 0.0),
-    TrackEvent("g", "p1", 1, 40000L, "home", 0.2, 0.1, 0.0),
-    TrackEvent("g", "p1", 1, 80000L, "home", 0.5, 0.1, 0.0))
+    TrackEvent("g", "p1", 1, 0L, 0L, "home", 0.0, 0.0, 0.0),
+    TrackEvent("g", "p1", 1, 40000L, 40000L, "home", 0.2, 0.1, 0.0),
+    TrackEvent("g", "p1", 1, 80000L, 80000L, "home", 0.5, 0.1, 0.0))
 
   test("state carries across micro-batches; first event emits zeros") {
     val out = runStream(Seq(base.take(2), base.drop(2)))
@@ -40,8 +40,8 @@ class StreamingKinematicsSpec extends AnyFunSuite {
 
   test("speed magnitude capped at player max") {
     val fast = Seq(
-      TrackEvent("g", "p1", 1, 0L, "home", 0.0, 0.0, 0.0),
-      TrackEvent("g", "p1", 1, 40000L, "home", 10.0, 0.0, 0.0)) // 250 m/s
+      TrackEvent("g", "p1", 1, 0L, 0L, "home", 0.0, 0.0, 0.0),
+      TrackEvent("g", "p1", 1, 40000L, 40000L, "home", 10.0, 0.0, 0.0)) // 250 m/s
     val out = runStream(Seq(fast)).sortBy(_.timestamp)
     assert(out(1).v === TrackingSettings().maxPlayerSpeed)
     assert(math.abs(out(1).vx - 250.0) < 1e-9) // components stay raw like the batch chain
@@ -53,7 +53,8 @@ class StreamingKinematicsSpec extends AnyFunSuite {
       .filter(col(Cols.GameId) === "0" && col(Cols.ObjectId) === "1")
     val events = trk.select(
         col(Cols.GameId), col(Cols.ObjectId).as("id"), col(Cols.PeriodId),
-        col(Cols.Timestamp), col(Cols.TeamId), col(Cols.X), col(Cols.Y), col(Cols.Z))
+        col(Cols.Timestamp), col(Cols.Timestamp).as("abs_ts"),
+        col(Cols.TeamId), col(Cols.X), col(Cols.Y), col(Cols.Z))
       .as[TrackEvent].collect().toSeq
     val streamed = runStream(Seq(events))
       .map(r => (r.game_id, r.id, r.period_id, r.timestamp) -> (r.vx, r.v)).toMap
@@ -78,7 +79,8 @@ class StreamingKinematicsSpec extends AnyFunSuite {
       s"$files/sportec_tracking.xml", s"$files/sportec_meta.xml")
     val events = trk.select(
         col(Cols.GameId), col(Cols.ObjectId).as("id"), col(Cols.PeriodId),
-        col(Cols.Timestamp), col(Cols.TeamId), col(Cols.X), col(Cols.Y), col(Cols.Z))
+        col(Cols.Timestamp), col(Cols.Timestamp).as("abs_ts"),
+        col(Cols.TeamId), col(Cols.X), col(Cols.Y), col(Cols.Z))
       .as[TrackEvent].collect().toSeq.sortBy(_.timestamp)
     // replay in two micro-batches to force state carry-over mid-match
     val (b1, b2) = events.splitAt(events.length / 2)
@@ -106,7 +108,7 @@ class StreamingKinematicsSpec extends AnyFunSuite {
     val n = 100000
     val rnd = new scala.util.Random(11)
     val events = rnd.shuffle((0 until n).toVector).map { i =>
-      TrackEvent("g", "p1", 1, i.toLong * 40000L, "home", i * 0.01, 0.0, 0.0)
+      TrackEvent("g", "p1", 1, i.toLong * 40000L, i.toLong * 40000L, "home", i * 0.01, 0.0, 0.0)
     }
     val out = runStream(Seq(events))
     assert(out.length === n)
@@ -127,10 +129,10 @@ class StreamingKinematicsSpec extends AnyFunSuite {
     try {
       // two full seconds of data, then advance far enough to close them
       val evs = (0 to 60).map(i =>
-        TrackEvent("g", "p1", 1, i * 40000L, "home", i * 0.1, 0.0, 0.0))
+        TrackEvent("g", "p1", 1, i * 40000L, i * 40000L, "home", i * 0.1, 0.0, 0.0))
       source.addData(evs)
       q.processAllAvailable()
-      source.addData(Seq(TrackEvent("g", "p1", 1, 60000000L, "home", 0.0, 0.0, 0.0)))
+      source.addData(Seq(TrackEvent("g", "p1", 1, 60000000L, 60000000L, "home", 0.0, 0.0, 0.0)))
       q.processAllAvailable()
       val rows = spark.table("win_out").collect()
       assert(rows.length >= 2) // at least the first two closed windows

@@ -15,9 +15,11 @@ class StreamingPressingSpec extends AnyFunSuite {
   private val sec = 1000000L
 
   private def kin(frame: Long, id: String, team: String,
-      x: Double, y: Double, vx: Double, vy: Double): KinRow =
-    KinRow("g1", 1, frame, base + frame * sec, id, team, "home",
+      x: Double, y: Double, vx: Double, vy: Double): KinRow = {
+    val ts = base + frame * sec
+    KinRow("g1", 1, frame, ts, ts, id, team, "home",
       x, y, 0.0, vx, vy, 0.0)
+  }
 
   private val frame1 = Seq(
     kin(1, "h1", "home", 10.0, 5.0, 1.0, 0.0),
