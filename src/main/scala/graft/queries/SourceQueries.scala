@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{MetricaSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{MetricaSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_2spectrum_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       SecondSpectrumSource.writeJsonl(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
+      out
+    })
+
+  private val statsperformGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match StatsPerform MA25/MA1 fixture generated from the
+    * synthetic table (game '0'), once per (sfDir, JVM). */
+  def statsperformDir(spark: SparkSession, sfDir: String): String =
+    statsperformGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_statsperform_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      StatsPerformSource.writeMa25(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "0"), out)
       out
     })
 
@@ -450,5 +462,104 @@ object SourceQueries extends QueryModule {
           |  p.start_time IS NOT NULL AS starting
           |FROM read_json('/root/reference/tests/files/skillcorner_match_data.json') m,
           |     unnest(m.players) AS t(p)""".stripMargin
+      }),
+
+    // StatsPerform MA25/MA1 ingestion (the sixth native provider): the
+    // loader parses the MA25 frame lines + MA1 lineup JSON into the
+    // canonical table; DuckDB independently re-parses the same text —
+    // header split, player-chunk unnest, cm→m scaling, per-period
+    // running-clock rebase, and the first-frame mean-x STATIC_HOME_AWAY
+    // flip (same recomputed-oracle shape as q_tracab_load).
+    GraftQuery(
+      "q_statsperform_load",
+      (s, d) => {
+        val root = statsperformDir(s, d)
+        StatsPerformSource.load(s, s"$root/ma25/*.txt", s"$root/ma1.json")
+      },
+      Some {
+        val root = "/tmp/graft_statsperform__root_testdata_sf0.01"
+        s"""WITH lines AS (
+           |  SELECT line FROM read_csv('$root/ma25/*.txt', header=false,
+           |    delim='|', quote='', columns={'line':'VARCHAR'})
+           |),
+           |seg AS (SELECT string_split(line, ':') AS s FROM lines),
+           |fr AS (
+           |  SELECT string_split(s[1], ';') AS hdr, s[2] AS pstr,
+           |    string_split(s[3], ',') AS b
+           |  FROM seg
+           |),
+           |hd AS (
+           |  SELECT TRY_CAST(hdr[2] AS BIGINT) AS n,
+           |    TRY_CAST(string_split(hdr[3], ',')[1] AS INTEGER) AS period_id,
+           |    TRY_CAST(string_split(hdr[3], ',')[2] AS BIGINT) AS clock_ms,
+           |    string_split(hdr[3], ',')[3] AS status_flag,
+           |    string_split(hdr[3], ',')[4] AS own_flag,
+           |    pstr, b
+           |  FROM fr
+           |  WHERE TRY_CAST(hdr[2] AS BIGINT) IS NOT NULL
+           |    AND TRY_CAST(string_split(hdr[3], ',')[1] AS INTEGER) IS NOT NULL
+           |    AND TRY_CAST(string_split(hdr[3], ',')[2] AS BIGINT) IS NOT NULL
+           |),
+           |tf AS (
+           |  SELECT n, period_id, clock_ms, own_flag, status_flag,
+           |    string_split(t, ',') AS a
+           |  FROM (SELECT n, period_id, clock_ms, own_flag, status_flag,
+           |          unnest(string_split(pstr, ';')) AS t FROM hd)
+           |  WHERE t <> ''
+           |),
+           |pl AS (
+           |  SELECT n, period_id, clock_ms, own_flag, status_flag,
+           |    a[2] AS id, (a[1] = '0') AS is_home_side,
+           |    TRY_CAST(a[4] AS INTEGER)/100.0 AS x,
+           |    TRY_CAST(a[5] AS INTEGER)/100.0 AS y, 0.0 AS z
+           |  FROM tf WHERE a[1] IN ('0','1')
+           |    AND TRY_CAST(a[4] AS INTEGER) IS NOT NULL
+           |    AND TRY_CAST(a[5] AS INTEGER) IS NOT NULL
+           |),
+           |bl AS (
+           |  SELECT n, period_id, clock_ms, own_flag, status_flag,
+           |    'ball' AS id, CAST(NULL AS BOOLEAN) AS is_home_side,
+           |    TRY_CAST(b[1] AS INTEGER)/100.0 AS x,
+           |    TRY_CAST(b[2] AS INTEGER)/100.0 AS y,
+           |    TRY_CAST(b[3] AS INTEGER)/100.0 AS z
+           |  FROM hd
+           |  WHERE len(b) >= 3
+           |    AND TRY_CAST(b[1] AS INTEGER) IS NOT NULL
+           |    AND TRY_CAST(b[2] AS INTEGER) IS NOT NULL
+           |),
+           |allr AS (SELECT * FROM pl UNION ALL SELECT * FROM bl),
+           |cb AS (SELECT *, min(clock_ms) OVER (PARTITION BY period_id) AS clock0
+           |       FROM allr),
+           |canon AS (
+           |  SELECT '0' AS game_id, period_id, n AS frame_id,
+           |    CAST((clock_ms - clock0) * 1000 AS BIGINT) AS "timestamp",
+           |    id,
+           |    CASE WHEN id = 'ball' THEN 'ball'
+           |         WHEN is_home_side THEN 'home' ELSE 'away' END AS team_id,
+           |    CASE WHEN id = 'ball' THEN 'ball' END AS position_name,
+           |    x, y, z,
+           |    CASE WHEN status_flag = '1' THEN 'alive'
+           |         WHEN status_flag = '0' THEN 'dead' END AS ball_state,
+           |    CASE WHEN own_flag = 'H' THEN 'home'
+           |         WHEN own_flag = 'A' THEN 'away' END AS ball_owning_team_id
+           |  FROM cb
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN team_id = 'home' THEN x END) AS hx,
+           |    avg(CASE WHEN team_id = 'away' THEN x END) AS ax
+           |  FROM canon WHERE team_id <> 'ball'
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
       }))
 }
