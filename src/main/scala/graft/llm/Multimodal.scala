@@ -56,6 +56,78 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` — PNG and JPEG
+    * with zero added dependencies. Features (all integer-valued, so
+    * exact in Float for images under ~2^24 total channel sum — any
+    * fixture-sized image):
+    * `[width, height, sumR, sumG, sumB, minLuma, maxLuma, nPixels]`
+    * where luma = (299·R + 587·G + 114·B) / 1000 in integer math.
+    * Unknown formats and undecodable payloads fall back to
+    * [[DeterministicFakeDecoder]] so mixed-format tables keep flowing.
+    * PNG being lossless, the features of a synthetic PNG are
+    * closed-form replayable — `q_media_image_decode` recomputes them
+    * in DuckDB from the pixel formula without any image library. */
+  object ImageIoDecoder extends Decoder {
+    override def decode(payload: Array[Byte], format: String): Array[Float] =
+      format match {
+        case "image/png" | "image/jpeg" =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) DeterministicFakeDecoder.decode(payload, format)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var minL = 255L; var maxL = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                val l = (r * 299L + g * 587L + b * 114L) / 1000L
+                if (l < minL) minL = l
+                if (l > maxL) maxL = l
+                x += 1
+              }
+              y += 1
+            }
+            Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat,
+              minL.toFloat, maxL.toFloat, (w.toLong * h).toFloat)
+          }
+        case _ => DeterministicFakeDecoder.decode(payload, format)
+      }
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) of image `id` is
+    * `R=(7x+13y+id)%256, G=(3x+5y+2id)%256, B=(11x+17y+3id)%256` —
+    * a closed-form pattern any engine can recompute, encoded through a
+    * REAL PNG encoder so [[ImageIoDecoder]] exercises a real decode.
+    * A fixture generator (tests + the image-decode oracle query). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7L * x + 13L * y + id) % 256L).toInt
+        val g = ((3L * x + 5L * y + 2L * id) % 256L).toInt
+        val b = ((11L * x + 17L * y + 3L * id) % 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batch feature extraction: partition-local, one decoder per
     * partition, no shuffle. */
   def extractFeatures(

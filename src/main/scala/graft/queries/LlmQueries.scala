@@ -683,6 +683,55 @@ object LlmQueries extends QueryModule {
       Some("""SELECT doc_id AS media_id, k AS feature_idx,
              |  CAST(coalesce(list_sum(list_transform(
              |    generate_series(1 + k, len(text), 8), i -> ascii(text[i:i]))), 0) AS DOUBLE) AS value
-             |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin))
+             |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
+
+    // ----- multimodal: REAL image decode (javax.imageio, zero added
+    // deps). 64 synthetic PNGs whose pixels follow a closed-form
+    // pattern are encoded through a real PNG encoder, decoded back by
+    // ImageIoDecoder on the executors, and reduced to integer pixel
+    // stats; DuckDB recomputes the same stats from the pixel formula
+    // directly — if the decode is wrong in any channel or pixel, the
+    // sums mismatch. -----
+    GraftQuery(
+      "q_media_image_decode",
+      (s, _) => {
+        import s.implicits._
+        val media = s.range(64).map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 7).toInt
+          Multimodal.MediaRow(id, Multimodal.syntheticPng(id, w, h), "image/png", w, h)
+        }
+        Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("feature_idx", "value")))
+          .select(col("media_id"), col("feature_idx").cast("long"),
+            col("value").cast("double").as("value"))
+      },
+      Some("""WITH imgs AS (
+             |  SELECT id, 8 + (id % 9) AS w, 8 + ((id * 3) % 7) AS h
+             |  FROM (SELECT unnest(generate_series(0, 63)) AS id)
+             |),
+             |px AS (
+             |  SELECT i.id, i.w, i.h, xs.x, ys.y,
+             |    (7 * xs.x + 13 * ys.y + i.id) % 256 AS r,
+             |    (3 * xs.x + 5 * ys.y + 2 * i.id) % 256 AS g,
+             |    (11 * xs.x + 17 * ys.y + 3 * i.id) % 256 AS b
+             |  FROM imgs i
+             |  JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs ON xs.x < i.w
+             |  JOIN (SELECT unnest(generate_series(0, 13)) AS y) ys ON ys.y < i.h
+             |),
+             |feat AS (
+             |  SELECT id, max(w) AS f0, max(h) AS f1,
+             |    sum(r) AS f2, sum(g) AS f3, sum(b) AS f4,
+             |    min((r * 299 + g * 587 + b * 114) // 1000) AS f5,
+             |    max((r * 299 + g * 587 + b * 114) // 1000) AS f6,
+             |    count(*) AS f7
+             |  FROM px GROUP BY id
+             |)
+             |SELECT id AS media_id, k AS feature_idx,
+             |  CAST(CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
+             |       WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
+             |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
+             |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin))
   )
 }

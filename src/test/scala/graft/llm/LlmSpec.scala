@@ -171,6 +171,43 @@ class LlmSpec extends AnyFunSuite {
     assert(!nd.contains((1L, 3L)) && !nd.contains((2L, 3L)))
   }
 
+  test("imageio decoder: real PNG decode matches the closed-form pixel stats") {
+    // 6x4 image id=5: pixels follow the syntheticPng formula; the PNG
+    // round-trip is lossless so decoded sums equal the direct sums
+    val w = 6; val h = 4; val id = 5L
+    val png = Multimodal.syntheticPng(id, w, h)
+    // PNG magic: a real encoder ran, not a stub
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val f = Multimodal.ImageIoDecoder.decode(png, "image/png")
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (7L * x + 13L * y + id) % 256
+      val g = (3L * x + 5L * y + 2 * id) % 256
+      val b = (11L * x + 17L * y + 3 * id) % 256
+      sr += r; sg += g; sb += b
+      val l = (r * 299 + g * 587 + b * 114) / 1000
+      mn = math.min(mn, l); mx = math.max(mx, l)
+    }
+    assert(f.toSeq === Seq(w, h, sr, sg, sb, mn, mx, w * h).map(_.toFloat))
+  }
+
+  test("imageio decoder: jpeg decodes dims exactly; unknown formats fall back to fake") {
+    val img = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val f = Multimodal.ImageIoDecoder.decode(bos.toByteArray, "image/jpeg")
+    assert(f(0) === 9.0f && f(1) === 7.0f && f(7) === 63.0f)
+    // lossy codec: exact sums unknowable, but an all-black image stays ~black
+    assert(f(2) <= 63.0f * 8 && f(5) === 0.0f)
+    // unknown format → deterministic fake path, not a decode attempt
+    val payload = "hello".getBytes("UTF-8")
+    assert(Multimodal.ImageIoDecoder.decode(payload, "text/plain").toSeq ===
+      Multimodal.DeterministicFakeDecoder.decode(payload, "text/plain").toSeq)
+    // corrupt bytes under an image format → fake fallback, no throw
+    assert(Multimodal.ImageIoDecoder.decode(payload, "image/png").toSeq ===
+      Multimodal.DeterministicFakeDecoder.decode(payload, "image/png").toSeq)
+  }
+
   test("multimodal resize: metadata tracks target dims, payload length tracks width") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val r = Multimodal.resize(media, targetWidth = 5, targetHeight = 1)
