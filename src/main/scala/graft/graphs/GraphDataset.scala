@@ -142,6 +142,45 @@ object GraphDataset {
     }
   }
 
+  /** O4, exact-count oracle-expressible form: instead of [[balanced]]'s
+    * Bernoulli `sampleBy(seed)` (not replayable outside Spark), keep
+    * exactly the first `target(class)` rows of each class in md5 order
+    * of the salted row key — the same keep-count arithmetic as
+    * [[balanced]] (`graph_dataset.py:318-384`), deterministic across
+    * engines (`q_split_balanced`). The per-class rank is a window
+    * partitioned by label (2 partitions): fine for the research-dataset
+    * sizes this op serves — [[balanced]] remains the shuffle-free
+    * production path, the same duality as [[withSplit]]/[[withSplitExact]]. */
+  def balancedExact(
+      df: DataFrame,
+      labelCol: String = Label,
+      keyCols: Seq[String] = Seq(GameId, PeriodId, FrameId, ObjectId),
+      ratio: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    if (counts.size < 2) df
+    else {
+      def classOf(k: Any): Long = k match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(s"non-numeric label $other")
+      }
+      val pos = counts.collect { case (k, v) if classOf(k) == 1L => v }.sum
+      val neg = counts.collect { case (k, v) if classOf(k) != 1L => v }.sum
+      val (posKeep, negKeep) =
+        if (pos > ratio * neg) ((ratio * neg).toLong, neg)
+        else (pos, (pos / ratio).toLong)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(labelCol))
+        .orderBy(md5(concat_ws("|", lit(salt) +: keyCols.map(col): _*)) +:
+          keyCols.map(col): _*)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= when(col(labelCol).cast("long") === 1L,
+          lit(posKeep)).otherwise(lit(negKeep)))
+        .drop("__rk")
+    }
+  }
+
   /** S7 in-memory ML handoff: stream rows (e.g. the nested graph
     * schema) to a driver-side consumer one partition at a time —
     * the scalable replacement for the reference's `iter_slices`
@@ -156,6 +195,21 @@ object GraphDataset {
     * Semantically a global sort — keep off hot paths; the reference uses
     * it only to randomize training-batch order. */
   def shuffled(df: DataFrame, seed: Long = 42L): DataFrame = df.orderBy(rand(seed))
+
+  /** O3, oracle-expressible form: the permutation IS the md5 order of
+    * the salted row key (the codebook-selection idiom from
+    * [[graft.llm.Similarity]] — md5 is bit-identical across engines,
+    * unlike `rand(seed)`, so `q_graph_shuffle` can replay it in
+    * DuckDB). The emitted `shuffle_key` column both carries the order
+    * and keeps the op verifiable without a global row index; the sort
+    * itself is an ordinary distributed range-sort. Keys must uniquely
+    * identify rows for a total order (ties broken by the keys
+    * themselves). */
+  def shuffledByHash(
+      df: DataFrame, keyCols: Seq[String], salt: String = "graft"): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws("|", lit(salt) +: keyCols.map(col): _*)))
+      .orderBy(col("shuffle_key") +: keyCols.map(col): _*)
 
   /** Merge another graph table into this one
     * (`graph_dataset.py:101-108`): schemas must agree column-for-column;

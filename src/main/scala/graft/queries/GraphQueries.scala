@@ -507,6 +507,69 @@ object GraphQueries extends QueryModule {
         """SELECT g.game_id, g.period_id, g.frame_id, g.id, g.graph_id, a.split
           |FROM gsplit g JOIN asg a USING (graph_id)""".stripMargin))),
 
+    // ----- O3: deterministic shuffle, oracle-replayed -----
+    // The permutation is the md5 order of the salted row key (bit-
+    // identical across engines, unlike rand(seed)); the emitted
+    // shuffle_key pins the full permutation in the hash compare
+    // without materializing a global row index.
+    GraftQuery(
+      "q_graph_shuffle",
+      (s, d) => graft.graphs.GraphDataset.shuffledByHash(
+        SyntheticTracking.df(s, d),
+        Seq(GameId, PeriodId, FrameId, ObjectId))
+        .select(col(GameId), col(PeriodId), col(FrameId),
+          col(ObjectId).as("id"), col("shuffle_key")),
+      Some(s"""WITH ${SyntheticTracking.cte}
+              |SELECT game_id, period_id, frame_id, id,
+              |  md5(concat_ws('|', 'graft', game_id, period_id, frame_id, id))
+              |    AS shuffle_key
+              |FROM tracking""".stripMargin)),
+
+    // ----- O4: exact-count label balancing, oracle-replayed -----
+    // Same keep-count arithmetic as the reference's sampler, realized
+    // as per-class md5-rank ≤ target so DuckDB can replay the exact
+    // kept set (Bernoulli sampleBy is engine-private). label = 1 on
+    // every 4th frame → pos < neg, so all positives survive and
+    // exactly pos negatives are kept.
+    GraftQuery(
+      "q_split_balanced",
+      (s, d) => {
+        val trk = SyntheticTracking.df(s, d)
+          .withColumn("label", (col(FrameId) % 4 === 0).cast("int"))
+        graft.graphs.GraphDataset.balancedExact(
+          trk, "label", Seq(GameId, PeriodId, FrameId, ObjectId))
+          .select(col(GameId), col(PeriodId), col(FrameId),
+            col(ObjectId).as("id"), col("label"))
+      },
+      Some(s"""WITH ${SyntheticTracking.cte},
+              |lab AS (
+              |  SELECT *, CASE WHEN frame_id % 4 = 0 THEN 1 ELSE 0 END AS label
+              |  FROM tracking
+              |),
+              |cnt AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+              |    CAST(sum(CASE WHEN label <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+              |  FROM lab
+              |),
+              |tgt AS (
+              |  SELECT
+              |    CASE WHEN pos > 1.0 * neg
+              |         THEN CAST(floor(1.0 * neg) AS BIGINT) ELSE pos END AS pos_keep,
+              |    CASE WHEN pos > 1.0 * neg
+              |         THEN neg ELSE CAST(floor(pos / 1.0) AS BIGINT) END AS neg_keep
+              |  FROM cnt
+              |),
+              |rk AS (
+              |  SELECT *, row_number() OVER (PARTITION BY label
+              |    ORDER BY md5(concat_ws('|', 'graft', game_id, period_id, frame_id, id)),
+              |      game_id, period_id, frame_id, id) AS rk
+              |  FROM lab
+              |)
+              |SELECT game_id, period_id, frame_id, id, label
+              |FROM rk, tgt
+              |WHERE rk <= CASE WHEN label = 1 THEN pos_keep ELSE neg_keep END""".stripMargin)),
+
     // ----- G8 adjacency + edge tensors, oracle-checked via explode -----
     // Explodes the nested `a` matrix to cells and maps each e[k] back to
     // its (i, j) through the row-major nonzero rank — verifying the COO
