@@ -611,8 +611,9 @@ object GraphQueries extends QueryModule {
            |CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k)""".stripMargin))))
 
   /** Kinematics + possession, unfiltered (padFrames does the frame
-    * completion itself). */
-  private def paddedInput(s: org.apache.spark.sql.SparkSession, d: String) = {
+    * completion itself). Public: [[graft.tools.BucketedSoak]] times the
+    * two graphFrames materialization strategies over this exact input. */
+  def paddedInput(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val trk = SyntheticTracking.df(s, d)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
     // accel is unused by features (see pipeline()); ball_state and
