@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{MetricaSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{MetricaSource, PffSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_statsperform_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       StatsPerformSource.writeMa25(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "0"), out)
+      out
+    })
+
+  private val pffGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match PFF frames/roster/meta fixture generated from the
+    * synthetic table (game '1'), once per (sfDir, JVM). */
+  def pffDir(spark: SparkSession, sfDir: String): String =
+    pffGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_pff_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      PffSource.writeTracking(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
       out
     })
 
@@ -462,6 +474,102 @@ object SourceQueries extends QueryModule {
           |  p.start_time IS NOT NULL AS starting
           |FROM read_json('/root/reference/tests/files/skillcorner_match_data.json') m,
           |     unnest(m.players) AS t(p)""".stripMargin
+      }),
+
+    // PFF (GradientSports) ingestion (the seventh native provider):
+    // frames JSONL + roster + meta → canonical table; DuckDB re-parses
+    // the same JSON — jersey→roster resolution, balls-list head,
+    // clock→micros, ballInPlay/possession mapping, and the first-frame
+    // mean-x STATIC_HOME_AWAY flip.
+    GraftQuery(
+      "q_pff_load",
+      (s, d) => {
+        val root = pffDir(s, d)
+        PffSource.load(s, s"$root/frames/*.txt", s"$root/roster.json",
+          s"$root/meta.json")
+      },
+      Some {
+        val root = "/tmp/graft_pff__root_testdata_sf0.01"
+        s"""WITH j AS (
+           |  SELECT * FROM read_json('$root/frames/*.txt',
+           |    format='newline_delimited',
+           |    columns={'frameNum':'BIGINT','period':'INTEGER',
+           |      'periodGameClockTime':'DOUBLE',
+           |      'homePlayers':'STRUCT(jerseyNum INTEGER, x DOUBLE, y DOUBLE)[]',
+           |      'awayPlayers':'STRUCT(jerseyNum INTEGER, x DOUBLE, y DOUBLE)[]',
+           |      'balls':'STRUCT(x DOUBLE, y DOUBLE, z DOUBLE)[]',
+           |      'ballInPlay':'BOOLEAN','possession':'STRUCT(team VARCHAR)'})
+           |),
+           |ros AS (
+           |  SELECT * FROM read_json('$root/roster.json', format='array',
+           |    columns={'player':'STRUCT(id VARCHAR, nickname VARCHAR)',
+           |      'team':'STRUCT(id VARCHAR)','shirtNumber':'INTEGER',
+           |      'positionGroupType':'VARCHAR'})
+           |),
+           |sides AS (
+           |  SELECT frameNum, period, periodGameClockTime, ballInPlay,
+           |    possession.team AS poss, unnest(homePlayers) AS p, TRUE AS is_home
+           |  FROM j
+           |  UNION ALL
+           |  SELECT frameNum, period, periodGameClockTime, ballInPlay,
+           |    possession.team AS poss, unnest(awayPlayers) AS p, FALSE AS is_home
+           |  FROM j
+           |),
+           |pl AS (
+           |  SELECT s.frameNum, s.period, s.periodGameClockTime, s.ballInPlay,
+           |    s.poss, s.is_home,
+           |    coalesce(r.player.id,
+           |      concat(CASE WHEN s.is_home THEN 'home_' ELSE 'away_' END,
+           |             s.p.jerseyNum)) AS id,
+           |    r.positionGroupType AS pos,
+           |    s.p.x AS x, s.p.y AS y, 0.0 AS z, FALSE AS is_ball
+           |  FROM sides s
+           |  LEFT JOIN ros r
+           |    ON r."team".id = (CASE WHEN s.is_home THEN 'home' ELSE 'away' END)
+           |   AND r.shirtNumber = s.p.jerseyNum
+           |  WHERE s.p.jerseyNum IS NOT NULL
+           |    AND s.p.x IS NOT NULL AND s.p.y IS NOT NULL
+           |),
+           |bl AS (
+           |  SELECT frameNum, period, periodGameClockTime, ballInPlay,
+           |    possession.team AS poss, FALSE AS is_home,
+           |    'ball' AS id, 'ball' AS pos,
+           |    balls[1].x AS x, balls[1].y AS y,
+           |    coalesce(balls[1].z, 0.0) AS z, TRUE AS is_ball
+           |  FROM j
+           |  WHERE len(balls) >= 1 AND balls[1].x IS NOT NULL
+           |    AND balls[1].y IS NOT NULL
+           |),
+           |canon AS (
+           |  SELECT '1' AS game_id, period AS period_id, frameNum AS frame_id,
+           |    CAST(round(periodGameClockTime * 1000000.0) AS BIGINT) AS "timestamp",
+           |    id,
+           |    CASE WHEN is_ball THEN 'ball' WHEN is_home THEN 'home'
+           |         ELSE 'away' END AS team_id,
+           |    pos AS position_name, x, y, z, is_home, is_ball,
+           |    CASE WHEN ballInPlay THEN 'alive'
+           |         WHEN NOT ballInPlay THEN 'dead' END AS ball_state,
+           |    CASE WHEN poss = 'home' THEN 'home'
+           |         WHEN poss = 'away' THEN 'away' END AS ball_owning_team_id
+           |  FROM (SELECT * FROM pl UNION ALL SELECT * FROM bl)
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN is_home THEN x END) AS hx,
+           |    avg(CASE WHEN NOT is_home THEN x END) AS ax
+           |  FROM canon WHERE NOT is_ball
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
       }),
 
     // StatsPerform MA25/MA1 ingestion (the sixth native provider): the
