@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{MetricaSource, PffSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{HawkEyeSource, MetricaSource, PffSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_pff_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       PffSource.writeTracking(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
+      out
+    })
+
+  private val hawkeyeGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match HawkEye per-minute ball/centroid fixture generated from
+    * the synthetic table (game '2'), once per (sfDir, JVM). */
+  def hawkeyeDir(spark: SparkSession, sfDir: String): String =
+    hawkeyeGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_hawkeye_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      HawkEyeSource.writeFeeds(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "2"), out)
       out
     })
 
@@ -474,6 +486,100 @@ object SourceQueries extends QueryModule {
           |  p.start_time IS NOT NULL AS starting
           |FROM read_json('/root/reference/tests/files/skillcorner_match_data.json') m,
           |     unnest(m.players) AS t(p)""".stripMargin
+      }),
+
+    // HawkEye ingestion (the eighth native provider): per-minute ball
+    // and centroid JSON documents → canonical table; DuckDB re-parses
+    // the same JSON — the double unnest, the match-global-minute →
+    // per-period clock rebase, the capture-rate frame derivation, and
+    // the first-frame mean-x STATIC_HOME_AWAY flip.
+    GraftQuery(
+      "q_hawkeye_load",
+      (s, d) => {
+        val root = hawkeyeDir(s, d)
+        // fps=25: the synthetic canonical table is a 25 fps clock
+        HawkEyeSource.load(s, s"$root/ball/*.json", s"$root/people/*.json",
+          s"$root/meta.json", fps = 25)
+      },
+      Some {
+        val root = "/tmp/graft_hawkeye__root_testdata_sf0.01"
+        s"""WITH bj AS (
+           |  SELECT * FROM read_json('$root/ball/*.json', format='unstructured',
+           |    columns={'details':'STRUCT(period INTEGER, minute INTEGER)',
+           |      'samples':'STRUCT(ball STRUCT("time" DOUBLE, pos DOUBLE[])[])'})
+           |),
+           |pj AS (
+           |  SELECT * FROM read_json('$root/people/*.json', format='unstructured',
+           |    columns={'details':'STRUCT(period INTEGER, minute INTEGER)',
+           |      'samples':'STRUCT(people STRUCT(personId VARCHAR,
+           |        role STRUCT(name VARCHAR), teamId VARCHAR,
+           |        centroid STRUCT("time" DOUBLE, pos DOUBLE[])[])[])'})
+           |),
+           |bs AS (
+           |  SELECT details.period AS period_id, details.minute AS minute,
+           |    unnest(samples.ball) AS s
+           |  FROM bj
+           |),
+           |ball AS (
+           |  SELECT period_id,
+           |    CAST(round(((minute - 1) * 60.0 + s."time") * 1000000.0) AS BIGINT)
+           |      AS raw_us,
+           |    'ball' AS id, 'ball' AS team_id, 'ball' AS position_name,
+           |    s.pos[1] AS x, s.pos[2] AS y, coalesce(s.pos[3], 0.0) AS z,
+           |    FALSE AS is_home, TRUE AS is_ball
+           |  FROM bs
+           |  WHERE s.pos[1] IS NOT NULL AND s.pos[2] IS NOT NULL
+           |),
+           |pp AS (
+           |  SELECT details.period AS period_id, details.minute AS minute,
+           |    unnest(samples.people) AS p
+           |  FROM pj
+           |),
+           |pc AS (
+           |  SELECT period_id, minute, p.personId AS id, p.teamId AS tid,
+           |    p.role.name AS role_name, unnest(p.centroid) AS s
+           |  FROM pp
+           |),
+           |ppl AS (
+           |  SELECT period_id,
+           |    CAST(round(((minute - 1) * 60.0 + s."time") * 1000000.0) AS BIGINT)
+           |      AS raw_us,
+           |    id, tid AS team_id, role_name AS position_name,
+           |    s.pos[1] AS x, s.pos[2] AS y, 0.0 AS z,
+           |    (tid = 'home') AS is_home, FALSE AS is_ball
+           |  FROM pc
+           |  WHERE id IS NOT NULL AND s.pos[1] IS NOT NULL AND s.pos[2] IS NOT NULL
+           |),
+           |allr AS (SELECT * FROM ball UNION ALL SELECT * FROM ppl),
+           |reb AS (
+           |  SELECT *, min(raw_us) OVER (PARTITION BY period_id) AS raw0 FROM allr
+           |),
+           |canon AS (
+           |  SELECT '2' AS game_id, period_id,
+           |    CAST(round(raw_us / 40000.0) AS BIGINT) AS frame_id,
+           |    raw_us - raw0 AS "timestamp",
+           |    id, team_id, position_name, x, y, z, is_home, is_ball,
+           |    CAST(NULL AS VARCHAR) AS ball_state,
+           |    CAST(NULL AS VARCHAR) AS ball_owning_team_id
+           |  FROM reb
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN is_home THEN x END) AS hx,
+           |    avg(CASE WHEN NOT is_home THEN x END) AS ax
+           |  FROM canon WHERE NOT is_ball
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
       }),
 
     // PFF (GradientSports) ingestion (the seventh native provider):
