@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.tracking.{HawkEyeSource, MetricaSource, PffSource, SecondSpectrumSource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
+import graft.tracking.{HawkEyeSource, MetricaSource, PffSource, SecondSpectrumSource, SignalitySource, SkillCornerSource, SportecEvents, SportecSource, StatsPerformSource, SyntheticTracking, TracabSource, TrackingSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,18 @@ object SourceQueries extends QueryModule {
       val out = s"/tmp/graft_hawkeye_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
       HawkEyeSource.writeFeeds(
         SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "2"), out)
+      out
+    })
+
+  private val signalityGenerated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-match Signality per-period array-feed fixture generated from
+    * the synthetic table (game '1'), once per (sfDir, JVM). */
+  def signalityDir(spark: SparkSession, sfDir: String): String =
+    signalityGenerated.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_signality_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      SignalitySource.writeFeeds(
+        SyntheticTracking.df(spark, sfDir).filter(col("game_id") === "1"), out)
       out
     })
 
@@ -558,6 +570,117 @@ object SourceQueries extends QueryModule {
            |  SELECT '2' AS game_id, period_id,
            |    CAST(round(raw_us / 40000.0) AS BIGINT) AS frame_id,
            |    raw_us - raw0 AS "timestamp",
+           |    id, team_id, position_name, x, y, z, is_home, is_ball,
+           |    CAST(NULL AS VARCHAR) AS ball_state,
+           |    CAST(NULL AS VARCHAR) AS ball_owning_team_id
+           |  FROM reb
+           |),
+           |pm AS (
+           |  SELECT period_id, frame_id,
+           |    avg(CASE WHEN is_home THEN x END) AS hx,
+           |    avg(CASE WHEN NOT is_home THEN x END) AS ax
+           |  FROM canon WHERE NOT is_ball
+           |  GROUP BY period_id, frame_id
+           |),
+           |ltr AS (
+           |  SELECT period_id, (hx < ax) AS home_ltr FROM pm
+           |  QUALIFY row_number() OVER (PARTITION BY period_id ORDER BY frame_id) = 1
+           |)
+           |SELECT c.game_id, c.period_id, c.frame_id, c."timestamp", c.id,
+           |  c.team_id, c.position_name,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.x ELSE c.x END AS x,
+           |  CASE WHEN NOT coalesce(l.home_ltr, TRUE) THEN -c.y ELSE c.y END AS y,
+           |  c.z, c.ball_state, c.ball_owning_team_id
+           |FROM canon c LEFT JOIN ltr l USING (period_id)""".stripMargin
+      }),
+
+    // Signality ingestion (the ninth native provider — the full
+    // README provider list): per-period JSON array feeds → canonical
+    // table; DuckDB re-parses the same JSON — the per-period array
+    // unnest, the jersey→roster name resolution, the corner→center
+    // coordinate shift, the epoch-ms per-period rebase, the
+    // capture-rate frame derivation, and the first-frame mean-x
+    // STATIC_HOME_AWAY flip.
+    GraftQuery(
+      "q_signality_load",
+      (s, d) => {
+        val root = signalityDir(s, d)
+        SignalitySource.load(s,
+          Seq(1 -> s"$root/p1.json", 2 -> s"$root/p2.json"), s"$root/meta.json")
+      },
+      Some {
+        val root = "/tmp/graft_signality__root_testdata_sf0.01"
+        val frameCols = "{'utc_time':'BIGINT'," +
+          "'ball':'STRUCT(position DOUBLE[])'," +
+          "'home_team':'STRUCT(jersey_number INTEGER, position DOUBLE[])[]'," +
+          "'away_team':'STRUCT(jersey_number INTEGER, position DOUBLE[])[]'}"
+        s"""WITH f1 AS (
+           |  SELECT 1 AS period_id, * FROM read_json('$root/p1.json',
+           |    format='array', columns=$frameCols)
+           |),
+           |f2 AS (
+           |  SELECT 2 AS period_id, * FROM read_json('$root/p2.json',
+           |    format='array', columns=$frameCols)
+           |),
+           |frames AS (
+           |  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+           |),
+           |meta AS (
+           |  SELECT * FROM read_json('$root/meta.json', format='unstructured',
+           |    columns={'id':'VARCHAR','team_home_name':'VARCHAR',
+           |      'team_away_name':'VARCHAR',
+           |      'team_home_players':'STRUCT(jersey_number INTEGER, name VARCHAR)[]',
+           |      'team_away_players':'STRUCT(jersey_number INTEGER, name VARCHAR)[]',
+           |      'pitch_size':'DOUBLE[]'})
+           |),
+           |roster AS (
+           |  SELECT TRUE AS r_home, p.jersey_number AS r_jersey, p.name AS r_name
+           |  FROM meta, unnest(team_home_players) AS t(p)
+           |  UNION ALL
+           |  SELECT FALSE, p.jersey_number, p.name
+           |  FROM meta, unnest(team_away_players) AS t(p)
+           |),
+           |sides AS (
+           |  SELECT period_id, utc_time, TRUE AS is_home,
+           |    p.jersey_number AS jersey, p.position AS pos
+           |  FROM frames, unnest(home_team) AS t(p)
+           |  UNION ALL
+           |  SELECT period_id, utc_time, FALSE, p.jersey_number, p.position
+           |  FROM frames, unnest(away_team) AS t(p)
+           |),
+           |players AS (
+           |  SELECT s.period_id, s.utc_time,
+           |    coalesce(r.r_name,
+           |      concat(CASE WHEN s.is_home THEN 'home_' ELSE 'away_' END,
+           |        s.jersey)) AS id,
+           |    CASE WHEN s.is_home THEN 'home' ELSE 'away' END AS team_id,
+           |    CAST(NULL AS VARCHAR) AS position_name,
+           |    s.pos[1] - 52.5 AS x, s.pos[2] - 34.0 AS y,
+           |    CAST(0.0 AS DOUBLE) AS z,
+           |    s.is_home, FALSE AS is_ball
+           |  FROM sides s LEFT JOIN roster r
+           |    ON s.is_home = r.r_home AND s.jersey = r.r_jersey
+           |  WHERE s.jersey IS NOT NULL
+           |    AND s.pos[1] IS NOT NULL AND s.pos[2] IS NOT NULL
+           |),
+           |balls AS (
+           |  SELECT period_id, utc_time, 'ball' AS id, 'ball' AS team_id,
+           |    'ball' AS position_name,
+           |    ball.position[1] - 52.5 AS x, ball.position[2] - 34.0 AS y,
+           |    coalesce(ball.position[3], 0.0) AS z,
+           |    FALSE AS is_home, TRUE AS is_ball
+           |  FROM frames
+           |  WHERE ball.position[1] IS NOT NULL AND ball.position[2] IS NOT NULL
+           |),
+           |allr AS (SELECT * FROM players UNION ALL SELECT * FROM balls),
+           |reb AS (
+           |  SELECT *, min(utc_time) OVER (PARTITION BY period_id) AS utc0
+           |  FROM allr
+           |),
+           |canon AS (
+           |  SELECT '1' AS game_id, period_id,
+           |    CAST(round(utc_time * 1000.0 / 40000.0) AS BIGINT) AS frame_id,
+           |    (utc_time - utc0) * 1000 AS "timestamp",
            |    id, team_id, position_name, x, y, z, is_home, is_ball,
            |    CAST(NULL AS VARCHAR) AS ball_state,
            |    CAST(NULL AS VARCHAR) AS ball_owning_team_id
