@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * batch shape, partition-local execution (one decoder instance per
   * partition, amortized across its rows, exactly how a JNI/FFmpeg/PIL
   * decoder would be held). The actual byte decoding is pluggable via
-  * [[Decoder]]; this container has no media libraries, so the default
-  * is [[DeterministicFakeDecoder]], a clearly-marked stand-in that
-  * derives a stable feature vector from the payload bytes. Swapping in
-  * a real decoder changes zero lines of pipeline code.
+  * [[Decoder]]: [[ImageIoDecoder]] (PNG/JPEG) and [[WavDecoder]]
+  * (RIFF/PCM) are REAL JDK-only decoders; [[DeterministicFakeDecoder]]
+  * is the clearly-marked stand-in for formats this container has no
+  * libraries for (video), deriving a stable feature vector from the
+  * payload bytes. Swapping decoders changes zero lines of pipeline
+  * code.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * a map over the source partitioning; `spark.sql.files.maxPartitionBytes`
@@ -103,6 +105,94 @@ object Multimodal {
       }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — WAV
+    * (RIFF) containers with 16-bit signed PCM payloads, zero added
+    * dependencies. Features (all integer-valued, so exact in Float for
+    * clips whose absolute-sample sum stays under 2^24 — any
+    * fixture-sized clip):
+    * `[channels, sampleRate, nSamples, sumAbs, minSample, maxSample,
+    *   zeroCrossings, nLoud]`
+    * where zeroCrossings counts sign flips of the `>= 0` predicate
+    * between consecutive samples and nLoud counts samples with
+    * `|v| >= 500`. Non-WAV formats, undecodable payloads, and PCM
+    * widths other than 16-bit fall back to
+    * [[DeterministicFakeDecoder]] so mixed-format tables keep flowing.
+    * WAV being lossless PCM, the features of a synthetic clip are
+    * closed-form replayable — `q_media_audio_decode` recomputes them
+    * in DuckDB from the sample formula without any audio library. */
+  object WavDecoder extends Decoder {
+    override def decode(payload: Array[Byte], format: String): Array[Float] =
+      format match {
+        case "audio/wav" | "audio/x-wav" =>
+          val decoded =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val f = ais.getFormat
+                if (f.getSampleSizeInBits != 16 ||
+                  f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+                else {
+                  val data = ais.readAllBytes()
+                  val n = data.length / 2
+                  var sumAbs = 0L; var minS = Long.MaxValue; var maxS = Long.MinValue
+                  var zc = 0L; var loud = 0L
+                  var prevNonNeg = false
+                  var i = 0
+                  while (i < n) {
+                    val v: Int =
+                      if (f.isBigEndian)
+                        ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+                      else
+                        ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+                    sumAbs += math.abs(v)
+                    if (v < minS) minS = v
+                    if (v > maxS) maxS = v
+                    if (i > 0 && (v >= 0) != prevNonNeg) zc += 1
+                    if (math.abs(v) >= 500) loud += 1
+                    prevNonNeg = v >= 0
+                    i += 1
+                  }
+                  if (n == 0) null
+                  else Array(f.getChannels.toFloat, f.getSampleRate,
+                    n.toFloat, sumAbs.toFloat, minS.toFloat, maxS.toFloat,
+                    zc.toFloat, loud.toFloat)
+                }
+              } finally ais.close()
+            } catch {
+              case _: java.io.IOException => null
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            }
+          if (decoded == null) DeterministicFakeDecoder.decode(payload, format)
+          else decoded
+        case _ => DeterministicFakeDecoder.decode(payload, format)
+      }
+  }
+
+  /** Deterministic synthetic WAV: sample i of clip `id` is
+    * `((31·i + 17·id) mod 2001) − 1000` — a closed-form pattern any
+    * engine can recompute, written as mono 16-bit little-endian PCM at
+    * 8 kHz through the REAL RIFF/WAVE encoder so [[WavDecoder]]
+    * exercises a real container parse + PCM decode. A fixture
+    * generator (tests + the audio-decode oracle query). */
+  def syntheticWav(id: Long, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((31L * i + 17L * id) % 2001L) - 1000L).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG: pixel (x, y) of image `id` is
     * `R=(7x+13y+id)%256, G=(3x+5y+2id)%256, B=(11x+17y+3id)%256` —
     * a closed-form pattern any engine can recompute, encoded through a
@@ -167,6 +257,45 @@ object Multimodal {
       if (payload.isEmpty || w1 <= 0) Array.emptyByteArray
       else Array.tabulate(math.min(w1, payload.length))(i =>
         payload(((i.toLong * payload.length) / math.max(w1, 1)).toInt))
+    }
+  }
+
+  /** REAL image resample: decode via `javax.imageio`, nearest-neighbor
+    * resample with the explicit floor mapping
+    * `src(x) = x·w0 / w1` (integer division, likewise for y), re-encode
+    * as PNG. The mapping is pinned in code rather than delegated to
+    * AWT's scaling ops so the resampled pixels of a closed-form source
+    * image are themselves closed-form — `q_media_image_resize` replays
+    * decode→resample→encode→decode in DuckDB from the pixel formula
+    * alone. Source dimensions come from the DECODED image, not the
+    * metadata columns. Undecodable payloads fall back to
+    * [[DeterministicFakeResizer]]. */
+  object ImageIoResizer extends Resizer {
+    override def resize(payload: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || w1 <= 0 || h1 <= 0)
+        DeterministicFakeResizer.resize(payload, w0, h0, w1, h1)
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w1, h1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val sw = img.getWidth.toLong
+        val sh = img.getHeight.toLong
+        var y = 0
+        while (y < h1) {
+          val sy = ((y * sh) / h1).toInt
+          var x = 0
+          while (x < w1) {
+            out.setRGB(x, y, img.getRGB(((x * sw) / w1).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
     }
   }
 

@@ -732,6 +732,103 @@ object LlmQueries extends QueryModule {
              |  CAST(CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
              |       WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
              |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
+             |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
+
+    // ----- multimodal: REAL audio decode (javax.sound.sampled, zero
+    // added deps). 48 synthetic WAV clips whose 16-bit PCM samples
+    // follow a closed-form formula are written through the real
+    // RIFF/WAVE encoder, parsed back by WavDecoder on the executors,
+    // and reduced to integer sample stats; DuckDB recomputes the same
+    // stats from the sample formula directly — a wrong byte order,
+    // header offset, or sample width mismatches the sums. -----
+    GraftQuery(
+      "q_media_audio_decode",
+      (s, _) => {
+        import s.implicits._
+        val media = s.range(48).map { id =>
+          val n = 160 + 16 * (id % 10).toInt
+          Multimodal.MediaRow(id, Multimodal.syntheticWav(id, n), "audio/wav", n, 1)
+        }
+        Multimodal.extractFeatures(media, Multimodal.WavDecoder).toDF()
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("feature_idx", "value")))
+          .select(col("media_id"), col("feature_idx").cast("long"),
+            col("value").cast("double").as("value"))
+      },
+      Some("""WITH clips AS (
+             |  SELECT id, 160 + 16 * (id % 10) AS n
+             |  FROM (SELECT unnest(generate_series(0, 47)) AS id)
+             |),
+             |samples AS (
+             |  SELECT c.id, s.i, ((31 * s.i + 17 * c.id) % 2001) - 1000 AS v
+             |  FROM clips c
+             |  JOIN (SELECT unnest(generate_series(0, 303)) AS i) s ON s.i < c.n
+             |),
+             |lagged AS (
+             |  SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+             |  FROM samples
+             |),
+             |feat AS (
+             |  SELECT id, 1 AS f0, 8000 AS f1, count(*) AS f2,
+             |    sum(abs(v)) AS f3, min(v) AS f4, max(v) AS f5,
+             |    sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+             |        THEN 1 ELSE 0 END) AS f6,
+             |    sum(CASE WHEN abs(v) >= 500 THEN 1 ELSE 0 END) AS f7
+             |  FROM lagged GROUP BY id
+             |)
+             |SELECT id AS media_id, k AS feature_idx,
+             |  CAST(CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
+             |       WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
+             |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
+             |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
+
+    // ----- multimodal: REAL image resample. Closed-form PNGs are
+    // decoded, nearest-neighbor-resampled to 10×6 with the pinned
+    // floor mapping src(x)=x·w0//w1, re-encoded as PNG, then decoded
+    // AGAIN for feature stats — two real decodes and one real encode
+    // per image; DuckDB replays the whole journey from the pixel
+    // formula composed with the same floor mapping. -----
+    GraftQuery(
+      "q_media_image_resize",
+      (s, _) => {
+        import s.implicits._
+        val media = s.range(32).map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 7).toInt
+          Multimodal.MediaRow(id, Multimodal.syntheticPng(id, w, h), "image/png", w, h)
+        }
+        val resized = Multimodal.resize(media, 10, 6, Multimodal.ImageIoResizer)
+        Multimodal.extractFeatures(resized, Multimodal.ImageIoDecoder).toDF()
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("feature_idx", "value")))
+          .select(col("media_id"), col("feature_idx").cast("long"),
+            col("value").cast("double").as("value"))
+      },
+      Some("""WITH imgs AS (
+             |  SELECT id, 8 + (id % 9) AS w0, 8 + ((id * 3) % 7) AS h0
+             |  FROM (SELECT unnest(generate_series(0, 31)) AS id)
+             |),
+             |px AS (
+             |  SELECT i.id,
+             |    (7 * ((xs.x * i.w0) // 10) + 13 * ((ys.y * i.h0) // 6) + i.id) % 256 AS r,
+             |    (3 * ((xs.x * i.w0) // 10) + 5 * ((ys.y * i.h0) // 6) + 2 * i.id) % 256 AS g,
+             |    (11 * ((xs.x * i.w0) // 10) + 17 * ((ys.y * i.h0) // 6) + 3 * i.id) % 256 AS b
+             |  FROM imgs i
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS x) xs
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) ys
+             |),
+             |feat AS (
+             |  SELECT id, 10 AS f0, 6 AS f1,
+             |    sum(r) AS f2, sum(g) AS f3, sum(b) AS f4,
+             |    min((r * 299 + g * 587 + b * 114) // 1000) AS f5,
+             |    max((r * 299 + g * 587 + b * 114) // 1000) AS f6,
+             |    count(*) AS f7
+             |  FROM px GROUP BY id
+             |)
+             |SELECT id AS media_id, k AS feature_idx,
+             |  CAST(CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
+             |       WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
+             |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
              |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin))
   )
 }

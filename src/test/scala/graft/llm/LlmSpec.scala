@@ -208,6 +208,48 @@ class LlmSpec extends AnyFunSuite {
       Multimodal.DeterministicFakeDecoder.decode(payload, "image/png").toSeq)
   }
 
+  test("wav decoder: real RIFF/PCM decode matches the closed-form sample stats") {
+    val id = 7L; val n = 250
+    val wav = Multimodal.syntheticWav(id, n)
+    // RIFF magic: a real encoder ran, not a stub
+    assert(wav.take(4).map(_.toChar).mkString === "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    val f = Multimodal.WavDecoder.decode(wav, "audio/wav")
+    val samples = (0 until n).map(i => (((31L * i + 17L * id) % 2001L) - 1000L).toInt)
+    val zc = samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    assert(f.toSeq === Seq[Float](1f, 8000f, n.toFloat,
+      samples.map(v => math.abs(v).toLong).sum.toFloat,
+      samples.min.toFloat, samples.max.toFloat,
+      zc.toFloat, samples.count(v => math.abs(v) >= 500).toFloat))
+  }
+
+  test("wav decoder: non-wav formats and corrupt payloads fall back to fake") {
+    val payload = "not audio".getBytes("UTF-8")
+    assert(Multimodal.WavDecoder.decode(payload, "text/plain").toSeq ===
+      Multimodal.DeterministicFakeDecoder.decode(payload, "text/plain").toSeq)
+    assert(Multimodal.WavDecoder.decode(payload, "audio/wav").toSeq ===
+      Multimodal.DeterministicFakeDecoder.decode(payload, "audio/wav").toSeq)
+  }
+
+  test("imageio resizer: real decode→resample→encode with the pinned floor mapping") {
+    val id = 3L; val w0 = 9; val h0 = 11; val w1 = 4; val h1 = 5
+    val png = Multimodal.syntheticPng(id, w0, h0)
+    val out = Multimodal.ImageIoResizer.resize(png, w0, h0, w1, h1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth === w1 && img.getHeight === h1)
+    for (y <- 0 until h1; x <- 0 until w1) {
+      val sx = x * w0 / w1; val sy = y * h0 / h1
+      val r = ((7L * sx + 13L * sy + id) % 256).toInt
+      val g = ((3L * sx + 5L * sy + 2 * id) % 256).toInt
+      val b = ((11L * sx + 17L * sy + 3 * id) % 256).toInt
+      assert((img.getRGB(x, y) & 0xffffff) === ((r << 16) | (g << 8) | b))
+    }
+    // corrupt payload → fake fallback, no throw
+    val junk = "junk".getBytes("UTF-8")
+    assert(Multimodal.ImageIoResizer.resize(junk, 4, 1, 2, 1).toSeq ===
+      Multimodal.DeterministicFakeResizer.resize(junk, 4, 1, 2, 1).toSeq)
+  }
+
   test("multimodal resize: metadata tracks target dims, payload length tracks width") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val r = Multimodal.resize(media, targetWidth = 5, targetHeight = 1)
