@@ -628,6 +628,64 @@ object LlmQueries extends QueryModule {
            |FROM gated g JOIN keep k ON k.fp = g.fp AND k.doc_id = g.doc_id""".stripMargin
       }),
 
+    // ----- benchmark decontamination: n-gram overlap vs an eval set -----
+    // The benchmark corpus is synthesized from the documents table
+    // (every 17th doc contributes its tokens 4..25 as one "eval
+    // prompt") so overlaps are guaranteed and both engines derive the
+    // same benchmark deterministically. The benchmark shingle set is
+    // broadcast — the corpus side never shuffles text (see
+    // [[graft.llm.Decontaminate]]).
+    GraftQuery(
+      "q_doc_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") / 17).cast("long").as("bench_id"),
+            array_join(slice(Shingles.tokens(col("text")), 4, 22), " ").as("text"))
+        Decontaminate.overlaps(docs, "doc_id", "text",
+          bench, "bench_id", "text", n = 5, minOverlap = 3)
+      },
+      Some {
+        val docSh = Shingles.shinglesSql("t", 5)
+        val benchSh = Shingles.shinglesSql("t[4:25]", 5)
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |d AS (
+           |  SELECT DISTINCT doc_id, unnest($docSh) AS s FROM toks
+           |),
+           |b AS (
+           |  SELECT DISTINCT doc_id // 17 AS bench_id, unnest($benchSh) AS s
+           |  FROM toks WHERE doc_id % 17 = 0
+           |),
+           |ov AS (
+           |  SELECT d.doc_id, b.bench_id, count(*) AS overlap_ngrams
+           |  FROM d JOIN b USING (s) GROUP BY 1, 2
+           |)
+           |SELECT doc_id, bench_id, overlap_ngrams FROM ov
+           |WHERE overlap_ngrams >= 3""".stripMargin
+      }),
+
+    // ----- source-ratio mixing: md5-keyed deterministic sampling -----
+    // Data-mixing weights as a shuffle-free scan predicate: membership
+    // depends only on md5(salt|doc_id), so the kept set is replayable
+    // in DuckDB and stable under any re-partitioning (see
+    // [[graft.llm.Mixer]]). Even sources keep 25%, src19 keeps all,
+    // everything else the 60% default.
+    GraftQuery(
+      "q_doc_source_mix",
+      (s, d) => {
+        val rates = (0 until 20 by 2).map(i => s"src$i" -> 0.25).toMap +
+          ("src19" -> 1.0)
+        Mixer.sample(Tables.documents(s, d), "doc_id", "source",
+          rates, defaultRate = 0.6)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE CAST(('0x' || substring(md5('graft-mix|' || doc_id), 1, 8)) AS BIGINT)
+             |  < CAST(CASE
+             |      WHEN source = 'src19' THEN 1.0
+             |      WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN 0.25
+             |      ELSE 0.6 END * 4294967296.0 AS DOUBLE)""".stripMargin)),
+
     // ----- multimodal: frame sampling over fixed-size payload windows -----
     GraftQuery(
       "q_media_frames",

@@ -208,6 +208,47 @@ class LlmSpec extends AnyFunSuite {
       Multimodal.DeterministicFakeDecoder.decode(payload, "image/png").toSeq)
   }
 
+  test("decontaminate: overlap pairs count distinct shared n-grams; clean drops them") {
+    val bench = Seq((100L, "quick brown fox jumps")).toDF("bench_id", "text")
+    val ov = Decontaminate.overlaps(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "quick brown fox jumps" has 2 distinct 3-grams, both inside docs 1/2/4
+    assert(ov((1L, 100L)) === 2L && ov((2L, 100L)) === 2L && ov((4L, 100L)) === 2L)
+    assert(!ov.contains((3L, 100L)) && !ov.contains((5L, 100L)))
+    val kept = Decontaminate.clean(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 3, minOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L))
+    // raising minOverlap above the shared count keeps everything
+    assert(Decontaminate.clean(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 3, minOverlap = 3).count() === 5L)
+  }
+
+  test("mixer: md5-keyed sampling is deterministic, per-source, and rate-shaped") {
+    val big = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("src"), ($"id" % 2).cast("string")).as("source"))
+    val kept = Mixer.sample(big, "doc_id", "source",
+      Map("src0" -> 0.25), defaultRate = 0.9)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 rows per source; md5 variates are uniform so counts land
+    // near rate * 1000 (bounds are loose: ±10% absolute)
+    assert(kept("src0") > 150 && kept("src0") < 350)
+    assert(kept("src1") > 800 && kept("src1") <= 1000)
+    // repeatable: same input, same kept set
+    val a = Mixer.sample(big, "doc_id", "source", Map("src0" -> 0.25), 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Mixer.sample(big.repartition(7), "doc_id", "source", Map("src0" -> 0.25), 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // rate 0 drops a source entirely; rate 1 keeps it whole
+    val edge = Mixer.sample(big, "doc_id", "source", Map("src0" -> 0.0, "src1" -> 1.0))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!edge.contains("src0") && edge("src1") === 1000L)
+  }
+
   test("wav decoder: real RIFF/PCM decode matches the closed-form sample stats") {
     val id = 7L; val n = 250
     val wav = Multimodal.syntheticWav(id, n)
