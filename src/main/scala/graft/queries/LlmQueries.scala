@@ -686,6 +686,50 @@ object LlmQueries extends QueryModule {
              |      WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN 0.25
              |      ELSE 0.6 END * 4294967296.0 AS DOUBLE)""".stripMargin)),
 
+    // ----- sequence packing: global token offsets via two-level scan -----
+    // The two-level prefix sum (within-bucket window + broadcast
+    // bucket bases) must reproduce the single-axis cumulative sum
+    // exactly, so the oracle computes the naive global window — if
+    // bucketing drops or double-counts a row anywhere, every
+    // downstream offset shifts and the hash goes red.
+    GraftQuery(
+      "q_doc_pack",
+      (s, d) => Packer.packed(Tables.documents(s, d), "doc_id", "text",
+        budget = 1024, bucketSize = 64L),
+      Some(s"""WITH t AS (SELECT doc_id, len($toksSql) AS n FROM documents),
+              |c AS (
+              |  SELECT doc_id, n,
+              |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS off
+              |  FROM t
+              |)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, off AS "offset",
+              |  off // 1024 AS seq_id, off % 1024 AS seq_pos
+              |FROM c""".stripMargin)),
+
+    // ----- int8 embedding quantization: exact cross-engine codes -----
+    // floor((float→double v) · 127 / amax) is bit-deterministic (see
+    // graft.llm.Quantize), so codes compare EXACTLY — no rounding
+    // tolerance anywhere in this row.
+    GraftQuery(
+      "q_emb_quantize",
+      (s, d) => Quantize.int8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("amax"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("code"), col("amax")),
+      Some("""WITH ix AS (SELECT vec_id, embedding,
+             |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |ex AS (SELECT vec_id, i - 1 AS dim,
+             |  CAST(embedding[i] AS DOUBLE) AS v FROM ix),
+             |am AS (SELECT vec_id, max(abs(v)) AS amax FROM ex GROUP BY vec_id)
+             |SELECT e.vec_id, e.dim,
+             |  CAST(CASE WHEN a.amax > 0 THEN floor((e.v * 127.0) / a.amax)
+             |       ELSE 0 END AS INTEGER) AS code,
+             |  a.amax
+             |FROM ex e JOIN am a USING (vec_id)""".stripMargin)),
+
     // ----- multimodal: frame sampling over fixed-size payload windows -----
     GraftQuery(
       "q_media_frames",

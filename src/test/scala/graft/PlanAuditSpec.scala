@@ -192,6 +192,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunker shuffles:\n$p")
   }
 
+  test("decontaminate: benchmark side broadcasts, corpus text joins map-side") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val df = graft.llm.Decontaminate.overlaps(
+      docs, "doc_id", "text", bench, "bench_id", "text", n = 5, minOverlap = 1)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-vs-benchmark join degraded to a corpus-wide shuffle:\n$p")
+  }
+
+  test("mixer sampling is a scan-stage filter: no exchange, predicate in codegen") {
+    val df = graft.llm.Mixer.sample(Tables.documents(spark, sf),
+      "doc_id", "source", Map("src0" -> 0.25), defaultRate = 0.9)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"mixer shuffles:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"mixer predicate fell out of whole-stage codegen:\n$p")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))

@@ -249,6 +249,32 @@ class LlmSpec extends AnyFunSuite {
     assert(!edge.contains("src0") && edge("src1") === 1000L)
   }
 
+  test("packer: two-level prefix sum matches the global cumsum, any bucket size") {
+    // token counts by doc_id: 1→9, 2→9, 3→8, 4→9, 5→1
+    val expected = Map(
+      1L -> (9L, 0L, 0L, 0L), 2L -> (9L, 9L, 0L, 9L), 3L -> (8L, 18L, 1L, 8L),
+      4L -> (9L, 26L, 2L, 6L), 5L -> (1L, 35L, 3L, 5L))
+    for (bucket <- Seq(1L, 2L, 1000L)) {
+      val r = Packer.packed(docs, "doc_id", "text", budget = 10, bucketSize = bucket)
+        .collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+        .toMap
+      assert(r === expected, s"bucketSize=$bucket")
+    }
+  }
+
+  test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
+    val emb = Seq(
+      (1L, Array(3.0f, -6.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8(emb, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getSeq[Int](2))).toMap
+    assert(r(1L)._1 === 6.0)
+    // floor(3*127/6)=63, the extreme hits exactly -127, zero stays 0
+    assert(r(1L)._2 === Seq(63, -127, 0))
+    assert(r(2L)._1 === 0.0 && r(2L)._2 === Seq(0, 0))
+  }
+
   test("wav decoder: real RIFF/PCM decode matches the closed-form sample stats") {
     val id = 7L; val n = 250
     val wav = Multimodal.syntheticWav(id, n)
