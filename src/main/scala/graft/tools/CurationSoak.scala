@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.Tables
+import graft.llm.{Decontaminate, Mixer, Packer, Quantize, Shingles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Times the round-7 curation operators on SPARK_GRAFT_SF_DIR —
+  * decontamination (broadcast n-gram overlap), source-ratio mixing
+  * (md5 scan predicate), sequence packing (two-level prefix sum), and
+  * int8 quantization (row-local transform) — so their scale shape is
+  * measured like the headline queries in SCALING.md, not just
+  * plan-audited. min-of-3 with one warm-up, count() as the sink.
+  *
+  * Prints one JSON line:
+  * {{{ {"metric":"curation_soak","queries":{...},"rows":{...},"sf":dir} }}}
+  *
+  * Run (after `ScaleGen` for the sf1 dir):
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=32 \
+  *   SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.CurationSoak"
+  * }}}
+  */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(SparkSession.builder(), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = Tables.documents(spark, sfDir)
+    def emb = Tables.embeddings(spark, sfDir)
+
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      "decontaminate" -> { () =>
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("bench_id"),
+            array_join(slice(Shingles.tokens(col("text")), 4, 22), " ").as("text"))
+        Decontaminate.overlaps(docs, "doc_id", "text",
+          bench, "bench_id", "text", n = 5, minOverlap = 3)
+      },
+      "source_mix" -> { () =>
+        Mixer.sample(docs, "doc_id", "source",
+          (0 until 20 by 2).map(i => s"src$i" -> 0.25).toMap, defaultRate = 0.6)
+      },
+      "pack" -> { () =>
+        Packer.packed(docs, "doc_id", "text", budget = 1024, bucketSize = 4096L)
+      },
+      "quantize" -> { () =>
+        Quantize.int8(emb, "vec_id", "embedding")
+          .select(col("vec_id"), col("amax"), size(col("codes")).as("n"))
+      })
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    cases.foreach { case (name, mk) =>
+      mk().count() // warm-up: JIT, parquet footers, broadcast build
+      var n = 0L
+      val t = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        n = mk().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      times(name) = math.rint(t * 1000) / 1000
+      rows(name) = n
+    }
+
+    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"curation_soak","queries":{$qs},"rows":{$rs},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
