@@ -55,4 +55,34 @@ object Packer {
         expr(s"offset div $budget").as("seq_id"),
         (col("offset") % budget).as("seq_pos"))
   }
+
+  /** The packed rows themselves: one output row per token, placed at
+    * its global position — `seq_id` is the training sequence the
+    * token lands in, `pos_in_seq` its slot. Documents straddling a
+    * sequence boundary split naturally (each token is placed
+    * independently), exactly like concat-and-chunk training data.
+    * A writer groups by `seq_id` and sorts by `pos_in_seq`.
+    *
+    * Scale shape: [[packed]]'s offsets join back to the tokenized
+    * corpus on `doc_id` (both sides hash-partition on the id — one
+    * co-keyed shuffle), then the explode is row-local. Token rows
+    * never carry text payloads other than their own token. */
+  def packedTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      bucketSize: Long = 4096L): DataFrame = {
+    val offsets = packed(docs, idCol, textCol, budget, bucketSize)
+      .select(col("doc_id"), col("offset"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Shingles.tokens(col(textCol)).as("__toks"))
+    toks.join(offsets, "doc_id")
+      .select(col("doc_id"), col("offset"),
+        posexplode(col("__toks")).as(Seq("pos", "token")))
+      .select(
+        expr(s"(offset + pos) div $budget").as("seq_id"),
+        ((col("offset") + col("pos")) % budget).as("pos_in_seq"),
+        col("token"), col("doc_id"))
+  }
 }

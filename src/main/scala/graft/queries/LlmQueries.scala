@@ -708,6 +708,31 @@ object LlmQueries extends QueryModule {
               |  off // 1024 AS seq_id, off % 1024 AS seq_pos
               |FROM c""".stripMargin)),
 
+    // ----- packed training rows: every token placed on the global axis -----
+    GraftQuery(
+      "q_doc_pack_tokens",
+      (s, d) => Packer.packedTokens(Tables.documents(s, d), "doc_id", "text",
+        budget = 1024, bucketSize = 64L),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |c AS (
+              |  SELECT doc_id, toks,
+              |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS off
+              |  FROM t
+              |),
+              |e0 AS (
+              |  SELECT doc_id, off, toks,
+              |    unnest(generate_series(1, len(toks))) AS i
+              |  FROM c
+              |),
+              |e AS (
+              |  SELECT doc_id, off, i - 1 AS pos, toks[i] AS token FROM e0
+              |)
+              |SELECT (off + pos) // 1024 AS seq_id,
+              |  (off + pos) % 1024 AS pos_in_seq, token, doc_id
+              |FROM e""".stripMargin)),
+
     // ----- int8 embedding quantization: exact cross-engine codes -----
     // floor((float→double v) · 127 / amax) is bit-deterministic (see
     // graft.llm.Quantize), so codes compare EXACTLY — no rounding

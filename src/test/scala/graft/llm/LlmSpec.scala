@@ -263,6 +263,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("packer tokens: every token lands at its global slot; boundary docs split") {
+    // budget 10: doc 2 (offset 9, 9 tokens) straddles seqs 0 and 1
+    val r = Packer.packedTokens(docs, "doc_id", "text", budget = 10, bucketSize = 2L)
+      .collect()
+      .map(x => (x.getLong(3), x.getString(2)) -> (x.getLong(0), x.getLong(1)))
+      .toMap
+    // keyed on unique (doc, token) pairs — "the" repeats within docs
+    assert(r((1L, "dog")) === (0L, 8L))        // doc 1 ends at slot 8 of seq 0
+    assert(r((2L, "quick")) === (1L, 0L))      // doc 2 token 1 → global 10 → seq 1
+    assert(r((2L, "cat")) === (1L, 7L))        // doc 2's last token, inside seq 1
+    assert(r((5L, "ab")) === (3L, 5L))         // offset 35
+    // total token rows = total tokens
+    assert(Packer.packedTokens(docs, "doc_id", "text", 10, 2L).count() === 36L)
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
