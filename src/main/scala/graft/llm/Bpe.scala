@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Real byte-pair-encoding tokenization against a merge-rank table —
+  * the GPT-2 `bpe()` scheduling exactly: repeatedly find the
+  * lowest-rank adjacent symbol pair present in the word and merge ALL
+  * its non-overlapping occurrences left to right, until no pair in
+  * the table remains. (The BPE-ish regex in [[TextStats]] stays as
+  * the cheap counter; this is the faithful segmentation.)
+  *
+  * Per-word merging is inherently sequential — the same category as
+  * the Hungarian assignment and the hysteresis fold — so the kernel
+  * runs as a partition-local `mapPartitions` with the rank table
+  * broadcast once and a per-partition word→pieces memo (real BPE
+  * implementations memoize the same way; natural-language corpora
+  * repeat words heavily). Everything around the kernel is relational:
+  * tokenize, posexplode, then the flatMap. No shuffle beyond the
+  * source partitioning.
+  *
+  * The merge table is data, not code: pass any `(a, b)` rank list —
+  * e.g. one imported from a trained tokenizer's merges file.
+  * [[DefaultMerges]] is a small multi-level English table used by the
+  * oracle query, which replays the exact scheduling in SQL
+  * (`replace()` on a double-separator symbol string IS left-to-right
+  * non-overlapping merge-all; a LATERAL min-rank probe picks the next
+  * merge; recursion ends when no pattern matches).
+  */
+object Bpe {
+
+  /** Small multi-level merge table (rank = position). Shared verbatim
+    * with the DuckDB oracle via [[mergesSql]]. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "h" -> "e",
+    "a" -> "t", "o" -> "r", "e" -> "n", "a" -> "l", "e" -> "s",
+    "s" -> "t", "t" -> "o", "i" -> "t", "o" -> "f", "e" -> "d",
+    "i" -> "s", "a" -> "r", "o" -> "u", "l" -> "e", "c" -> "o",
+    "the" -> "r", "w" -> "h", "wh" -> "e", "l" -> "l", "o" -> "o",
+    "u" -> "n", "q" -> "u")
+
+  /** `(rank, 'a', 'b'), …` VALUES rows for the oracle SQL. */
+  def mergesSql(merges: Seq[(String, String)] = DefaultMerges): String =
+    merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+
+  /** Canonical greedy BPE of one word (code-point symbols). */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): IndexedSeq[String] = {
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA = ""; var bestB = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            out += bestA + bestB; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** BPE segmentation of every whitespace token of every document.
+    * Output: doc_id, word_idx, piece_idx, piece. */
+  def segments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = DefaultMerges,
+      memoCap: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranksB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Shingles.tokens(col(textCol))).as(Seq("word_idx", "word")))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val rk = ranksB.value
+        // bounded memo: corpora repeat words heavily; the cap keeps
+        // executor memory flat on adversarial unique-word streams
+        val memo = scala.collection.mutable.HashMap.empty[String, IndexedSeq[String]]
+        it.flatMap { case (d, w, word) =>
+          val pieces =
+            memo.getOrElse(word, {
+              val p = encodeWord(word, rk)
+              if (memo.size < memoCap) memo.update(word, p)
+              p
+            })
+          pieces.iterator.zipWithIndex.map { case (p, i) =>
+            (d, w.toLong, i.toLong, p)
+          }
+        }
+      }
+      .toDF("doc_id", "word_idx", "piece_idx", "piece")
+  }
+}

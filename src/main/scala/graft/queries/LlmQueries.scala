@@ -733,6 +733,56 @@ object LlmQueries extends QueryModule {
               |  (off + pos) % 1024 AS pos_in_seq, token, doc_id
               |FROM e""".stripMargin)),
 
+    // ----- real BPE segmentation vs a SQL replay of the merge loop -----
+    // The oracle implements GPT-2 merge scheduling in a recursive CTE:
+    // a word's symbols live in a chr(31)-double-separated string where
+    // replace() IS left-to-right non-overlapping merge-all, a LATERAL
+    // min-rank probe picks each next merge, and recursion stops when
+    // no merge-table pattern matches. Any scheduling or tie-break
+    // difference in the Scala kernel mismatches the hash.
+    GraftQuery(
+      "q_doc_bpe",
+      (s, d) => Bpe.segments(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val sep = "chr(31)"
+        val pat = s"$sep||r.a||$sep||$sep||r.b||$sep"
+        s"""WITH RECURSIVE
+           |ranks(rnk, a, b) AS (VALUES ${Bpe.mergesSql()}),
+           |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |w0 AS (SELECT doc_id, toks,
+           |  unnest(generate_series(1, len(toks))) AS i FROM toks),
+           |words AS (SELECT doc_id, i - 1 AS word_idx, toks[i] AS word FROM w0),
+           |init AS (
+           |  SELECT doc_id, word_idx,
+           |    $sep || array_to_string(string_split_regex(word, ''), $sep||$sep)
+           |      || $sep AS st
+           |  FROM words
+           |),
+           |it AS (
+           |  SELECT doc_id, word_idx, st FROM init
+           |  UNION ALL
+           |  SELECT it.doc_id, it.word_idx,
+           |    replace(it.st, $sep||best.a||$sep||$sep||best.b||$sep,
+           |      $sep||best.a||best.b||$sep) AS st
+           |  FROM it, LATERAL (
+           |    SELECT r.a, r.b FROM ranks r WHERE contains(it.st, $pat)
+           |    ORDER BY r.rnk LIMIT 1) best
+           |),
+           |fin AS (
+           |  SELECT * FROM it WHERE NOT EXISTS (
+           |    SELECT 1 FROM ranks r WHERE contains(it.st, $pat))
+           |),
+           |p0 AS (
+           |  SELECT doc_id, word_idx,
+           |    string_split(trim(st, chr(31)), $sep||$sep) AS pieces
+           |  FROM fin
+           |),
+           |p1 AS (SELECT doc_id, word_idx, pieces,
+           |  unnest(generate_series(1, len(pieces))) AS i FROM p0)
+           |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
+           |FROM p1""".stripMargin
+      }),
+
     // ----- int8 embedding quantization: exact cross-engine codes -----
     // floor((float→double v) · 127 / amax) is bit-deterministic (see
     // graft.llm.Quantize), so codes compare EXACTLY — no rounding

@@ -278,6 +278,32 @@ class LlmSpec extends AnyFunSuite {
     assert(Packer.packedTokens(docs, "doc_id", "text", 10, 2L).count() === 36L)
   }
 
+  test("bpe: canonical merge scheduling — lowest rank first, merge-all, non-overlap") {
+    val rk = Bpe.DefaultMerges.zipWithIndex.toMap
+    // 'there': t+h(0) → th+e(1) → [the,r,e]; then r+e(8) beats the+r(25)
+    assert(Bpe.encodeWord("there", rk) === Seq("the", "re"))
+    // 'and': a+n(4) → an+d(5) → single piece
+    assert(Bpe.encodeWord("and", rk) === Seq("and"))
+    // 'where': w+h(26) → wh+e(27)? no — e+r(6)... h+e(9)? lowest first:
+    // pairs (w,h)=26 (h,e)=9 (e,r)=6 (r,e)=8 → e+r first → [w,h,er,e]
+    // → (h,e)? gone; (w,h)=26 → [wh,er,e]; no (wh,er); no (er,e) → done
+    assert(Bpe.encodeWord("where", rk) === Seq("wh", "er", "e"))
+    // non-overlap on runs: 'qu'+'un'? 'quun': q+u(31) → [qu,u,n] →
+    // u+n(30) → [qu,un]
+    assert(Bpe.encodeWord("quun", rk) === Seq("qu", "un"))
+    // no applicable merges
+    assert(Bpe.encodeWord("zzz", rk) === Seq("z", "z", "z"))
+    assert(Bpe.encodeWord("x", rk) === Seq("x"))
+    val segs = Bpe.segments(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    // doc 1 word 0 = "the" → t+h, th+e → one piece
+    assert(segs((1L, 0L, 0L)) === "the")
+    // doc 1 word 6 = "the", word 7 = "lazy" → l+a? no; a? pairs:
+    // (l,a)? no (a,z)? no (z,y)? no → chars
+    assert(segs((1L, 7L, 0L)) === "l" && segs((1L, 7L, 3L)) === "y")
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
