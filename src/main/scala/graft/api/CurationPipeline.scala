@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *  4. [[dedup]] — connected components over the pairs → per-document
   *     cluster id + canonical keep flag; drops non-canonical docs.
   *  5. [[chunk]] — context-window packing of the surviving corpus.
+  *  6. Optional post-passes, each independently oracle-verified:
+  *     [[decontaminate]] (drop benchmark-overlapping docs — run
+  *     BEFORE dedup canonicalization would also be valid; after, it
+  *     sees 1/cluster), [[mix]] (source-ratio down-sampling),
+  *     [[pack]] ([[graft.llm.Packer.packedTokens]] — fixed-budget
+  *     training rows on the global token axis), or BPE segmentation
+  *     via [[graft.llm.Bpe.segments]].
   *
   * Each stage is a lazy DataFrame, so any prefix of the journey is a
   * single Catalyst plan; the expensive stages (3-4) run over the gated
@@ -91,6 +98,39 @@ object CurationPipeline {
       size: Int = 512,
       stride: Int = 384): DataFrame =
     Chunker.chunks(deduped, idCol, textCol, size, stride)
+
+  /** Stage 6a: drop documents overlapping a benchmark corpus (see
+    * [[graft.llm.Decontaminate]] — benchmark side broadcasts). */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text",
+      n: Int = 13,
+      minOverlap: Int = 1): DataFrame =
+    Decontaminate.clean(docs, idCol, textCol, bench, benchIdCol, benchTextCol,
+      n, minOverlap)
+
+  /** Stage 6b: deterministic source-ratio mixing (see
+    * [[graft.llm.Mixer]] — md5-keyed scan predicate, no shuffle). */
+  def mix(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      defaultRate: Double = 1.0): DataFrame =
+    Mixer.sample(docs, idCol, sourceCol, rates, defaultRate)
+
+  /** Stage 6c: fixed-budget training rows — every token placed at its
+    * (seq_id, pos_in_seq) slot (see [[graft.llm.Packer]]). */
+  def pack(
+      docs: DataFrame,
+      budget: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Packer.packedTokens(docs, idCol, textCol, budget)
 
   /** The whole journey with defaults. */
   def run(

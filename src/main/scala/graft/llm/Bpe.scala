@@ -45,6 +45,20 @@ object Bpe {
     merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
 
+  /** Load a trained tokenizer's merges file (GPT-2 `merges.txt`
+    * layout: one "a b" pair per line in rank order, `#`-prefixed
+    * header lines skipped). The table is driver-side by design — it
+    * is bounded (≤ ~100k lines for real tokenizers) and becomes the
+    * broadcast the kernel reads. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.textFile(path).collect().toSeq
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val p = l.split(" ", 2)
+        require(p.length == 2 && p(1).nonEmpty, s"malformed merges line: '$l'")
+        (p(0), p(1))
+      }
+
   /** Canonical greedy BPE of one word (code-point symbols). */
   def encodeWord(word: String, rank: Map[(String, String), Int]): IndexedSeq[String] = {
     var syms: Vector[String] = {

@@ -304,6 +304,29 @@ class LlmSpec extends AnyFunSuite {
     assert(segs((1L, 7L, 0L)) === "l" && segs((1L, 7L, 3L)) === "y")
   }
 
+  test("bpe: concatenated pieces always reproduce the word (seeded random)") {
+    val rk = Bpe.DefaultMerges.zipWithIndex.toMap
+    val alphabet = "theringandoulswqz"
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pieces = Bpe.encodeWord(w, rk)
+      assert(pieces.mkString === w, s"lossy segmentation of '$w': $pieces")
+      assert(pieces.forall(_.nonEmpty))
+    }
+  }
+
+  test("bpe: merges file round-trip drives the same segmentation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merges")
+    val f = dir.resolve("merges.txt")
+    val lines = "#version: test" +: Bpe.DefaultMerges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    val loaded = Bpe.loadMerges(spark, f.toString)
+    assert(loaded === Bpe.DefaultMerges)
+    assert(Bpe.encodeWord("there", loaded.zipWithIndex.toMap) === Seq("the", "re"))
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
