@@ -98,6 +98,69 @@ object Bpe {
     syms
   }
 
+  /** LEARN a merge table from the corpus — the training side of BPE:
+    * each iteration counts adjacent symbol pairs corpus-wide (one
+    * partial-agg shuffle on the pair key over the per-word vocabulary,
+    * NOT the raw corpus — words dedup to a (word, count) table first,
+    * exactly how reference BPE trainers work), picks the most frequent
+    * pair (ties broken lexicographically, so learning is
+    * deterministic), and merges it everywhere.
+    *
+    * The per-iteration state (the word vocabulary with symbol lists
+    * and counts) is localCheckpoint-ed so N iterations do not stack N
+    * plans. At 100 TB you learn from a sampled vocabulary ([[Mixer]]
+    * is the sampler); the vocab table after the initial groupBy is
+    * unique-words-sized, not corpus-sized, so iterations are cheap
+    * regardless of corpus scale. */
+  def learn(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(Shingles.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // split keeps the trailing "" the end-of-string lookahead match
+      // produces (Spark split is limit -1, unlike Java's) — drop it
+      .select(filter(split(col("word"), "(?!^)"), s => length(s) > lit(0)).as("syms"),
+        col("cnt"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = vocab.flatMap { case (syms, cnt) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, cnt))
+        }.toDF("a", "b", "cnt")
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)]
+        .collect()
+      top.headOption.filter(_._3 >= minCount) match {
+        case None => exhausted = true
+        case Some((a, b, _)) =>
+          merges += ((a, b))
+          val prev = vocab
+          vocab = prev.map { case (syms, cnt) =>
+            val out = Seq.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), cnt)
+          }.localCheckpoint()
+          prev.unpersist()
+          i += 1
+      }
+    }
+    merges.result()
+  }
+
   /** BPE segmentation of every whitespace token of every document.
     * Output: doc_id, word_idx, piece_idx, piece. */
   def segments(

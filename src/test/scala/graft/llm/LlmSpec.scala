@@ -327,6 +327,50 @@ class LlmSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("there", loaded.zipWithIndex.toMap) === Seq("the", "re"))
   }
 
+  test("bpe learn: distributed pair counting matches an in-memory reference") {
+    def naiveLearn(words: Seq[String], n: Int, minCount: Long): Seq[(String, String)] = {
+      var vocab: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+        .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      val out = Seq.newBuilder[(String, String)]
+      var stop = false
+      for (_ <- 1 to n if !stop) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, cnt) =>
+          syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + cnt
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best.filter(_._2 >= minCount) match {
+          case None => stop = true
+          case Some(((a, b), _)) =>
+            out += ((a, b))
+            vocab = vocab.map { case (syms, cnt) =>
+              val m = Vector.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                  m += a + b; j += 2
+                } else { m += syms(j); j += 1 }
+              }
+              (m.result(), cnt)
+            }
+        }
+      }
+      out.result()
+    }
+    val words = docs.collect().flatMap(_.getString(1).toLowerCase
+      .split("\\s+").filter(_.nonEmpty)).toSeq
+    val expected = naiveLearn(words, 8, 2L)
+    val learned = Bpe.learn(docs, "text", nMerges = 8)
+    assert(learned === expected)
+    assert(learned.nonEmpty)
+    // the learned table drives the apply side: "the" (3× in corpus
+    // tokens) should compress below character granularity
+    val rk = learned.zipWithIndex.toMap
+    assert(Bpe.encodeWord("the", rk).length < 3)
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
