@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance over the document corpus — the retrieval
+  * primitive a curation pipeline uses to pull topic-targeted training
+  * subsets ("give me the k documents most about X") and the lexical
+  * half of hybrid (BM25 + embedding) retrieval.
+  *
+  * Standard Robertson/Sparck-Jones BM25:
+  * `score(d, Q) = Σ_t idf(t) · tf(t,d)(k1+1) / (tf + k1(1 − b + b·dl/avgdl))`
+  * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+  *
+  * Scale shape: the only corpus-wide state is one row (N, avgdl) and a
+  * |Q|-row df table — both broadcast. The per-document side is a single
+  * pass over the token stream filtered to the query terms BEFORE the
+  * tf `groupBy`, so the shuffle carries only matching (doc, term) rows,
+  * not the corpus. Top-k is a rank-over-score window, skew-free because
+  * scores are already one row per document.
+  *
+  * Float determinism: avgdl is an exact DECIMAL mean rounded to 6
+  * decimals before entering the per-row formula; each per-term score is
+  * rounded and cast to DECIMAL before the per-doc sum (order-insensitive).
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-k documents by BM25 relevance to `terms`.
+    * Output: rank, doc_id, n_hit_terms, score. */
+  def topk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    val t = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Shingles.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // one broadcast row: corpus size and exact-mean doc length
+    val stats = t.agg(
+      count(lit(1)).as("n_docs"),
+      // integer sum is exact; cast-to-double BEFORE the division so
+      // both engines do the same double/long divide (decimal-division
+      // scale rules differ between engines)
+      round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val tk = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = tk.groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df")) // |Q| rows
+    val perTerm = tf
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // K1+1 written as the literal 2.2 (not computed) so the oracle's
+        // parsed literal is bit-identical
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))),
+          6).cast("decimal(20,9)").as("sc"))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
+      .select(col("doc_id"), col("n_hit_terms"),
+        round(col("s").cast("double"), 6).as("score"))
+    // limit BEFORE the rank window: TakeOrderedAndProject is a
+    // distributed partial top-k; the unpartitioned window then runs
+    // over only k rows, never the full scored relation
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_hit_terms"), col("score"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet-style corpus-level language-model scoring: train an add-one
+  * smoothed bigram LM on the corpus itself and score every document by
+  * its average negative log-likelihood under that LM. High `avg_nll`
+  * (≈ log-perplexity) flags boilerplate-free but incoherent text; the
+  * classic curation recipe buckets documents by this score (CCNet keeps
+  * the head/middle buckets). Reference pipeline: Wenzek et al., "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data".
+  *
+  * Everything is relational — no driver-side model object:
+  *
+  *  - unigram/bigram count tables are `groupBy` aggregates of the token
+  *    stream (partial aggregation map-side; the shuffle key is the
+  *    n-gram itself, so counts distribute like any word-count);
+  *  - the vocabulary size is a one-row aggregate broadcast into the
+  *    scoring join (never collected to the driver);
+  *  - scoring joins each document's bigram stream back to the count
+  *    tables — big-big shuffle joins keyed on the n-gram, exactly the
+  *    key the count tables were just built on, so AQE reuses the
+  *    exchange on the count side. At 100 TB the count tables are
+  *    vocabulary-sized (Zipf-bounded, far smaller than the corpus) and
+  *    a `minCount` prune makes the bigram side broadcastable.
+  *
+  * Float determinism for the oracle: each per-pair log-probability is
+  * rounded to 6 decimals and cast to DECIMAL(20,9) before the per-doc
+  * sum, so the sum is exact integer-scaled arithmetic — order of
+  * summation cannot change the result (the [[graft.queries.LlmQueries]]
+  * centroid trick).
+  */
+object NgramLm {
+
+  /** Per-document average negative log-likelihood under the corpus
+    * bigram LM. Output: doc_id, n_pairs, avg_nll (natural-log base,
+    * rounded to 6 decimals). Documents with fewer than 2 tokens carry
+    * no bigram evidence and are omitted. */
+  def scored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Shingles.tokens(col(textCol)).as("toks"))
+    val tk = t.select(col("doc_id"), explode(col("toks")).as("w"))
+    val uni = tk.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = tk.agg(countDistinct(col("w")).as("vs")) // 1 row, broadcast
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(Shingles.shingles(col("toks"), 2)).as("b"))
+    val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    val lp = bg
+      .join(bc, "b")
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        // add-one smoothing; rounded+decimal => order-insensitive sum
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("vs"))), 6)
+          .cast("decimal(20,9)").as("l"))
+    lp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("l")).as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        round((-col("s")).cast("double") / col("n_pairs"), 6).as("avg_nll"))
+  }
+}

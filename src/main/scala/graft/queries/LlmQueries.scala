@@ -1006,6 +1006,99 @@ object LlmQueries extends QueryModule {
              |  CAST(CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
              |       WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
              |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
-             |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin))
+             |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
+
+    // ----- CCNet-style LM scoring: corpus-trained bigram LM, per-doc
+    // average negative log-likelihood (see [[graft.llm.NgramLm]]). The
+    // oracle retrains the same add-one bigram model in SQL; per-pair
+    // log-probs are rounded+DECIMAL so both sums are order-exact. -----
+    GraftQuery(
+      "q_doc_lm_ppl",
+      (s, d) => NgramLm.scored(Tables.documents(s, d), "doc_id", "text"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |uni AS (SELECT w, count(*) AS c1 FROM tk GROUP BY w),
+           |v AS (SELECT count(DISTINCT w) AS vs FROM tk),
+           |bg AS (SELECT doc_id, unnest(${Shingles.shinglesSql("toks", 2)}) AS b
+           |       FROM t WHERE len(toks) >= 2),
+           |bc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+           |lp AS (SELECT g.doc_id,
+           |  CAST(round(ln((bc.c12 + CAST(1.0 AS DOUBLE)) / (u.c1 + v.vs)), 6)
+           |       AS DECIMAL(20,9)) AS l
+           |  FROM bg g JOIN bc ON bc.b = g.b
+           |  JOIN uni u ON u.w = string_split(g.b, ' ')[1]
+           |  CROSS JOIN v)
+           |SELECT doc_id, count(*) AS n_pairs,
+           |  round(CAST(-sum(l) AS DOUBLE) / count(*), 6) AS avg_nll
+           |FROM lp GROUP BY doc_id""".stripMargin)),
+
+    // ----- BM25 keyword retrieval: top-25 docs for a fixed probe
+    // query (see [[graft.llm.Bm25]]); every constant is a parsed
+    // literal on both sides so the doubles are bit-identical. -----
+    GraftQuery(
+      "q_doc_bm25",
+      (s, d) => Bm25.topk(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window", "stream"), 25),
+      Some(
+        s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |t AS (SELECT doc_id, toks, len(toks) AS dl FROM t0 WHERE len(toks) > 0),
+           |st AS (SELECT count(*) AS n_docs,
+           |  round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl FROM t),
+           |tk AS (SELECT doc_id, dl, unnest(toks) AS w FROM t),
+           |ftk AS (SELECT * FROM tk WHERE w IN ('spark','join','window','stream')),
+           |tf AS (SELECT doc_id, dl, w, count(*) AS tf
+           |       FROM ftk GROUP BY doc_id, dl, w),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+           |pt AS (SELECT tf.doc_id,
+           |  CAST(round(
+           |    ln(CAST(1.0 AS DOUBLE) +
+           |       (st.n_docs - df.df + CAST(0.5 AS DOUBLE)) /
+           |       (df.df + CAST(0.5 AS DOUBLE))) *
+           |    (tf.tf * CAST(2.2 AS DOUBLE)) /
+           |    (tf.tf + CAST(1.2 AS DOUBLE) *
+           |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+           |       CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)), 6)
+           |    AS DECIMAL(20,9)) AS sc
+           |  FROM tf JOIN df USING (w) CROSS JOIN st),
+           |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
+           |       round(CAST(sum(sc) AS DOUBLE), 6) AS score
+           |       FROM pt GROUP BY doc_id)
+           |SELECT * FROM (
+           |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+           |         doc_id, n_hit_terms, score
+           |  FROM sc) WHERE rank <= 25""".stripMargin)),
+
+    // ----- DSIR importance weights: hashed-unigram log-likelihood
+    // ratio vs a deterministic target slice (see [[graft.llm.Dsir]]).
+    // The oracle rebuilds both bucket models with the shared polyHash
+    // and replays the broadcast-ratio join. -----
+    GraftQuery(
+      "q_doc_dsir",
+      (s, d) => Dsir.weights(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val nb = Dsir.NumBuckets
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tk AS (SELECT doc_id, ${polySql("w")} % $nb AS bkt
+           |       FROM (SELECT doc_id, unnest(toks) AS w FROM t)),
+           |tgt AS (SELECT * FROM tk WHERE doc_id % 17 = 3),
+           |tc AS (SELECT bkt, count(*) AS ct FROM tgt GROUP BY bkt),
+           |rc AS (SELECT bkt, count(*) AS cr FROM tk GROUP BY bkt),
+           |tt AS (SELECT count(*) AS nt FROM tgt),
+           |rt AS (SELECT count(*) AS nr FROM tk),
+           |bk AS (SELECT unnest(generate_series(0, ${nb - 1})) AS bkt),
+           |ratio AS (SELECT b.bkt,
+           |  CAST(round(ln(
+           |    ((COALESCE(tc.ct, 0) + CAST(1.0 AS DOUBLE)) /
+           |     (tt.nt + CAST($nb.0 AS DOUBLE))) /
+           |    ((COALESCE(rc.cr, 0) + CAST(1.0 AS DOUBLE)) /
+           |     (rt.nr + CAST($nb.0 AS DOUBLE)))), 6) AS DECIMAL(20,9)) AS lr
+           |  FROM bk b LEFT JOIN tc ON tc.bkt = b.bkt
+           |  LEFT JOIN rc ON rc.bkt = b.bkt
+           |  CROSS JOIN tt CROSS JOIN rt)
+           |SELECT tk.doc_id, count(*) AS n_tokens,
+           |  round(CAST(sum(r.lr) AS DOUBLE), 6) AS log_weight
+           |FROM tk JOIN ratio r ON r.bkt = tk.bkt GROUP BY tk.doc_id""".stripMargin
+      })
   )
 }

@@ -371,6 +371,65 @@ class LlmSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("the", rk).length < 3)
   }
 
+  test("ngram lm: avg_nll matches hand-computed add-one bigram model") {
+    val corpus = Seq((10L, "a b a b"), (20L, "a b"), (30L, "x")).toDF("doc_id", "text")
+    val r = NgramLm.scored(corpus, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // uni: a->3 b->3 x->1, V=3; bigrams: "a b"->3 (2 in doc10 + 1 in
+    // doc20), "b a"->1
+    def lp(c12: Long, c1: Long): BigDecimal =
+      BigDecimal(math.log((c12 + 1.0) / (c1 + 3L)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d10 = (-(lp(3, 3) + lp(1, 3) + lp(3, 3))).toDouble / 3
+    assert(r(10L)._1 === 3L)
+    assert(math.abs(r(10L)._2 -
+      BigDecimal(d10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // doc20 is the single most-frequent bigram: exactly -lp("a b")
+    assert(r(20L) === ((1L, (-lp(3, 3)).toDouble)))
+    assert(!r.contains(30L)) // single-token doc: no bigram evidence
+    // the rarer-transition doc scores higher nll than the pure-frequent one
+    assert(r(10L)._2 > r(20L)._2)
+  }
+
+  test("bm25: term-heavy doc ranks first; scores replay the formula") {
+    val corpus = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark join filter sort"),
+      (3L, "filter sort scan agg"),
+      (4L, "join join spark window stream")).toDF("doc_id", "text")
+    val r = Bm25.topk(corpus, "doc_id", "text", Seq("spark", "join"), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // doc 3 has no query terms -> absent; the 3 hits are docs 1, 2, 4
+    assert(r.map(_._2).toSet === Set(1L, 2L, 4L))
+    // replay: N=4 docs, avgdl = round(17/4, 6); df(spark)=3, df(join)=3
+    val avgdl = BigDecimal(17.0 / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(tf: Long, dl: Long, df: Long): BigDecimal = {
+      val idf = math.log(1.0 + (4L - df + 0.5) / (df + 0.5))
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val d1 = (term(3, 4, 3) + term(1, 4, 3)).toDouble // spark×3, join×1, dl=4
+    assert(math.abs(r.find(_._2 == 1L).get._4 - d1) < 1e-9)
+    assert(r.find(_._2 == 1L).get._3 === 2L) // both terms hit
+  }
+
+  test("dsir: target-slice lookalikes weigh higher than off-distribution docs") {
+    // target slice: doc_id % 17 == 3 -> only doc 3
+    val corpus = Seq(
+      (3L, "alpha beta alpha beta gamma"),
+      (1L, "alpha beta alpha gamma beta"),   // same bag as target
+      (2L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val r = Dsir.weights(corpus, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L)._1 === 5L)
+    // lookalike doc scores strictly above the disjoint-vocab doc
+    assert(r(1L)._2 > r(2L)._2)
+    // same bag of tokens -> identical weight as the target doc itself
+    assert(r(1L)._2 === r(3L)._2)
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
