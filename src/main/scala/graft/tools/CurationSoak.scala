@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Decontaminate, Mixer, Packer, Quantize, Shingles}
+import graft.llm.{Bm25, Bpe, Decontaminate, Dsir, Mixer, NgramLm, Packer, Quantize, Shingles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +50,14 @@ object CurationSoak {
       "quantize" -> { () =>
         Quantize.int8(emb, "vec_id", "embedding")
           .select(col("vec_id"), col("amax"), size(col("codes")).as("n"))
-      })
+      },
+      "lm_ppl" -> { () => NgramLm.scored(docs, "doc_id", "text") },
+      "bm25" -> { () =>
+        Bm25.topk(docs, "doc_id", "text",
+          Seq("spark", "join", "window", "stream"), 25)
+      },
+      "dsir" -> { () => Dsir.weights(docs, "doc_id", "text") },
+      "bpe_segments" -> { () => Bpe.segments(docs, "doc_id", "text") })
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
