@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   *     [[pack]] ([[graft.llm.Packer.packedTokens]] — fixed-budget
   *     training rows on the global token axis), or BPE segmentation
   *     via [[graft.llm.Bpe.segments]].
+  *  7. Optional corpus-level scoring passes for selection/bucketing,
+  *     each independently oracle-verified: [[perplexityScore]]
+  *     (CCNet-style bigram-LM nll — bucket by it, keep the head),
+  *     [[importanceWeights]] (DSIR target-likeness — rank/resample by
+  *     it), [[retrieve]] (BM25 topical top-k — pull a targeted
+  *     subset).
   *
   * Each stage is a lazy DataFrame, so any prefix of the journey is a
   * single Catalyst plan; the expensive stages (3-4) run over the gated
@@ -131,6 +137,36 @@ object CurationPipeline {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     Packer.packedTokens(docs, idCol, textCol, budget)
+
+  /** Stage 7a: per-doc average nll under a corpus-trained bigram LM
+    * (see [[graft.llm.NgramLm]]). CCNet keeps the low-nll head/middle
+    * buckets; join this back on the id to gate. */
+  def perplexityScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    NgramLm.scored(docs, idCol, textCol)
+
+  /** Stage 7b: DSIR importance weight of every doc vs a target slice
+    * (see [[graft.llm.Dsir]]). Resample the corpus by `log_weight` to
+    * up-sample target-domain-like documents. */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetMod: Int = 17,
+      targetRem: Int = 3): DataFrame =
+    Dsir.weights(docs, idCol, textCol, targetMod, targetRem)
+
+  /** Stage 7c: BM25 top-k retrieval of a topical training subset (see
+    * [[graft.llm.Bm25]]). */
+  def retrieve(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Bm25.topk(docs, idCol, textCol, terms, k)
 
   /** The whole journey with defaults. */
   def run(

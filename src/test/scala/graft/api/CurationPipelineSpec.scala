@@ -36,6 +36,25 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(keptIds.contains(1L) && !keptIds.contains(2L) && keptIds.contains(3L))
   }
 
+  test("scoring stages: perplexity, importance weights, retrieval over the same corpus") {
+    val ppl = CurationPipeline.perplexityScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every multi-token doc gets a score; the all-"spam" doc is the
+    // single most predictable sequence in the corpus
+    assert(ppl.keySet === Set(1L, 2L, 3L, 4L))
+    assert(ppl(4L) === ppl.values.min)
+
+    // target slice is doc_id % 17 == 3: empty here -> uniform target
+    // model; weights still defined for every doc
+    val w = CurationPipeline.importanceWeights(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+
+    val hits = CurationPipeline.retrieve(docs, Seq("fox", "weather"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.subsetOf(Set(1L, 2L, 3L)) && hits.size === 2)
+  }
+
   test("run end-to-end emits chunks only for surviving docs") {
     val out = CurationPipeline.run(docs, minQuality = 0.5, dupThreshold = 0.5,
       chunkSize = 16, chunkStride = 12)
