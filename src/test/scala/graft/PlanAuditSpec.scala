@@ -244,6 +244,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_comment"), s"over-wide scan: $readSchema")
   }
 
+  test("dsir: the 512-row ratio table broadcasts into the scoring join") {
+    val df = graft.llm.Dsir.weights(Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bucket join degraded to SMJ:\n$p")
+  }
+
+  test("bm25: top-k is a partial TakeOrdered, never a global sort") {
+    val df = graft.llm.Bm25.topk(Tables.documents(spark, sf), "doc_id", "text",
+      Seq("spark", "join", "window", "stream"), 25)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost the partial path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df/stats join degraded to SMJ:\n$p")
+  }
+
+  test("ngram lm: the one-row vocabulary aggregate broadcasts into scoring") {
+    val df = graft.llm.NgramLm.scored(Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab not broadcast:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
