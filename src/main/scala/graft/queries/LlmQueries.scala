@@ -1008,6 +1008,57 @@ object LlmQueries extends QueryModule {
              |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
              |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
 
+    // ----- ExactSubstr-style repeated-span regions: any 13-token
+    // span shared verbatim across ≥2 docs, adjacent flags merged into
+    // maximal regions (see [[graft.llm.SpanDedup]]). Pure integer
+    // algebra; the oracle replays hash, flag, and island merge. -----
+    GraftQuery(
+      "q_doc_dup_regions",
+      (s, d) => SpanDedup.dupRegions(Tables.documents(s, d), "doc_id", "text", n = 13),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sp AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 12)) AS i, toks
+           |       FROM t WHERE len(toks) >= 13),
+           |hx AS (SELECT doc_id, i - 1 AS pos,
+           |       ${polySql("array_to_string(toks[i:i+12], ' ')")} AS h FROM sp),
+           |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+           |                       FROM hx GROUP BY h) WHERE nd >= 2),
+           |f AS (SELECT doc_id, pos FROM hx WHERE h IN (SELECT h FROM dup)),
+           |r AS (SELECT doc_id, pos,
+           |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |      FROM f)
+           |SELECT doc_id, min(pos) AS start_pos, max(pos) + 12 AS end_pos,
+           |       count(*) AS n_spans
+           |FROM r GROUP BY doc_id, isl""".stripMargin)),
+
+    // ----- per-doc duplication pressure: exact region-union token
+    // coverage (how much of each doc is copied text). -----
+    GraftQuery(
+      "q_doc_span_stats",
+      (s, d) => SpanDedup.stats(Tables.documents(s, d), "doc_id", "text", n = 13),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sp AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 12)) AS i, toks
+           |       FROM t WHERE len(toks) >= 13),
+           |hx AS (SELECT doc_id, i - 1 AS pos,
+           |       ${polySql("array_to_string(toks[i:i+12], ' ')")} AS h FROM sp),
+           |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+           |                       FROM hx GROUP BY h) WHERE nd >= 2),
+           |f AS (SELECT doc_id, pos FROM hx WHERE h IN (SELECT h FROM dup)),
+           |r AS (SELECT doc_id, pos,
+           |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |      FROM f),
+           |reg AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 12 AS end_pos
+           |        FROM r GROUP BY doc_id, isl),
+           |agg AS (SELECT doc_id,
+           |        CAST(sum(end_pos - start_pos + 1) AS BIGINT) AS dup_tokens,
+           |        count(*) AS n_regions
+           |        FROM reg GROUP BY doc_id)
+           |SELECT t2.doc_id, len(t2.toks) AS n_tokens,
+           |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           |       COALESCE(a.n_regions, 0) AS n_regions
+           |FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id""".stripMargin)),
+
     // ----- CCNet-style LM scoring: corpus-trained bigram LM, per-doc
     // average negative log-likelihood (see [[graft.llm.NgramLm]]). The
     // oracle retrains the same add-one bigram model in SQL; per-pair

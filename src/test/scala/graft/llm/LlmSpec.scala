@@ -430,6 +430,28 @@ class LlmSpec extends AnyFunSuite {
     assert(r(1L)._2 === r(3L)._2)
   }
 
+  test("span dedup: shared 15-token run flags 3 spans merging into one region per doc") {
+    val common = (1 to 15).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, common + " uniquea uniqueb"),
+      (2L, "pre1 pre2 " + common),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val regions = SpanDedup.dupRegions(corpus, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 15 shared tokens -> 15-13+1 = 3 flagged 13-grams -> one island,
+    // positioned where `common` sits in each doc
+    assert(regions(1L) === ((0L, 14L, 3L)))
+    assert(regions(2L) === ((2L, 16L, 3L)))
+    assert(!regions.contains(3L))
+    val st = SpanDedup.stats(corpus, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(st(1L) === ((17L, 15L, 1L)))
+    assert(st(2L) === ((17L, 15L, 1L)))
+    assert(st(3L) === ((20L, 0L, 0L)))
+  }
+
   test("quantize: symmetric int8 codes with exact extremes; zero vector all-zero") {
     val emb = Seq(
       (1L, Array(3.0f, -6.0f, 0.0f)),
