@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *  0. Optional pre-passes, each independently oracle-verified:
   *     [[graft.llm.Scrub.scrub]] (URL/e-mail/IP masking),
   *     [[graft.llm.LineDedup.dedupLines]] (corpus-level boilerplate
-  *     line removal), [[gopherGate]] (Gopher rule filter).
+  *     line removal), [[gopherGate]] (Gopher rule filter),
+  *     [[graft.llm.SpanDedup.stats]] (ExactSubstr-style repeated-span
+  *     pressure — drop or trim docs that are mostly copied text).
   *  1. [[score]] — row-local text stats: token counts, language ID,
   *     quality score (no shuffle).
   *  2. [[gate]] — quality/language filters (predicate-pushdown

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bm25, Bpe, Decontaminate, Dsir, Mixer, NgramLm, Packer, Quantize, Shingles}
+import graft.llm.{Bm25, Bpe, Decontaminate, Dsir, Mixer, NgramLm, Packer, Quantize, Shingles, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,7 +57,8 @@ object CurationSoak {
           Seq("spark", "join", "window", "stream"), 25)
       },
       "dsir" -> { () => Dsir.weights(docs, "doc_id", "text") },
-      "bpe_segments" -> { () => Bpe.segments(docs, "doc_id", "text") })
+      "bpe_segments" -> { () => Bpe.segments(docs, "doc_id", "text") },
+      "dup_regions" -> { () => SpanDedup.dupRegions(docs, "doc_id", "text", n = 13) })
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
