@@ -146,6 +146,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then deduplicate ONLY within clusters — a vector is
+    * dropped when another vector in the same cell sits above the
+    * cosine threshold and has a smaller id (the deterministic stand-in
+    * for the paper's keep-one-per-duplicate-group rule).
+    *
+    * Scale shape: this is the embedding analog of banded-LSH dedup —
+    * the pairwise pass is confined to cells (expected |corpus|/k per
+    * cell, k sized so cells fit an executor), so the join shuffles on
+    * the cell id and never goes all-pairs; the drop rule is a
+    * cell-local semi-join, no global state. The codebook is the same
+    * deterministic md5 hash-sample as [[topKCosineIvf]] (k-means
+    * centroids drop in without changing the algebra).
+    *
+    * Output: one row per vector — (id, cell, keep). */
+  def semDeDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int = 8): DataFrame = {
+    val cents = coarseCodebook(emb, idCol, vecCol, nCells)
+    val asg = assignCells(emb, cents, idCol, vecCol, "__id", "__v")
+    val l = asg.select(col("__id").as("id_a"), col("__v").as("__va"), col("cell"))
+    val r = asg.select(col("__id").as("id_b"), col("__v").as("__vb"), col("cell"))
+    // ids dropped: collide in-cell with a smaller-id near-duplicate
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("__id")).distinct()
+    asg.join(dropped.withColumn("__dropped", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path besides
     * LSH. A small, broadcast coarse-quantizer codebook (here: a
     * deterministic sample of the corpus itself, the first
@@ -157,6 +193,43 @@ object Similarity {
     * vector). Probes search only their own cell (nprobe=1), so the
     * join shuffles on the cell id and brute-forces ~|corpus|/nCentroids
     * vectors per probe instead of the full corpus. */
+  /** Deterministic hash-sample coarse codebook: the nCentroids corpus
+    * rows with the smallest md5(id) — id-type/density agnostic (works
+    * for string ids and sparse numeric ids alike), reproducible across
+    * engines (md5 is bit-identical in the DuckDB oracle), and a
+    * distributed top-N (TakeOrderedAndProject), never a full sort.
+    * Cells are re-labeled 0..n-1 by hash order on the (tiny) codebook. */
+  private def coarseCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val wCode = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+    corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h")).limit(nCentroids)
+      .withColumn("cell", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("cell"), col(vecCol).as("__cent"))
+  }
+
+  /** Assigns every vector its highest-cosine cell from the broadcast
+    * codebook with ONE partial-aggregable groupBy (max_by over the
+    * broadcast product — no window, no shuffle wider than one row per
+    * vector). Ties break to the lowest cell id. */
+  private def assignCells(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outId: String,
+      outVec: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cc", cosine(col(outVec), col("__cent")))
+      .groupBy(col(outId), col(outVec))
+      .agg(max_by(col("cell"), struct(col("__cc"), -col("cell"))).as("cell"))
+
   def topKCosineIvf(
       corpus: DataFrame,
       queries: DataFrame,
@@ -164,28 +237,9 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 8): DataFrame = {
-    // Deterministic hash-sample codebook: the nCentroids corpus rows
-    // with the smallest md5(id) — id-type/density agnostic (works for
-    // string ids and sparse numeric ids alike), reproducible across
-    // engines (md5 is bit-identical in the DuckDB oracle), and a
-    // distributed top-N (TakeOrderedAndProject), never a full sort.
-    // Cells are re-labeled 0..n-1 by hash order on the (tiny) codebook.
-    val wCode = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
-    val cents = corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .orderBy(col("__h")).limit(nCentroids)
-      .withColumn("cell", (row_number().over(wCode) - 1).cast("long"))
-      .select(col("cell"), col(vecCol).as("__cent"))
-    def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(cents))
-        .withColumn("__cc", cosine(col(outVec), col("__cent")))
-        .groupBy(col(outId), col(outVec))
-        // highest cosine wins; ties break to the lowest cell id
-        .agg(max_by(col("cell"), struct(col("__cc"), -col("cell"))).as("cell"))
-    val c = assign(corpus, "neighbor_id", "__cv")
-    val q = assign(queries, "query_id", "__qv")
+    val cents = coarseCodebook(corpus, idCol, vecCol, nCentroids)
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "__cv")
+    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "__qv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)

@@ -575,6 +575,123 @@ object LlmQueries extends QueryModule {
            |  FROM sc) r WHERE rank <= 3""".stripMargin
       }),
 
+    // ----- SemDeDup: cluster-local semantic dedup (arXiv:2303.09540) -----
+    // Cells from the same deterministic md5 coarse codebook as IVF;
+    // the pairwise cosine pass never leaves a cell, so candidate
+    // generation shuffles on the cell id exactly like banded-LSH dedup
+    // shuffles on band keys — never all-pairs.
+    GraftQuery(
+      "q_emb_semdedup",
+      (s, d) => Similarity.semDeDup(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4, nCells = 8),
+      Some {
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
+        val cosAB = Similarity.cosineSql("a.embedding", "b.embedding")
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT v.vec_id, v.embedding, ct.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |    FROM embeddings v CROSS JOIN cents ct) WHERE crn = 1),
+           |drp AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE $cosAB >= 0.4)
+           |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+           |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
+      }),
+
+    // ----- product-quantization ANN: encoded corpus + ADC lookup -----
+    // The corpus side of the search join carries only (id, sub, code)
+    // rows; approximate distances are sums of M broadcast-LUT lookups
+    // in exact DECIMAL arithmetic (order-free, engine-replayable).
+    GraftQuery(
+      "q_emb_pq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Pq.topKAdc(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", kNeighbors = 3, dim = 64, m = 4, k = 8)
+      },
+      Some {
+        def sl(v: String) = s"list_slice($v, s.sub * 16 + 1, s.sub * 16 + 16)"
+        val dEnc = Pq.l2sqSql(sl("v.embedding"), sl("cb.embedding"))
+        val dLut = Pq.l2sqSql(sl("q.embedding"), sl("cb.embedding"))
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS code,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+           |encd AS (
+           |  SELECT vec_id AS neighbor_id, sub, code FROM (
+           |    SELECT v.vec_id, s.sub, cb.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY $dEnc ASC, cb.code ASC) AS rn
+           |    FROM embeddings v CROSS JOIN subs s CROSS JOIN cb) WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+           |         CAST($dLut AS DECIMAL(20,9)) AS d
+           |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cb WHERE q.vec_id < 16),
+           |sc AS (
+           |  SELECT l.query_id, e.neighbor_id, CAST(sum(l.d) AS DOUBLE) AS adist
+           |  FROM encd e JOIN lut l USING (sub, code)
+           |  WHERE l.query_id <> e.neighbor_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+           |  SELECT query_id, neighbor_id, adist,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- deterministic Lloyd's k-means (the codebook trainer) -----
+    // Fixed two-pass Lloyd's: md5-sample init, fold-exact L2
+    // assignment, DECIMAL-exact centroid update, second assignment.
+    // The oracle replays the ENTIRE algorithm — if any pass diverges
+    // anywhere, final assignments shift and the hash goes red.
+    GraftQuery(
+      "q_emb_kmeans",
+      (s, d) => {
+        val (_, asg) = KMeansLite.fit(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 4, iters = 2)
+        asg.select(col("vec_id"), col("cluster"))
+      },
+      Some {
+        def l2(a: String, b: String) = KMeansLite.l2sqFoldSql(a, b)
+        s"""WITH c0 AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cluster,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 4),
+           |a1 AS (
+           |  SELECT vec_id, embedding, cluster FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cluster ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+           |ex AS (
+           |  SELECT cluster, i - 1 AS dim, CAST(embedding[i] AS DECIMAL(20,9)) AS v
+           |  FROM (SELECT cluster, embedding,
+           |               unnest(generate_series(1, len(embedding))) AS i FROM a1)),
+           |m1 AS (
+           |  SELECT cluster, dim, CAST(sum(v) AS DOUBLE) / count(*) AS m
+           |  FROM ex GROUP BY cluster, dim),
+           |cn AS (SELECT cluster, list(m ORDER BY dim) AS cent FROM m1 GROUP BY cluster),
+           |c1 AS (SELECT c0.cluster, coalesce(cn.cent, c0.cent) AS cent
+           |       FROM c0 LEFT JOIN cn USING (cluster)),
+           |a2 AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cluster ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1)
+           |SELECT vec_id, cluster FROM a2""".stripMargin
+      }),
+
     // ----- per-label centroid vectors (IVF/classifier "training" step) -----
     GraftQuery(
       "q_emb_centroids",
@@ -662,6 +779,46 @@ object LlmQueries extends QueryModule {
            |)
            |SELECT doc_id, bench_id, overlap_ngrams FROM ov
            |WHERE overlap_ngrams >= 3""".stripMargin
+      }),
+
+    // ----- bloom-filter decontamination: constant-size benchmark side -----
+    // Same synthesized benchmark as q_doc_decontaminate, different
+    // mechanism: the benchmark compresses to a fixed 8 KiB bitmap and
+    // the corpus-side membership test is row-local bit arithmetic
+    // against an in-plan literal — zero joins on the corpus text (see
+    // [[graft.llm.Bloom]]). The oracle replays the whole filter —
+    // bitmap construction AND membership — exactly, false positives
+    // included.
+    GraftQuery(
+      "q_doc_bloom_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select(array_join(slice(Shingles.tokens(col("text")), 4, 22), " ").as("text"))
+        val bm = Bloom.buildBitmap(bench, "text", n = 5, mBits = Bloom.DefaultMBits)
+        Bloom.contaminationFlags(docs, "doc_id", "text", bm,
+          n = 5, mBits = Bloom.DefaultMBits)
+      },
+      Some {
+        val mBits = Bloom.DefaultMBits
+        val docSh = Shingles.shinglesSql("t", 5)
+        val benchSh = Shingles.shinglesSql("t[4:25]", 5)
+        def posList(h: String) =
+          (0 until Bloom.NumHashes)
+            .map(j => Bloom.bitPositionSql(h, j, mBits)).mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |b AS (SELECT unnest($benchSh) AS s FROM toks WHERE doc_id % 17 = 0),
+           |bh AS (SELECT DISTINCT ${polySql("s")} AS h FROM b),
+           |bits AS (SELECT DISTINCT unnest(${posList("h")}) AS p FROM bh),
+           |d AS (SELECT DISTINCT doc_id, unnest($docSh) AS s FROM toks),
+           |dh AS (SELECT doc_id, s, ${polySql("s")} AS h FROM d),
+           |dp AS (SELECT DISTINCT doc_id, s, unnest(${posList("h")}) AS p FROM dh),
+           |ms AS (SELECT doc_id, s, count(*) AS need, count(bits.p) AS got
+           |       FROM dp LEFT JOIN bits USING (p) GROUP BY doc_id, s)
+           |SELECT doc_id, count(*) AS ngrams,
+           |       CAST(sum(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           |       CAST(sum(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT) > 0 AS flagged
+           |FROM ms GROUP BY doc_id""".stripMargin
       }),
 
     // ----- source-ratio mixing: md5-keyed deterministic sampling -----

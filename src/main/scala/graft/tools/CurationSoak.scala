@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bm25, Bpe, Decontaminate, Dsir, Mixer, NgramLm, Packer, Quantize, Shingles, SpanDedup}
+import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pq, Quantize, Shingles, Similarity, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +58,25 @@ object CurationSoak {
       },
       "dsir" -> { () => Dsir.weights(docs, "doc_id", "text") },
       "bpe_segments" -> { () => Bpe.segments(docs, "doc_id", "text") },
-      "dup_regions" -> { () => SpanDedup.dupRegions(docs, "doc_id", "text", n = 13) })
+      "dup_regions" -> { () => SpanDedup.dupRegions(docs, "doc_id", "text", n = 13) },
+      "semdedup" -> { () =>
+        Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4, nCells = 8)
+      },
+      "pq_ann" -> { () =>
+        Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+          kNeighbors = 3, dim = 64, m = 4, k = 8)
+      },
+      "kmeans" -> { () =>
+        val (_, asg) = KMeansLite.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+        asg.select(col("vec_id"), col("cluster"))
+      },
+      "bloom_decontam" -> { () =>
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select(array_join(slice(Shingles.tokens(col("text")), 4, 22), " ").as("text"))
+        val bm = Bloom.buildBitmap(bench, "text", n = 5, mBits = Bloom.DefaultMBits)
+        Bloom.contaminationFlags(docs, "doc_id", "text", bm,
+          n = 5, mBits = Bloom.DefaultMBits)
+      })
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -215,6 +215,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"mixer predicate fell out of whole-stage codegen:\n$p")
   }
 
+  test("bloom decontamination: corpus side joins nothing — membership is pure expression") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("text"))
+    val bm = graft.llm.Bloom.buildBitmap(bench, "text", n = 5, mBits = 1 << 16)
+    val df = graft.llm.Bloom.contaminationFlags(docs, "doc_id", "text", bm,
+      n = 5, mBits = 1 << 16)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join"), s"bloom membership must not join:\n$p")
+    // the only exchanges are the per-doc distinct + final groupBy, both
+    // keyed on doc_id — never on text or shingles alone
+    assert(p.contains("Exchange"), "per-doc aggregation expected")
+  }
+
+  test("pq adc: LUT broadcasts; the search join input carries codes, not vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.llm.Pq.topKAdc(emb, emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", kNeighbors = 2, dim = 64, m = 4, k = 8)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"ADC LUT not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ADC search degraded to a corpus-wide sort-merge join:\n$p")
+  }
+
+  test("semdedup: codebook broadcasts; the pair join shuffles on the cell id only") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.llm.Similarity.semDeDup(emb, "vec_id", "embedding",
+      threshold = 0.4, nCells = 8)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")
+    val pairJoinOnCell = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("[cell"))
+    assert(pairJoinOnCell, s"in-cell pair join must key on cell:\n$p")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))
