@@ -44,4 +44,47 @@ object Mixer {
       hashVariate(col(idCol).cast("string"), salt).cast("double") <
         rate * 4294967296.0)
   }
+
+  /** α-temperature mixing (the T5 / multilingual sampling rule):
+    * source s with n_s rows gets sampling weight w_s ∝ n_s^α — α < 1
+    * flattens the distribution toward rare sources, α = 1 is
+    * proportional (no re-weighting). Keep-rates are sized so the
+    * EXPECTED kept total is `targetFrac` of the corpus:
+    * rate_s = min(1, targetFrac · N · w_s / (Σw · n_s)), rounded to 6
+    * decimals so the md5-threshold compare replays bit-identically in
+    * the oracle (`q_doc_temp_mix`).
+    *
+    * Scale shape: the per-source count is one partial-aggregable
+    * groupBy producing a source-cardinality-sized relation; the Σ
+    * terms are DECIMAL-exact (merge-order-free) one-row aggregates;
+    * rates come back to the corpus as a broadcast join, so the corpus
+    * side stays a scan + map-side predicate — zero data shuffle, same
+    * as [[sample]]. */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      targetFrac: Double,
+      salt: String = "graft-mix"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    // self-join lineage (tot derives from counts): alias both sides so
+    // the analyzer can tell the branches apart
+    val tot = counts.agg(
+      sum(col("__n").cast(dec)).cast("double").as("__tn"),
+      sum(pow(col("__n"), lit(alpha)).cast(dec)).cast("double").as("__tw"))
+    val rates = counts.as("c").crossJoin(broadcast(tot.as("t")))
+      .select(col(s"c.$sourceCol"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("t.__tn") *
+            (pow(col("c.__n"), lit(alpha)).cast(dec).cast("double")) /
+            (col("t.__tw") * col("c.__n"))), 6).as("__rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(
+        hashVariate(col(idCol).cast("string"), salt).cast("double") <
+          col("__rate") * 4294967296.0)
+      .drop("__rate")
+  }
 }

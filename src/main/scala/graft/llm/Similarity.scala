@@ -199,7 +199,7 @@ object Similarity {
     * engines (md5 is bit-identical in the DuckDB oracle), and a
     * distributed top-N (TakeOrderedAndProject), never a full sort.
     * Cells are re-labeled 0..n-1 by hash order on the (tiny) codebook. */
-  private def coarseCodebook(
+  def coarseCodebook(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
@@ -249,6 +249,34 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF ANN over an EXTERNALLY TRAINED codebook — the serve half of
+    * the train-in-[[KMeansLite]] → search-here journey. `codebook`
+    * must be (cell, __cent ARRAY<FLOAT>) — exactly what
+    * [[KMeansLite.asFloatCodebook]] emits. Identical physical shape to
+    * [[topKCosineIvf]] (broadcast codebook, one partial-agg assignment
+    * groupBy per side, cell-keyed search join); only the codebook
+    * provenance differs. */
+  def topKCosineIvfTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebook: DataFrame): DataFrame = {
+    val c = assignCells(corpus, codebook, idCol, vecCol, "neighbor_id", "__cv")
+    val q = assignCells(queries, codebook, idCol, vecCol, "query_id", "__qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("__cos"), 6).as("cos_sim"))
   }
 

@@ -692,6 +692,80 @@ object LlmQueries extends QueryModule {
            |SELECT vec_id, cluster FROM a2""".stripMargin
       }),
 
+    // ----- train-to-serve: k-means codebook feeding IVF search -----
+    // The full journey: two Lloyd's passes train the codebook, the
+    // float-cast centroids (serve-time quantization) drive cell
+    // assignment by cosine, probes search only their cell. The oracle
+    // replays training AND serving — init, both assignment passes,
+    // both DECIMAL centroid updates, the float cast, the cosine cell
+    // argmax, and the per-cell top-k.
+    GraftQuery(
+      "q_emb_ivf_kmeans",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (cents, _) = KMeansLite.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+        Similarity.topKCosineIvfTrained(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, KMeansLite.asFloatCodebook(cents))
+      },
+      Some {
+        def l2(a: String, b: String) = KMeansLite.l2sqFoldSql(a, b)
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.cent")
+        val cosQC = Similarity.cosineSql("q.qv", "c.cv")
+        s"""WITH c0 AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cluster,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 4),
+           |a1 AS (
+           |  SELECT vec_id, embedding, cluster FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cluster ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+           |m1 AS (
+           |  SELECT cluster, i - 1 AS dim,
+           |         CAST(sum(CAST(embedding[i] AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
+           |  FROM (SELECT cluster, embedding,
+           |               unnest(generate_series(1, len(embedding))) AS i FROM a1)
+           |  GROUP BY cluster, i),
+           |cn1 AS (SELECT cluster, list(m ORDER BY dim) AS cent FROM m1 GROUP BY cluster),
+           |c1 AS (SELECT c0.cluster, coalesce(cn1.cent, c0.cent) AS cent
+           |       FROM c0 LEFT JOIN cn1 USING (cluster)),
+           |a2 AS (
+           |  SELECT vec_id, embedding, cluster FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cluster ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+           |m2 AS (
+           |  SELECT cluster, i - 1 AS dim,
+           |         CAST(sum(CAST(embedding[i] AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
+           |  FROM (SELECT cluster, embedding,
+           |               unnest(generate_series(1, len(embedding))) AS i FROM a2)
+           |  GROUP BY cluster, i),
+           |cn2 AS (SELECT cluster, list(m ORDER BY dim) AS cent FROM m2 GROUP BY cluster),
+           |c2 AS (SELECT c1.cluster, coalesce(cn2.cent, c1.cent) AS cent
+           |       FROM c1 LEFT JOIN cn2 USING (cluster)),
+           |fcb AS (SELECT cluster AS cell,
+           |               list_transform(cent, x -> CAST(x AS REAL)) AS cent FROM c2),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT v.vec_id, v.embedding, ct.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |    FROM embeddings v CROSS JOIN fcb ct) WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM asg WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM asg),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cosQC AS cosv
+           |       FROM q JOIN c USING (cell) WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
     // ----- per-label centroid vectors (IVF/classifier "training" step) -----
     GraftQuery(
       "q_emb_centroids",
@@ -821,6 +895,20 @@ object LlmQueries extends QueryModule {
            |FROM ms GROUP BY doc_id""".stripMargin
       }),
 
+    // ----- token-balanced shard assignment (banded round-robin) -----
+    // The oracle collapses the two-level rank into the single window
+    // it must equal: if the bucketed bases drop or double-count a row
+    // anywhere, every later shard assignment in that band shifts.
+    GraftQuery(
+      "q_doc_shards",
+      (s, d) => Sharder.assign(Tables.documents(s, d), "doc_id", "text",
+        nShards = 8, bandWidth = 64L, bucketSize = 64L),
+      Some(s"""SELECT doc_id, n_tokens, band,
+              |       (row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) % 8 AS shard
+              |FROM (SELECT doc_id, len($toksSql) AS n_tokens,
+              |             len($toksSql) // 64 AS band
+              |      FROM documents)""".stripMargin)),
+
     // ----- source-ratio mixing: md5-keyed deterministic sampling -----
     // Data-mixing weights as a shuffle-free scan predicate: membership
     // depends only on md5(salt|doc_id), so the kept set is replayable
@@ -842,6 +930,31 @@ object LlmQueries extends QueryModule {
              |      WHEN source = 'src19' THEN 1.0
              |      WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN 0.25
              |      ELSE 0.6 END * 4294967296.0 AS DOUBLE)""".stripMargin)),
+
+    // ----- α-temperature mixing: count-derived keep-rates -----
+    // Rates are DERIVED (per-source counts → α-weights → expected-
+    // total normalization), not configured — the oracle recomputes
+    // the whole derivation and the kept row set must still match
+    // exactly (DECIMAL-exact Σ terms, round-6 rates, md5 threshold).
+    GraftQuery(
+      "q_doc_temp_mix",
+      (s, d) => Mixer.temperatureSample(Tables.documents(s, d),
+          "doc_id", "source", alpha = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+             |          FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(CAST(n AS DECIMAL(20,9))) AS DOUBLE) AS tn,
+             |             CAST(sum(CAST(pow(n, 0.5) AS DECIMAL(20,9))) AS DOUBLE) AS tw
+             |      FROM c),
+             |r AS (SELECT source,
+             |             round(least(CAST(1.0 AS DOUBLE),
+             |                   0.5 * t.tn * CAST(CAST(pow(c.n, 0.5) AS DECIMAL(20,9)) AS DOUBLE)
+             |                   / (t.tw * c.n)), 6) AS rate
+             |      FROM c CROSS JOIN t)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN r USING (source)
+             |WHERE CAST(('0x' || substring(md5('graft-mix|' || doc_id), 1, 8)) AS BIGINT)
+             |      < rate * 4294967296.0""".stripMargin)),
 
     // ----- sequence packing: global token offsets via two-level scan -----
     // The two-level prefix sum (within-bucket window + broadcast

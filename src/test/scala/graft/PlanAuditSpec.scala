@@ -254,6 +254,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pairJoinOnCell, s"in-cell pair join must key on cell:\n$p")
   }
 
+  test("sharder: bases broadcast back; every window is key-partitioned") {
+    val df = graft.llm.Sharder.assign(Tables.documents(spark, sf),
+      "doc_id", "text", nShards = 8, bandWidth = 64L, bucketSize = 64L)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bucket bases not broadcast:\n$p")
+    // both windows partition on the band key — no data-sized
+    // single-partition Window stage anywhere (WindowExec would warn
+    // "No Partition Defined" and hashpartitioning would disappear)
+    val specs = p.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty, s"expected Window operators in:\n$p")
+    specs.foreach(s =>
+      assert(s.startsWith("band"),
+        s"window lost its band partition key: windowspecdefinition($s"))
+    assert(p.contains("hashpartitioning(band"),
+      s"window shuffle not keyed on band:\n$p")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))

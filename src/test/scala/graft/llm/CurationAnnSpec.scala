@@ -125,6 +125,78 @@ class CurationAnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Float](1).size === 4))
   }
 
+  test("trained-codebook ivf searches within the trained cells") {
+    val (cents, _) = KMeansLite.fit(twoBlobs, "vec_id", "embedding", k = 2, iters = 2)
+    val r = Similarity.topKCosineIvfTrained(twoBlobs, twoBlobs,
+        "vec_id", "embedding", k = 2, KMeansLite.asFloatCodebook(cents))
+      .collect()
+    assert(r.nonEmpty)
+    val blobA = Set(1L, 2L, 3L)
+    r.foreach { row =>
+      val (q, n) = (row.getLong(0), row.getLong(1))
+      assert(blobA.contains(q) === blobA.contains(n),
+        s"query $q matched neighbor $n across the blob boundary — cells leaked")
+    }
+  }
+
+  test("sharder: two-level rank equals the single-window deal order") {
+    val docs = (1L to 97L).map(i => (i, Seq.fill((i % 13).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Sharder.assign(docs, "doc_id", "text", nShards = 4,
+        bandWidth = 5L, bucketSize = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // reference: plain per-band round-robin in doc_id order
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .groupBy { case (_, n) => n / 5 }.toSeq
+      .flatMap { case (_, members) =>
+        members.sortBy(_._1).zipWithIndex.map { case ((id, _), i) => id -> (i % 4).toLong }
+      }
+    expected.foreach { case (id, s) =>
+      assert(got(id) === s, s"doc $id dealt to ${got(id)}, single-window order says $s")
+    }
+  }
+
+  test("sharder: every band deals each shard the same doc count, within one") {
+    val docs = (1L to 500L).map(i => (i, Seq.fill((i % 37).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val perBandShard = Sharder.assign(docs, "doc_id", "text", nShards = 4, bandWidth = 8L)
+      .groupBy($"band", $"shard").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bands = perBandShard.keySet.map(_._1)
+    assert(bands.nonEmpty)
+    bands.foreach { b =>
+      val counts = (0L until 4L).map(s => perBandShard.getOrElse((b, s), 0L))
+      assert(counts.max - counts.min <= 1L,
+        s"band $b deals unevenly across shards: $counts")
+    }
+    // and the resulting token totals land close to perfectly even
+    val totals = Sharder.shardStats(
+        Sharder.assign(docs, "doc_id", "text", nShards = 4, bandWidth = 8L))
+      .collect().map(_.getLong(2))
+    assert(totals.max - totals.min < totals.sum / 4 / 5,
+      s"shard token totals drifted past 20% of the mean: ${totals.toSeq}")
+  }
+
+  test("temperature mixing: alpha<1 favors rare sources, alpha=1 is proportional") {
+    val docs = ((1L to 400L).map(i => (i, "common")) ++
+        (401L to 440L).map(i => (i, "rare")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    def keptBySource(alpha: Double) =
+      Mixer.temperatureSample(docs, "doc_id", "source", alpha, targetFrac = 0.5)
+        .groupBy($"source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    val flat = keptBySource(0.3)
+    assert(flat("rare").toDouble / 40 > flat("common").toDouble / 400,
+      s"alpha=0.3 must up-sample the rare source: $flat")
+    val prop = keptBySource(1.0)
+    // alpha=1: every source keeps targetFrac in expectation; md5
+    // sampling concentrates tightly at these counts
+    assert(math.abs(prop("common").toDouble / 400 - 0.5) < 0.15, s"got $prop")
+    assert((prop("common") + prop("rare")).toDouble / 440 > 0.3)
+  }
+
   private def benchDocs = Seq(
     (100L, "alpha beta gamma delta epsilon zeta eta theta")
   ).toDF("bench_id", "text")
