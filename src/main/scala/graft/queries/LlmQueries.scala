@@ -1053,6 +1053,107 @@ object LlmQueries extends QueryModule {
            |FROM p1""".stripMargin
       }),
 
+    // ----- unigram-LM vocabulary (SentencePiece-style training) -----
+    GraftQuery(
+      "q_doc_unigram_vocab",
+      (s, d) => Unigram.vocab(Tables.documents(s, d), "text",
+          topMulti = 48, maxLen = 4)
+        .select(col("piece"), col("cnt"), col("logp")),
+      Some(s"""WITH wc AS (
+              |  SELECT word, count(*) AS wcnt FROM (
+              |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+              |st AS (SELECT word, wcnt,
+              |         unnest(generate_series(1, length(word))) AS s FROM wc),
+              |sl AS (SELECT word, wcnt, s,
+              |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
+              |       FROM st),
+              |pc AS (SELECT substr(word, s, l) AS piece,
+              |              CAST(sum(wcnt) AS BIGINT) AS cnt FROM sl GROUP BY 1),
+              |voc AS (
+              |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+              |  UNION ALL
+              |  SELECT piece, cnt FROM (
+              |    SELECT piece, cnt,
+              |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+              |    FROM pc WHERE length(piece) > 1) WHERE rn <= 48),
+              |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc)
+              |SELECT piece, cnt, round(ln(cnt / tot.t), 6) AS logp
+              |FROM voc CROSS JOIN tot""".stripMargin)),
+
+    // ----- unigram-LM Viterbi segmentation -----
+    // The oracle replays the ENTIRE tokenizer in SQL: vocabulary
+    // training (substring counts, coverage singles + top-48 multis,
+    // round-6 log-probs) and then per-word Viterbi — a recursive CTE
+    // carries the DP score/backpointer lists forward one position per
+    // step (LATERAL picks the best piece ending at each position,
+    // ties to the longer piece), and a second recursion walks the
+    // backpointers into pieces. Any divergence anywhere — a count, a
+    // log-prob, a DP comparison — shifts segmentations and the hash
+    // goes red.
+    GraftQuery(
+      "q_doc_unigram",
+      (s, d) => Unigram.segments(Tables.documents(s, d), "doc_id", "text",
+        topMulti = 48, maxLen = 4),
+      Some(s"""WITH RECURSIVE
+              |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |w0 AS (SELECT doc_id, toks,
+              |         unnest(generate_series(1, len(toks))) AS i FROM toks),
+              |words AS (SELECT doc_id, i - 1 AS word_idx, toks[i] AS word FROM w0),
+              |wc AS (SELECT word, count(*) AS wcnt FROM words GROUP BY word),
+              |st AS (SELECT word, wcnt,
+              |         unnest(generate_series(1, length(word))) AS s FROM wc),
+              |sl AS (SELECT word, wcnt, s,
+              |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
+              |       FROM st),
+              |pc AS (SELECT substr(word, s, l) AS piece,
+              |              CAST(sum(wcnt) AS BIGINT) AS cnt FROM sl GROUP BY 1),
+              |voc AS (
+              |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+              |  UNION ALL
+              |  SELECT piece, cnt FROM (
+              |    SELECT piece, cnt,
+              |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+              |    FROM pc WHERE length(piece) > 1) WHERE rn <= 48),
+              |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc),
+              |vlp AS (SELECT piece, length(piece) AS lp,
+              |               round(ln(cnt / tot.t), 6) AS logp
+              |        FROM voc CROSS JOIN tot),
+              |vit AS (
+              |  SELECT word, 0 AS j,
+              |         [CAST(0.0 AS DOUBLE)] AS scores,
+              |         CAST([] AS BIGINT[]) AS lens
+              |  FROM wc
+              |  UNION ALL
+              |  SELECT vit.word, vit.j + 1,
+              |         list_append(vit.scores, best.s),
+              |         list_append(vit.lens, best.l)
+              |  FROM vit, LATERAL (
+              |    SELECT cand.s, cand.l FROM (
+              |      SELECT vit.scores[vit.j + 2 - v.lp] + v.logp AS s, v.lp AS l
+              |      FROM vlp v
+              |      WHERE v.lp <= vit.j + 1
+              |        AND v.piece = substr(vit.word, vit.j + 2 - v.lp, v.lp)
+              |    ) cand ORDER BY cand.s DESC, cand.l DESC LIMIT 1) best
+              |  WHERE vit.j < length(vit.word)
+              |),
+              |fin AS (SELECT word, lens FROM vit WHERE j = length(word)),
+              |bt AS (
+              |  SELECT word, lens, length(word) AS pos,
+              |         CAST([] AS VARCHAR[]) AS rev
+              |  FROM fin
+              |  UNION ALL
+              |  SELECT word, lens, CAST(pos - lens[pos] AS BIGINT),
+              |         list_append(rev, substr(word, pos - lens[pos] + 1, lens[pos]))
+              |  FROM bt WHERE pos > 0
+              |),
+              |pieces AS (SELECT word, list_reverse(rev) AS pieces
+              |           FROM bt WHERE pos = 0),
+              |px AS (SELECT doc_id, word_idx, pieces,
+              |              unnest(generate_series(1, len(pieces))) AS i
+              |       FROM words JOIN pieces USING (word))
+              |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
+              |FROM px""".stripMargin)),
+
     // ----- int8 embedding quantization: exact cross-engine codes -----
     // floor((float→double v) · 127 / amax) is bit-deterministic (see
     // graft.llm.Quantize), so codes compare EXACTLY — no rounding

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup}
+import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,9 @@ object CurationSoak {
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
           kNeighbors = 3, dim = 64, m = 4, k = 8)
+      },
+      "unigram" -> { () =>
+        Unigram.segments(docs, "doc_id", "text", topMulti = 48, maxLen = 4)
       },
       "shards" -> { () =>
         Sharder.assign(docs, "doc_id", "text", nShards = 8,

@@ -197,6 +197,37 @@ class CurationAnnSpec extends AnyFunSuite {
     assert((prop("common") + prop("rare")).toDouble / 440 > 0.3)
   }
 
+  test("unigram viterbi: maximum-likelihood split beats char-by-char") {
+    val lp = Map("s" -> -3.0, "i" -> -3.0, "n" -> -3.0, "g" -> -3.0, "ing" -> -2.5)
+    assert(Unigram.segmentWord("singing", lp, maxLen = 4)
+      === IndexedSeq("s", "ing", "ing"))
+  }
+
+  test("unigram viterbi: exact ties prefer the longer piece") {
+    val lp = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(Unigram.segmentWord("ab", lp, maxLen = 4) === IndexedSeq("ab"))
+  }
+
+  test("unigram vocab: full single-char coverage, bounded multis, normalized logp") {
+    val docs = Seq((1L, "banana band banana"), (2L, "bandana banana")).toDF("doc_id", "text")
+    val v = Unigram.vocab(docs, "text", topMulti = 5, maxLen = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    Set("b", "a", "n", "d").foreach(c => assert(v.contains(c), s"single '$c' missing"))
+    assert(v.count(_._1.length > 1) <= 5)
+    assert(v.contains("ana"), "most frequent trigram must survive the top-k cut")
+    assert(v.values.forall(_ < 0.0), "log-probs of a normalized vocab are negative")
+  }
+
+  test("unigram segments: pieces concatenate back to each word") {
+    val docs = Seq((1L, "banana band banana"), (2L, "bandana banana")).toDF("doc_id", "text")
+    val rejoined = Unigram.segments(docs, "doc_id", "text", topMulti = 5, maxLen = 3)
+      .groupBy($"doc_id", $"word_idx")
+      .agg(concat_ws("", array_sort(collect_list(struct($"piece_idx", $"piece")))
+        .getField("piece")).as("word"))
+      .collect().map(_.getString(2)).sorted
+    assert(rejoined === Array("banana", "banana", "banana", "band", "bandana").sorted)
+  }
+
   private def benchDocs = Seq(
     (100L, "alpha beta gamma delta epsilon zeta eta theta")
   ).toDF("bench_id", "text")
