@@ -272,6 +272,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window shuffle not keyed on band:\n$p")
   }
 
+  test("unigram segmentation adds no shuffle beyond the source partitioning") {
+    // vocab training runs once (bounded, collected to a broadcast);
+    // the segmentation pass itself must stay a scan + explode +
+    // partition-local kernel, exactly like BPE
+    val df = graft.llm.Unigram.segments(Tables.documents(spark, sf),
+      "doc_id", "text", topMulti = 16, maxLen = 4)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"unigram segmentation shuffles:\n$p")
+  }
+
   test("parquet filter pushdown reaches the lineitem scan") {
     val q = SparkEntry.allQueries.find(_.name == "q_filter_sample").get
     val p = plan(q.run(spark, sf))
