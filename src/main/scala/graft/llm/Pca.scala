@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Top principal component of an embedding column by fixed-point
+  * power iteration — the statistics step behind embedding whitening
+  * and "all-but-the-top" (Mu & Viswanath 2018) post-processing, where
+  * the corpus mean and dominant direction are removed to improve
+  * isotropy before similarity search.
+  *
+  * Everything is fixed-point deterministic so the WHOLE computation —
+  * mean, centered covariance, every matvec, every normalization —
+  * replays bit-for-bit in the DuckDB oracle (`q_emb_top_pc`):
+  * products are rounded to DECIMAL(20,9) before every sum (exact,
+  * merge-order-free — the [[Similarity.groupCentroids]] pattern), the
+  * start vector is the constant 1/8 = 0.125 (exactly representable),
+  * and the iteration count is FIXED, not convergence-tested.
+  *
+  * Scale shape: the corpus is touched exactly twice — once for the
+  * per-dimension mean (posexplode, (dim)-keyed partial-agg groupBy)
+  * and once for the Gram accumulation (row per (vector, i, j), ONE
+  * (i, j)-keyed partial-agg groupBy — map-side combine collapses the
+  * dim² fan-out to d² cells per partition before the shuffle, the
+  * standard distributed Gram-matrix shape). After that everything is
+  * d²-sized metadata: matvecs are joins of the d²-row covariance with
+  * a broadcast d-row vector, d = 64 here. Nothing corpus-sized ever
+  * reaches the driver.
+  */
+object Pca {
+
+  private val dec = DecimalType(20, 9)
+  private def exactSum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Per-dimension corpus mean: (dim, mu) — 0-indexed, decimal-exact. */
+  def meanVector(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg((exactSum(col("v")) / count(lit(1))).as("mu"))
+
+  /** Centered covariance entries: (i, j, cov) — d² rows. */
+  def covariance(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val mu = meanVector(emb, vecCol)
+    val n = emb.count()
+    val xi = emb.select(col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("i", "vi")))
+      .withColumn("i", col("i").cast("long"))
+      .join(broadcast(mu.select(col("dim").as("i"), col("mu").as("__mi"))), "i")
+      .withColumn("xi", col("vi").cast("double") - col("__mi"))
+    val xij = xi
+      .withColumn("j", explode(sequence(lit(0L), lit(dim - 1L))))
+      .join(broadcast(mu.select(col("dim").as("j"), col("mu").as("__mj"))), "j")
+      .withColumn("xj",
+        element_at(col("__v"), (col("j") + 1).cast("int")).cast("double") - col("__mj"))
+    xij.groupBy(col("i"), col("j"))
+      .agg((exactSum(col("xi") * col("xj")) / n).as("cov"))
+  }
+
+  /** One power step: normalize(C·b). `b` is (j, b) — d rows. */
+  private def step(cov: DataFrame, b: DataFrame): DataFrame = {
+    val c = cov.join(broadcast(b), "j")
+      .groupBy(col("i"))
+      .agg(exactSum(col("cov") * col("b")).as("c"))
+    val norm = c.agg(sqrt(exactSum(col("c") * col("c"))).as("__n"))
+    c.crossJoin(broadcast(norm))
+      .select(col("i").as("j"), (col("c") / col("__n")).as("b"), col("__n"))
+  }
+
+  /** Top component after `iters` fixed power steps from the constant
+    * 1/8 start. Output: (dim, mu, pc, eigval) — d rows; `eigval` is
+    * the final step's pre-normalization magnitude ‖C·b‖ (the Rayleigh
+    * estimate of λ₁), constant across rows. */
+  def topComponent(
+      emb: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val cov = covariance(emb, vecCol, dim)
+    var b = spark.range(dim).select(col("id").as("j"), lit(0.125).as("b"),
+      lit(0.0).as("__n"))
+    for (_ <- 1 to iters) b = step(cov, b.select(col("j"), col("b")))
+    // round through DECIMAL(20,9): exact decimal rounding on both
+    // engines, instead of double-arithmetic round() whose 6th-decimal
+    // boundaries the two engines can resolve differently
+    def out(c: Column) = round(c.cast(dec), 6).cast("double")
+    meanVector(emb, vecCol)
+      .join(b.select(col("j").as("dim"), col("b").as("__pc"), col("__n")), "dim")
+      .select(col("dim"), out(col("mu")).as("mu"),
+        out(col("__pc")).as("pc"), out(col("__n")).as("eigval"))
+  }
+}

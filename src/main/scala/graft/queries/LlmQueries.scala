@@ -673,7 +673,7 @@ object LlmQueries extends QueryModule {
            |                                       c.cluster ASC) AS rn
            |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
            |ex AS (
-           |  SELECT cluster, i - 1 AS dim, CAST(embedding[i] AS DECIMAL(20,9)) AS v
+           |  SELECT cluster, i - 1 AS dim, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,9)) AS v
            |  FROM (SELECT cluster, embedding,
            |               unnest(generate_series(1, len(embedding))) AS i FROM a1)),
            |m1 AS (
@@ -724,7 +724,7 @@ object LlmQueries extends QueryModule {
            |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
            |m1 AS (
            |  SELECT cluster, i - 1 AS dim,
-           |         CAST(sum(CAST(embedding[i] AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
+           |         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
            |  FROM (SELECT cluster, embedding,
            |               unnest(generate_series(1, len(embedding))) AS i FROM a1)
            |  GROUP BY cluster, i),
@@ -740,7 +740,7 @@ object LlmQueries extends QueryModule {
            |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
            |m2 AS (
            |  SELECT cluster, i - 1 AS dim,
-           |         CAST(sum(CAST(embedding[i] AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
+           |         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS m
            |  FROM (SELECT cluster, embedding,
            |               unnest(generate_series(1, len(embedding))) AS i FROM a2)
            |  GROUP BY cluster, i),
@@ -776,7 +776,7 @@ object LlmQueries extends QueryModule {
       Some("""WITH ix AS (SELECT label, embedding,
              |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
              |ex AS (SELECT label, i - 1 AS dim,
-             |  CAST(embedding[i] AS DECIMAL(20,9)) AS v FROM ix),
+             |  CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,9)) AS v FROM ix),
              |ag AS (SELECT label, dim, CAST(sum(v) AS DOUBLE) AS s, count(*) AS n
              |       FROM ex GROUP BY label, dim)
              |SELECT label, dim, round(s / n, 6) AS mean_v FROM ag""".stripMargin)),
@@ -1153,6 +1153,61 @@ object LlmQueries extends QueryModule {
               |       FROM words JOIN pieces USING (word))
               |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
               |FROM px""".stripMargin)),
+
+    // ----- top principal component (whitening / all-but-the-top) -----
+    // Fixed-point power iteration: DECIMAL-rounded products before
+    // every sum, constant 0.125 start, fixed two steps — the oracle
+    // replays mean, centered covariance, both matvecs, and both
+    // normalizations. Outputs round through DECIMAL(20,9) because
+    // round(double, 6) resolves 6th-decimal boundaries differently
+    // across engines (exact BigDecimal vs float multiply).
+    GraftQuery(
+      "q_emb_top_pc",
+      (s, d) => Pca.topComponent(Tables.embeddings(s, d), "embedding",
+        dim = 64, iters = 2),
+      Some("""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+             |mu AS (
+             |  -- REAL→DOUBLE→DECIMAL: DuckDB's direct REAL→DECIMAL cast goes
+             |  -- through the float's SHORTEST decimal repr (0.1f → 0.100000000)
+             |  -- while Spark casts through the double value (0.100000001)
+             |  SELECT i.i AS dim,
+             |         CAST(sum(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
+             |           / (SELECT n FROM nn) AS mu
+             |  FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)
+             |  GROUP BY i.i),
+             |xx AS (
+             |  SELECT (CAST(e.embedding[i.i + 1] AS DOUBLE) - mi.mu) *
+             |         (CAST(e.embedding[j.j + 1] AS DOUBLE) - mj.mu) AS p,
+             |         i.i AS i, j.j AS j
+             |  FROM embeddings e
+             |  CROSS JOIN generate_series(0, 63) i(i)
+             |  CROSS JOIN generate_series(0, 63) j(j)
+             |  JOIN mu mi ON mi.dim = i.i
+             |  JOIN mu mj ON mj.dim = j.j),
+             |cov AS (
+             |  SELECT i, j,
+             |         CAST(sum(CAST(p AS DECIMAL(20,9))) AS DOUBLE)
+             |           / (SELECT n FROM nn) AS cov
+             |  FROM xx GROUP BY i, j),
+             |b0 AS (SELECT i.i AS j, CAST(0.125 AS DOUBLE) AS b
+             |       FROM generate_series(0, 63) i(i)),
+             |c1 AS (SELECT cov.i,
+             |              CAST(sum(CAST(cov.cov * b0.b AS DECIMAL(20,9))) AS DOUBLE) AS c
+             |       FROM cov JOIN b0 ON b0.j = cov.j GROUP BY cov.i),
+             |n1 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
+             |       FROM c1),
+             |b1 AS (SELECT c1.i AS j, c1.c / n1.nv AS b FROM c1 CROSS JOIN n1),
+             |c2 AS (SELECT cov.i,
+             |              CAST(sum(CAST(cov.cov * b1.b AS DECIMAL(20,9))) AS DOUBLE) AS c
+             |       FROM cov JOIN b1 ON b1.j = cov.j GROUP BY cov.i),
+             |n2 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
+             |       FROM c2),
+             |b2 AS (SELECT c2.i AS j, c2.c / n2.nv AS b FROM c2 CROSS JOIN n2)
+             |SELECT m.dim,
+             |       CAST(round(CAST(m.mu AS DECIMAL(20,9)), 6) AS DOUBLE) AS mu,
+             |       CAST(round(CAST(b2.b AS DECIMAL(20,9)), 6) AS DOUBLE) AS pc,
+             |       CAST(round(CAST(n2.nv AS DECIMAL(20,9)), 6) AS DOUBLE) AS eigval
+             |FROM mu m JOIN b2 ON b2.j = m.dim CROSS JOIN n2""".stripMargin)),
 
     // ----- int8 embedding quantization: exact cross-engine codes -----
     // floor((float→double v) · 127 / amax) is bit-deterministic (see

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
+import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pca, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,9 @@ object CurationSoak {
       "shards" -> { () =>
         Sharder.assign(docs, "doc_id", "text", nShards = 8,
           bandWidth = 64L, bucketSize = 4096L)
+      },
+      "top_pc" -> { () =>
+        Pca.topComponent(emb, "embedding", dim = 64, iters = 2)
       },
       "kmeans" -> { () =>
         val (_, asg) = KMeansLite.fit(emb, "vec_id", "embedding", k = 8, iters = 2)

@@ -228,6 +228,23 @@ class CurationAnnSpec extends AnyFunSuite {
     assert(rejoined === Array("banana", "banana", "banana", "band", "bandana").sorted)
   }
 
+  test("pca: top component is unit norm and aligns with the dominant axis") {
+    val vecs = (1 to 40).map { k =>
+      (k.toLong, Array.tabulate(8)(d =>
+        if (d == 0) (k % 7).toFloat else (k % 3) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val rows = Pca.topComponent(vecs, "embedding", dim = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.size === 8)
+    val norm = math.sqrt(rows.values.map { case (_, pc) => pc * pc }.sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"pc not unit norm: $norm")
+    assert(math.abs(rows(0L)._2) > 0.9,
+      s"dominant-variance axis not found: pc=${rows.toSeq.sortBy(_._1)}")
+    // mean of dim 0: (1%7 + 2%7 + ... + 40%7)/40
+    val expectedMu = (1 to 40).map(_ % 7).sum / 40.0
+    assert(math.abs(rows(0L)._1 - expectedMu) < 1e-5)
+  }
+
   private def benchDocs = Seq(
     (100L, "alpha beta gamma delta epsilon zeta eta theta")
   ).toDF("bench_id", "text")
