@@ -90,4 +90,39 @@ object Pca {
       .select(col("dim"), out(col("mu")).as("mu"),
         out(col("__pc")).as("pc"), out(col("__n")).as("eigval"))
   }
+
+  /** All-but-the-top post-processing (Mu & Viswanath 2018): center
+    * every vector and remove its projection onto the dominant
+    * component — v' = (v − μ) − ⟨v − μ, u⟩u — the standard isotropy
+    * fix applied before cosine retrieval. Consumes [[topComponent]]'s
+    * ROUNDED (μ, u), so both engines share the statistics bitwise;
+    * each per-vector projection is a DECIMAL-exact (vec)-keyed sum.
+    *
+    * Scale shape: the statistics pass is [[topComponent]] (corpus
+    * touched twice, then d²-sized metadata); the transform itself is
+    * one posexplode joined to the broadcast d-row statistics table and
+    * ONE (vec)-keyed partial-agg groupBy for the projection — applied
+    * corpus-wide it is a single map + one narrow-key shuffle.
+    * Output: (vec_id, dim, value) — the transformed entries, round 6. */
+  def allButTheTop(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 2): DataFrame = {
+    val tc = topComponent(emb, vecCol, dim, iters)
+      .select(col("dim"), col("mu"), col("pc"))
+    val ex = emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val ctr = ex.join(broadcast(tc), "dim")
+      .withColumn("__c", col("v") - col("mu"))
+    val pr = ctr.groupBy(col("vec_id"))
+      .agg(exactSum(col("__c") * col("pc")).as("__p"))
+    ctr.join(pr, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        round((col("__c") - col("__p") * col("pc")).cast(dec), 6)
+          .cast("double").as("value"))
+  }
 }

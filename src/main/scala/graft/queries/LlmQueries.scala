@@ -29,6 +29,50 @@ object LlmQueries extends QueryModule {
   private val toksSql = Shingles.tokensSql("text")
   private def polySql(e: String) = TextHash.polyHashSql(e)
 
+  /** CTE chain replaying [[graft.llm.Pca.topComponent]] (dim 64, two
+    * power steps): ends in `mu` (dim, mu), `b2` (j, b) and `n2` (nv) —
+    * shared by the statistics query and the all-but-the-top transform
+    * built on it. */
+  private val topPcCtes: String =
+    """nn AS (SELECT count(*) AS n FROM embeddings),
+      |mu AS (
+      |  -- REAL→DOUBLE→DECIMAL: DuckDB's direct REAL→DECIMAL cast goes
+      |  -- through the float's SHORTEST decimal repr (0.1f → 0.100000000)
+      |  -- while Spark casts through the double value (0.100000001)
+      |  SELECT i.i AS dim,
+      |         CAST(sum(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
+      |           / (SELECT n FROM nn) AS mu
+      |  FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)
+      |  GROUP BY i.i),
+      |xx AS (
+      |  SELECT (CAST(e.embedding[i.i + 1] AS DOUBLE) - mi.mu) *
+      |         (CAST(e.embedding[j.j + 1] AS DOUBLE) - mj.mu) AS p,
+      |         i.i AS i, j.j AS j
+      |  FROM embeddings e
+      |  CROSS JOIN generate_series(0, 63) i(i)
+      |  CROSS JOIN generate_series(0, 63) j(j)
+      |  JOIN mu mi ON mi.dim = i.i
+      |  JOIN mu mj ON mj.dim = j.j),
+      |cov AS (
+      |  SELECT i, j,
+      |         CAST(sum(CAST(p AS DECIMAL(20,9))) AS DOUBLE)
+      |           / (SELECT n FROM nn) AS cov
+      |  FROM xx GROUP BY i, j),
+      |b0 AS (SELECT i.i AS j, CAST(0.125 AS DOUBLE) AS b
+      |       FROM generate_series(0, 63) i(i)),
+      |c1 AS (SELECT cov.i,
+      |              CAST(sum(CAST(cov.cov * b0.b AS DECIMAL(20,9))) AS DOUBLE) AS c
+      |       FROM cov JOIN b0 ON b0.j = cov.j GROUP BY cov.i),
+      |n1 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
+      |       FROM c1),
+      |b1 AS (SELECT c1.i AS j, c1.c / n1.nv AS b FROM c1 CROSS JOIN n1),
+      |c2 AS (SELECT cov.i,
+      |              CAST(sum(CAST(cov.cov * b1.b AS DECIMAL(20,9))) AS DOUBLE) AS c
+      |       FROM cov JOIN b1 ON b1.j = cov.j GROUP BY cov.i),
+      |n2 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
+      |       FROM c2),
+      |b2 AS (SELECT c2.i AS j, c2.c / n2.nv AS b FROM c2 CROSS JOIN n2)""".stripMargin
+
   /** CTE chain ending in `nd` = the MinHash near-dup pair table
     * (id_a, id_b, inter, size_a, size_b, jaccard) at `threshold` —
     * shared by the pairwise query and the clustering query built on it. */
@@ -1154,6 +1198,208 @@ object LlmQueries extends QueryModule {
               |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
               |FROM px""".stripMargin)),
 
+    // ----- interpolated Kneser-Ney bigram perplexity (KenLM default) -----
+    // Absolute discount D=0.75, continuation probabilities from
+    // distinct-context counts. The oracle replays every count table
+    // (raw, fan-out types, continuation types, the type total) and the
+    // exact arithmetic order of the interpolation.
+    GraftQuery(
+      "q_doc_kn_ppl",
+      (s, d) => KneserNey.scored(Tables.documents(s, d), "doc_id", "text"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |uni AS (SELECT w, count(*) AS c1 FROM tk GROUP BY w),
+           |bg AS (SELECT doc_id, unnest(${Shingles.shinglesSql("toks", 2)}) AS b
+           |       FROM t WHERE len(toks) >= 2),
+           |bc0 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+           |bc AS (SELECT b, c12,
+           |              string_split(b, ' ')[1] AS w1,
+           |              string_split(b, ' ')[2] AS w2
+           |       FROM bc0),
+           |fan AS (SELECT w1, count(*) AS n_succ FROM bc GROUP BY w1),
+           |cont AS (SELECT w2, count(*) AS n_pred FROM bc GROUP BY w2),
+           |ty AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM bc),
+           |lp AS (SELECT g.doc_id,
+           |  CAST(round(ln(
+           |    greatest(bc.c12 - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / u.c1 +
+           |    CAST(0.75 AS DOUBLE) * f.n_succ / u.c1 * (ct.n_pred / ty.bt)), 6)
+           |       AS DECIMAL(20,9)) AS l
+           |  FROM bg g JOIN bc ON bc.b = g.b
+           |  JOIN uni u ON u.w = bc.w1
+           |  JOIN fan f ON f.w1 = bc.w1
+           |  JOIN cont ct ON ct.w2 = bc.w2
+           |  CROSS JOIN ty)
+           |SELECT doc_id, count(*) AS n_pairs,
+           |  round(CAST(-sum(l) AS DOUBLE) / count(*), 6) AS avg_nll
+           |FROM lp GROUP BY doc_id""".stripMargin)),
+
+    // ----- all-but-the-top embedding post-processing -----
+    // Consumes the ROUNDED (mu, pc) statistics from the q_emb_top_pc
+    // chain, so the oracle replays the statistics once more and then
+    // the per-vector center/project/subtract exactly.
+    GraftQuery(
+      "q_emb_abtt",
+      (s, d) => Pca.allButTheTop(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, iters = 2),
+      Some(s"""WITH $topPcCtes,
+              |tc AS (SELECT m.dim,
+              |         CAST(round(CAST(m.mu AS DECIMAL(20,9)), 6) AS DOUBLE) AS mu,
+              |         CAST(round(CAST(b2.b AS DECIMAL(20,9)), 6) AS DOUBLE) AS pc
+              |       FROM mu m JOIN b2 ON b2.j = m.dim),
+              |ex AS (SELECT e.vec_id, i.i AS dim,
+              |              CAST(e.embedding[i.i + 1] AS DOUBLE) AS v
+              |       FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)),
+              |ctr AS (SELECT ex.vec_id, ex.dim, ex.v - tc.mu AS c, tc.pc
+              |        FROM ex JOIN tc ON tc.dim = ex.dim),
+              |pr AS (SELECT vec_id,
+              |              CAST(sum(CAST(c * pc AS DECIMAL(20,9))) AS DOUBLE) AS p
+              |       FROM ctr GROUP BY vec_id)
+              |SELECT ctr.vec_id, ctr.dim,
+              |       CAST(round(CAST(ctr.c - pr.p * ctr.pc AS DECIMAL(20,9)), 6)
+              |            AS DOUBLE) AS value
+              |FROM ctr JOIN pr USING (vec_id)""".stripMargin)),
+
+    // ----- Johnson-Lindenstrauss sign random projection -----
+    // The "random" matrix is a hash parity recomputed on demand; the
+    // oracle regenerates it and the DECIMAL-exact cell sums. k=16 so
+    // the 1/√k scale is the exactly-representable 0.25.
+    GraftQuery(
+      "q_emb_jl_project",
+      (s, d) => RandomProjection.project(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 16),
+      Some(s"""WITH ex AS (
+              |  SELECT e.vec_id, i.i AS i,
+              |         CAST(e.embedding[i.i + 1] AS DOUBLE) AS v
+              |  FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)),
+              |fan AS (SELECT ex.vec_id, ex.i, ex.v, j.j AS j
+              |        FROM ex CROSS JOIN generate_series(0, 15) j(j)),
+              |s AS (SELECT vec_id, j,
+              |  CAST(sum(CAST(${RandomProjection.signSql("i", "j")} * v
+              |                AS DECIMAL(20,9))) AS DOUBLE) AS s
+              |  FROM fan GROUP BY vec_id, j)
+              |SELECT vec_id, j,
+              |  CAST(round(CAST(s * CAST(0.25 AS DOUBLE) AS DECIMAL(20,9)), 6)
+              |       AS DOUBLE) AS value
+              |FROM s""".stripMargin)),
+
+    // ----- seed-vs-corpus quality classifier (GPT-3/CCNet recipe) -----
+    // Closed-form NB log-odds stand in for fastText's logistic fit;
+    // the oracle replays training (class counts, smoothed weights)
+    // and scoring (DECIMAL-exact mean log-odds) end to end.
+    GraftQuery(
+      "q_doc_quality_clf",
+      (s, d) => QualityClassifier.scored(Tables.documents(s, d),
+        "doc_id", "text", col("source").isin("src1", "src4", "src7")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id,
+              |         CASE WHEN source IN ('src1','src4','src7')
+              |              THEN 1 ELSE 0 END AS pos,
+              |         unnest(toks) AS w
+              |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+              |wc AS (SELECT w, CAST(sum(pos) AS BIGINT) AS c_pos,
+              |              CAST(sum(1 - pos) AS BIGINT) AS c_neg
+              |       FROM tk GROUP BY w),
+              |tot AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS np,
+              |               CAST(sum(c_neg) AS DOUBLE) AS nn,
+              |               CAST(count(*) AS DOUBLE) AS v FROM wc),
+              |lo AS (SELECT w,
+              |  CAST(round(ln((c_pos + CAST(1.0 AS DOUBLE)) / (np + v)) -
+              |             ln((c_neg + CAST(1.0 AS DOUBLE)) / (nn + v)), 6)
+              |       AS DECIMAL(20,9)) AS lo
+              |  FROM wc CROSS JOIN tot),
+              |sc AS (SELECT tk.doc_id, count(*) AS n_tokens,
+              |              round(CAST(sum(lo.lo) AS DOUBLE) / count(*), 6) AS score
+              |       FROM tk JOIN lo USING (w) GROUP BY tk.doc_id)
+              |SELECT doc_id, n_tokens, score, score > 0 AS keep FROM sc""".stripMargin)),
+
+    // ----- WordPiece: greedy longest-match subword tokenization -----
+    // The BERT-family scheme, completing the subword triple next to
+    // BPE (merge rules) and unigram (Viterbi). Both halves replayed:
+    // the position-classed vocabulary, and the greedy scan as a
+    // recursive CTE advancing one piece per step with a LATERAL
+    // longest-match probe.
+    GraftQuery(
+      "q_doc_wordpiece_vocab",
+      (s, d) => WordPiece.vocab(Tables.documents(s, d), "text",
+          topMulti = 48, maxLen = 4)
+        .select(col("cont").cast("long").as("cont"), col("core"),
+          col("piece"), col("cnt")),
+      Some(s"""WITH wc AS (
+              |  SELECT word, count(*) AS wcnt FROM (
+              |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+              |st AS (SELECT word, wcnt,
+              |         unnest(generate_series(1, length(word))) AS s FROM wc),
+              |sl AS (SELECT word, wcnt, s,
+              |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
+              |       FROM st),
+              |pc AS (SELECT CASE WHEN s > 1 THEN 1 ELSE 0 END AS cont,
+              |              substr(word, s, l) AS core,
+              |              CAST(sum(wcnt) AS BIGINT) AS cnt
+              |       FROM sl GROUP BY 1, 2),
+              |pd AS (SELECT cont, core,
+              |              CASE WHEN cont = 1 THEN '##' || core ELSE core END AS piece,
+              |              cnt FROM pc),
+              |voc AS (
+              |  SELECT cont, core, piece, cnt FROM pd WHERE length(core) = 1
+              |  UNION ALL
+              |  SELECT cont, core, piece, cnt FROM (
+              |    SELECT cont, core, piece, cnt,
+              |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+              |    FROM pd WHERE length(core) > 1) WHERE rn <= 48)
+              |SELECT CAST(cont AS BIGINT) AS cont, core, piece, cnt FROM voc""".stripMargin)),
+
+    GraftQuery(
+      "q_doc_wordpiece",
+      (s, d) => WordPiece.segments(Tables.documents(s, d), "doc_id", "text",
+        topMulti = 48, maxLen = 4),
+      Some(s"""WITH RECURSIVE
+              |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |w0 AS (SELECT doc_id, toks,
+              |         unnest(generate_series(1, len(toks))) AS i FROM toks),
+              |words AS (SELECT doc_id, i - 1 AS word_idx, toks[i] AS word FROM w0),
+              |wc AS (SELECT word, count(*) AS wcnt FROM words GROUP BY word),
+              |st AS (SELECT word, wcnt,
+              |         unnest(generate_series(1, length(word))) AS s FROM wc),
+              |sl AS (SELECT word, wcnt, s,
+              |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
+              |       FROM st),
+              |pc AS (SELECT CASE WHEN s > 1 THEN 1 ELSE 0 END AS cont,
+              |              substr(word, s, l) AS core,
+              |              CAST(sum(wcnt) AS BIGINT) AS cnt
+              |       FROM sl GROUP BY 1, 2),
+              |pd AS (SELECT cont, core,
+              |              CASE WHEN cont = 1 THEN '##' || core ELSE core END AS piece,
+              |              cnt FROM pc),
+              |voc AS (
+              |  SELECT cont, core FROM pd WHERE length(core) = 1
+              |  UNION ALL
+              |  SELECT cont, core FROM (
+              |    SELECT cont, core, cnt, piece,
+              |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+              |    FROM pd WHERE length(core) > 1) WHERE rn <= 48),
+              |v2 AS (SELECT cont, core, length(core) AS lc FROM voc),
+              |seg AS (
+              |  SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wc
+              |  UNION ALL
+              |  SELECT seg.word, seg.pos + best.lc,
+              |         list_append(seg.pieces,
+              |           CASE WHEN seg.pos > 0 THEN '##' || best.core
+              |                ELSE best.core END)
+              |  FROM seg, LATERAL (
+              |    SELECT v.core, v.lc FROM v2 v
+              |    WHERE v.cont = CASE WHEN seg.pos > 0 THEN 1 ELSE 0 END
+              |      AND v.lc <= length(seg.word) - seg.pos
+              |      AND v.core = substr(seg.word, seg.pos + 1, v.lc)
+              |    ORDER BY v.lc DESC LIMIT 1) best
+              |  WHERE seg.pos < length(seg.word)),
+              |fin AS (SELECT word, pieces FROM seg WHERE pos = length(word)),
+              |px AS (SELECT doc_id, word_idx, pieces,
+              |              unnest(generate_series(1, len(pieces))) AS i
+              |       FROM words JOIN fin USING (word))
+              |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
+              |FROM px""".stripMargin)),
+
     // ----- top principal component (whitening / all-but-the-top) -----
     // Fixed-point power iteration: DECIMAL-rounded products before
     // every sum, constant 0.125 start, fixed two steps — the oracle
@@ -1165,49 +1411,12 @@ object LlmQueries extends QueryModule {
       "q_emb_top_pc",
       (s, d) => Pca.topComponent(Tables.embeddings(s, d), "embedding",
         dim = 64, iters = 2),
-      Some("""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-             |mu AS (
-             |  -- REAL→DOUBLE→DECIMAL: DuckDB's direct REAL→DECIMAL cast goes
-             |  -- through the float's SHORTEST decimal repr (0.1f → 0.100000000)
-             |  -- while Spark casts through the double value (0.100000001)
-             |  SELECT i.i AS dim,
-             |         CAST(sum(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
-             |           / (SELECT n FROM nn) AS mu
-             |  FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)
-             |  GROUP BY i.i),
-             |xx AS (
-             |  SELECT (CAST(e.embedding[i.i + 1] AS DOUBLE) - mi.mu) *
-             |         (CAST(e.embedding[j.j + 1] AS DOUBLE) - mj.mu) AS p,
-             |         i.i AS i, j.j AS j
-             |  FROM embeddings e
-             |  CROSS JOIN generate_series(0, 63) i(i)
-             |  CROSS JOIN generate_series(0, 63) j(j)
-             |  JOIN mu mi ON mi.dim = i.i
-             |  JOIN mu mj ON mj.dim = j.j),
-             |cov AS (
-             |  SELECT i, j,
-             |         CAST(sum(CAST(p AS DECIMAL(20,9))) AS DOUBLE)
-             |           / (SELECT n FROM nn) AS cov
-             |  FROM xx GROUP BY i, j),
-             |b0 AS (SELECT i.i AS j, CAST(0.125 AS DOUBLE) AS b
-             |       FROM generate_series(0, 63) i(i)),
-             |c1 AS (SELECT cov.i,
-             |              CAST(sum(CAST(cov.cov * b0.b AS DECIMAL(20,9))) AS DOUBLE) AS c
-             |       FROM cov JOIN b0 ON b0.j = cov.j GROUP BY cov.i),
-             |n1 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
-             |       FROM c1),
-             |b1 AS (SELECT c1.i AS j, c1.c / n1.nv AS b FROM c1 CROSS JOIN n1),
-             |c2 AS (SELECT cov.i,
-             |              CAST(sum(CAST(cov.cov * b1.b AS DECIMAL(20,9))) AS DOUBLE) AS c
-             |       FROM cov JOIN b1 ON b1.j = cov.j GROUP BY cov.i),
-             |n2 AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(20,9))) AS DOUBLE)) AS nv
-             |       FROM c2),
-             |b2 AS (SELECT c2.i AS j, c2.c / n2.nv AS b FROM c2 CROSS JOIN n2)
-             |SELECT m.dim,
-             |       CAST(round(CAST(m.mu AS DECIMAL(20,9)), 6) AS DOUBLE) AS mu,
-             |       CAST(round(CAST(b2.b AS DECIMAL(20,9)), 6) AS DOUBLE) AS pc,
-             |       CAST(round(CAST(n2.nv AS DECIMAL(20,9)), 6) AS DOUBLE) AS eigval
-             |FROM mu m JOIN b2 ON b2.j = m.dim CROSS JOIN n2""".stripMargin)),
+      Some(s"""WITH $topPcCtes
+              |SELECT m.dim,
+              |       CAST(round(CAST(m.mu AS DECIMAL(20,9)), 6) AS DOUBLE) AS mu,
+              |       CAST(round(CAST(b2.b AS DECIMAL(20,9)), 6) AS DOUBLE) AS pc,
+              |       CAST(round(CAST(n2.nv AS DECIMAL(20,9)), 6) AS DOUBLE) AS eigval
+              |FROM mu m JOIN b2 ON b2.j = m.dim CROSS JOIN n2""".stripMargin)),
 
     // ----- int8 embedding quantization: exact cross-engine codes -----
     // floor((float→double v) · 127 / amax) is bit-deterministic (see
@@ -1576,6 +1785,72 @@ object LlmQueries extends QueryModule {
            |SELECT tk.doc_id, count(*) AS n_tokens,
            |  round(CAST(sum(r.lr) AS DOUBLE), 6) AS log_weight
            |FROM tk JOIN ratio r ON r.bkt = tk.bkt GROUP BY tk.doc_id""".stripMargin
+      }),
+
+    // ----- IVF-ADC: inverted file over product-quantized RESIDUALS -----
+    // The FAISS IndexIVFPQ composition: coarse cells bound the search,
+    // PQ codes of the residual v − c(v) bound the memory. The oracle
+    // replays the whole thing — coarse assignment, residuals, the
+    // residual codebook, all M subspace argmins, the probe ranking, and
+    // the DECIMAL-exact ADC sums — so any divergence anywhere flips the
+    // hash.
+    GraftQuery(
+      "q_emb_ivfpq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        IvfPq.topKAdc(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", kNeighbors = 3, dim = 64,
+          nlist = 4, nprobe = 2, m = 4, k = 8)
+      },
+      Some {
+        def l2(a: String, b: String) = KMeansLite.l2sqFoldSql(a, b)
+        def sl(v: String) = s"list_slice($v, s.sub * 16 + 1, s.sub * 16 + 16)"
+        val resV = IvfPq.residualSql("e.embedding", "c.cent")
+        val resQ = IvfPq.residualSql("q.embedding", "c.cent")
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding AS cent
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 4),
+           |res AS (
+           |  SELECT vec_id, cell, r FROM (
+           |    SELECT e.vec_id, c.cell, $resV AS r,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+           |rcb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS code,
+           |         r AS rv
+           |  FROM res ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+           |encd AS (
+           |  SELECT vec_id AS neighbor_id, cell, sub, code FROM (
+           |    SELECT v.vec_id, v.cell, s.sub, rc.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY ${l2(sl("v.r"), sl("rc.rv"))} ASC,
+           |                                       rc.code ASC) AS rn
+           |    FROM res v CROSS JOIN subs s CROSS JOIN rcb rc) WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, cell, qr FROM (
+           |    SELECT q.vec_id AS query_id, c.cell, $resQ AS qr,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY ${l2("q.embedding", "c.cent")} ASC,
+           |                                       c.cell ASC) AS pr
+           |    FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 16) WHERE pr <= 2),
+           |lut AS (
+           |  SELECT p.query_id, p.cell, s.sub, rc.code,
+           |         CAST(${l2(sl("p.qr"), sl("rc.rv"))} AS DECIMAL(20,9)) AS d
+           |  FROM probes p CROSS JOIN subs s CROSS JOIN rcb rc),
+           |sc AS (
+           |  SELECT l.query_id, e.neighbor_id, CAST(sum(l.d) AS DOUBLE) AS adist
+           |  FROM encd e JOIN lut l USING (cell, sub, code)
+           |  WHERE l.query_id <> e.neighbor_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+           |  SELECT query_id, neighbor_id, adist,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
       })
   )
 }

@@ -80,6 +80,29 @@ object CurationSoak {
         val (_, asg) = KMeansLite.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
         asg.select(col("vec_id"), col("cluster"))
       },
+      "ivfpq_ann" -> { () =>
+        graft.llm.IvfPq.topKAdc(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", kNeighbors = 3, dim = 64,
+          nlist = 4, nprobe = 2, m = 4, k = 8)
+      },
+      "wordpiece" -> { () =>
+        graft.llm.WordPiece.segments(docs, "doc_id", "text",
+          topMulti = 48, maxLen = 4)
+      },
+      "quality_clf" -> { () =>
+        graft.llm.QualityClassifier.scored(docs, "doc_id", "text",
+          col("source").isin("src1", "src4", "src7"))
+      },
+      "kn_ppl" -> { () =>
+        graft.llm.KneserNey.scored(docs, "doc_id", "text")
+      },
+      "abtt" -> { () =>
+        graft.llm.Pca.allButTheTop(emb, "vec_id", "embedding",
+          dim = 64, iters = 2)
+      },
+      "jl_project" -> { () =>
+        graft.llm.RandomProjection.project(emb, "vec_id", "embedding", k = 16)
+      },
       "bloom_decontam" -> { () =>
         val bench = docs.filter(col("doc_id") % 17 === 0)
           .select(array_join(slice(Shingles.tokens(col("text")), 4, 22), " ").as("text"))
