@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{GraftQuery, QueryModule}
-import graft.queries.{FootballQueries, FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, SourceQueries, TrackingQueries}
+import graft.queries.{FootballQueries, FormationQueries, GraphQueries, LlmQueries, ModelQueries, RelationalQueries, SketchQueries, SourceQueries, TrackingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,6 +14,7 @@ object SparkEntry {
     ModelQueries,
     GraphQueries,
     LlmQueries,
+    SketchQueries,
     FormationQueries,
     FootballQueries,
     SourceQueries)

@@ -77,4 +77,63 @@ object Bm25 {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("n_hit_terms"), col("score"))
   }
+
+  /** Multi-query BM25: top-k per query for a small literal query set —
+    * the lexical half of hybrid retrieval ([[Hybrid.rrfFuse]]).
+    *
+    * Same scale shape as [[topk]]: the token stream is filtered to the
+    * UNION of all query terms before the tf `groupBy` (the shuffle
+    * carries only matching (doc, term) rows), per-term scores are
+    * corpus-global (df does not depend on the query), and the
+    * query-membership join is a broadcast of the tiny (query_id, term)
+    * relation. The per-query rank window partitions by query_id, so
+    * adding queries adds no new corpus passes.
+    *
+    * Output: query_id, rank, doc_id, n_hit_terms, score. */
+  def topkPerQuery(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }
+      .toDF("query_id", "w")
+    val t = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Shingles.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = t.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val tk = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(allTerms: _*))
+    val tf = tk.groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))),
+          6).cast("decimal(20,9)").as("sc"))
+    val scored = perTerm
+      .join(broadcast(qt), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"),
+        round(col("s").cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hit_terms"), col("score"))
+  }
 }

@@ -139,4 +139,41 @@ object Unigram {
       }
       .toDF("doc_id", "word_idx", "piece_idx", "piece")
   }
+
+  /** One hard-EM (Viterbi-EM) refinement round — the SentencePiece
+    * trainer's iteration with the E-step's expected counts replaced by
+    * the Viterbi path's actual counts: re-estimate every piece's
+    * probability from its usage in the maximum-likelihood segmentation
+    * of the corpus, prune multi-char pieces the Viterbi path never
+    * uses, and keep all single chars (the coverage guarantee) at the
+    * [[UnkLogp]] floor when unused.
+    *
+    * Scale shape: the segmentation pass is [[segments]] (shuffle-free
+    * beyond the source partitioning); the M-step is ONE `groupBy` on
+    * the piece key of the segmented stream — vocabulary-sized output —
+    * plus a broadcast of the 1-row total. Each additional EM round
+    * costs exactly one more corpus pass, nothing accumulates.
+    *
+    * Output: (piece, cnt, logp0, used, logp1) — training count and
+    * initial score, Viterbi usage, re-estimated score. */
+  def emRound(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topMulti: Int = 48,
+      maxLen: Int = 4): DataFrame = {
+    val voc = vocab(docs, textCol, topMulti, maxLen)
+    val usage = segments(docs, idCol, textCol, topMulti, maxLen)
+      .groupBy(col("piece")).agg(count(lit(1)).as("used"))
+    val kept = voc.join(usage, Seq("piece"), "left")
+      .select(col("piece"), col("cnt"), col("logp").as("logp0"),
+        coalesce(col("used"), lit(0L)).as("used"))
+      .filter(col("used") > 0 || length(col("piece")) === 1)
+    val tot = kept.agg(sum(col("used")).cast("double").as("__t"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"), col("logp0"), col("used"),
+        when(col("used") > 0,
+          round(log(col("used").cast("double") / col("__t")), 6))
+          .otherwise(lit(UnkLogp)).as("logp1"))
+  }
 }

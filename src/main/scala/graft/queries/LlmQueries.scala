@@ -29,6 +29,71 @@ object LlmQueries extends QueryModule {
   private val toksSql = Shingles.tokensSql("text")
   private def polySql(e: String) = TextHash.polyHashSql(e)
 
+  /** CTE chain replaying [[graft.llm.Unigram]] training + Viterbi
+    * segmentation (topMulti=48, maxLen=4): frequency-initialized vocab
+    * (`voc`/`vlp`), recursive-CTE Viterbi (DP score/backpointer lists
+    * carried one position per step, LATERAL best-piece probe, ties to
+    * the longer piece), backpointer walk (`bt`), ending in `px`
+    * (doc_id, word_idx, pieces, i) — shared by the segmentation query
+    * and the hard-EM round built on it. Goes after WITH RECURSIVE. */
+  private val unigramSegCtes: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w0 AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(toks))) AS i FROM toks),
+       |words AS (SELECT doc_id, i - 1 AS word_idx, toks[i] AS word FROM w0),
+       |wc AS (SELECT word, count(*) AS wcnt FROM words GROUP BY word),
+       |st AS (SELECT word, wcnt,
+       |         unnest(generate_series(1, length(word))) AS s FROM wc),
+       |sl AS (SELECT word, wcnt, s,
+       |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
+       |       FROM st),
+       |pc AS (SELECT substr(word, s, l) AS piece,
+       |              CAST(sum(wcnt) AS BIGINT) AS cnt FROM sl GROUP BY 1),
+       |voc AS (
+       |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+       |    FROM pc WHERE length(piece) > 1) WHERE rn <= 48),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc),
+       |vlp AS (SELECT piece, length(piece) AS lp,
+       |               round(ln(cnt / tot.t), 6) AS logp
+       |        FROM voc CROSS JOIN tot),
+       |vit AS (
+       |  SELECT word, 0 AS j,
+       |         [CAST(0.0 AS DOUBLE)] AS scores,
+       |         CAST([] AS BIGINT[]) AS lens
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT vit.word, vit.j + 1,
+       |         list_append(vit.scores, best.s),
+       |         list_append(vit.lens, best.l)
+       |  FROM vit, LATERAL (
+       |    SELECT cand.s, cand.l FROM (
+       |      SELECT vit.scores[vit.j + 2 - v.lp] + v.logp AS s, v.lp AS l
+       |      FROM vlp v
+       |      WHERE v.lp <= vit.j + 1
+       |        AND v.piece = substr(vit.word, vit.j + 2 - v.lp, v.lp)
+       |    ) cand ORDER BY cand.s DESC, cand.l DESC LIMIT 1) best
+       |  WHERE vit.j < length(vit.word)
+       |),
+       |fin AS (SELECT word, lens FROM vit WHERE j = length(word)),
+       |bt AS (
+       |  SELECT word, lens, length(word) AS pos,
+       |         CAST([] AS VARCHAR[]) AS rev
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT word, lens, CAST(pos - lens[pos] AS BIGINT),
+       |         list_append(rev, substr(word, pos - lens[pos] + 1, lens[pos]))
+       |  FROM bt WHERE pos > 0
+       |),
+       |pieces AS (SELECT word, list_reverse(rev) AS pieces
+       |           FROM bt WHERE pos = 0),
+       |px AS (SELECT doc_id, word_idx, pieces,
+       |              unnest(generate_series(1, len(pieces))) AS i
+       |       FROM words JOIN pieces USING (word))""".stripMargin
+
   /** CTE chain replaying [[graft.llm.Pca.topComponent]] (dim 64, two
     * power steps): ends in `mu` (dim, mu), `b2` (j, b) and `n2` (nv) —
     * shared by the statistics query and the all-but-the-top transform
@@ -1139,64 +1204,35 @@ object LlmQueries extends QueryModule {
       (s, d) => Unigram.segments(Tables.documents(s, d), "doc_id", "text",
         topMulti = 48, maxLen = 4),
       Some(s"""WITH RECURSIVE
-              |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |w0 AS (SELECT doc_id, toks,
-              |         unnest(generate_series(1, len(toks))) AS i FROM toks),
-              |words AS (SELECT doc_id, i - 1 AS word_idx, toks[i] AS word FROM w0),
-              |wc AS (SELECT word, count(*) AS wcnt FROM words GROUP BY word),
-              |st AS (SELECT word, wcnt,
-              |         unnest(generate_series(1, length(word))) AS s FROM wc),
-              |sl AS (SELECT word, wcnt, s,
-              |         unnest(generate_series(1, least(4, length(word) - s + 1))) AS l
-              |       FROM st),
-              |pc AS (SELECT substr(word, s, l) AS piece,
-              |              CAST(sum(wcnt) AS BIGINT) AS cnt FROM sl GROUP BY 1),
-              |voc AS (
-              |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
-              |  UNION ALL
-              |  SELECT piece, cnt FROM (
-              |    SELECT piece, cnt,
-              |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
-              |    FROM pc WHERE length(piece) > 1) WHERE rn <= 48),
-              |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM voc),
-              |vlp AS (SELECT piece, length(piece) AS lp,
-              |               round(ln(cnt / tot.t), 6) AS logp
-              |        FROM voc CROSS JOIN tot),
-              |vit AS (
-              |  SELECT word, 0 AS j,
-              |         [CAST(0.0 AS DOUBLE)] AS scores,
-              |         CAST([] AS BIGINT[]) AS lens
-              |  FROM wc
-              |  UNION ALL
-              |  SELECT vit.word, vit.j + 1,
-              |         list_append(vit.scores, best.s),
-              |         list_append(vit.lens, best.l)
-              |  FROM vit, LATERAL (
-              |    SELECT cand.s, cand.l FROM (
-              |      SELECT vit.scores[vit.j + 2 - v.lp] + v.logp AS s, v.lp AS l
-              |      FROM vlp v
-              |      WHERE v.lp <= vit.j + 1
-              |        AND v.piece = substr(vit.word, vit.j + 2 - v.lp, v.lp)
-              |    ) cand ORDER BY cand.s DESC, cand.l DESC LIMIT 1) best
-              |  WHERE vit.j < length(vit.word)
-              |),
-              |fin AS (SELECT word, lens FROM vit WHERE j = length(word)),
-              |bt AS (
-              |  SELECT word, lens, length(word) AS pos,
-              |         CAST([] AS VARCHAR[]) AS rev
-              |  FROM fin
-              |  UNION ALL
-              |  SELECT word, lens, CAST(pos - lens[pos] AS BIGINT),
-              |         list_append(rev, substr(word, pos - lens[pos] + 1, lens[pos]))
-              |  FROM bt WHERE pos > 0
-              |),
-              |pieces AS (SELECT word, list_reverse(rev) AS pieces
-              |           FROM bt WHERE pos = 0),
-              |px AS (SELECT doc_id, word_idx, pieces,
-              |              unnest(generate_series(1, len(pieces))) AS i
-              |       FROM words JOIN pieces USING (word))
+              |$unigramSegCtes
               |SELECT doc_id, word_idx, i - 1 AS piece_idx, pieces[i] AS piece
               |FROM px""".stripMargin)),
+
+    // ----- one hard-EM (Viterbi-EM) unigram refinement round -----
+    // Re-estimates piece scores from Viterbi usage counts (the
+    // SentencePiece iteration with hard counts), pruning unused
+    // multi-char pieces. The oracle replays the ENTIRE round: the
+    // recursive-CTE Viterbi above, the usage groupBy, the prune, and
+    // the renormalized log-probs.
+    GraftQuery(
+      "q_doc_unigram_em",
+      (s, d) => Unigram.emRound(Tables.documents(s, d), "doc_id", "text",
+        topMulti = 48, maxLen = 4),
+      Some(s"""WITH RECURSIVE
+              |$unigramSegCtes,
+              |seg AS (SELECT pieces[i] AS piece FROM px),
+              |usg AS (SELECT piece, count(*) AS used FROM seg GROUP BY piece),
+              |kept AS (SELECT v.piece, v.cnt, vl.logp AS logp0,
+              |                coalesce(u.used, 0) AS used
+              |         FROM voc v
+              |         JOIN vlp vl ON vl.piece = v.piece
+              |         LEFT JOIN usg u ON u.piece = v.piece
+              |         WHERE coalesce(u.used, 0) > 0 OR length(v.piece) = 1),
+              |ktot AS (SELECT CAST(sum(used) AS DOUBLE) AS t FROM kept)
+              |SELECT piece, cnt, logp0, CAST(used AS BIGINT) AS used,
+              |       CASE WHEN used > 0 THEN round(ln(used / ktot.t), 6)
+              |            ELSE ${Unigram.UnkLogp} END AS logp1
+              |FROM kept CROSS JOIN ktot""".stripMargin)),
 
     // ----- interpolated Kneser-Ney bigram perplexity (KenLM default) -----
     // Absolute discount D=0.75, continuation probabilities from
