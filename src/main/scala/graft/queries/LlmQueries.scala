@@ -1730,6 +1730,28 @@ object LlmQueries extends QueryModule {
            |       COALESCE(a.n_regions, 0) AS n_regions
            |FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id""".stripMargin)),
 
+    // ----- distributed suffix ranking by prefix doubling (see
+    // [[graft.llm.SuffixArray]]): the oracle computes the same ranks by
+    // a DIFFERENT algorithm — direct dense_rank over the materialized
+    // token slice — so this is an algorithmic cross-validation. -----
+    GraftQuery(
+      "q_doc_suffix_rank",
+      (s, d) => SuffixArray.boundedSuffixRanks(
+        Tables.documents(s, d), "doc_id", "text", window = 8),
+      Some(s"""WITH ${SuffixArray.sranksSql(8)}
+              |SELECT doc_id, pos, srank FROM sranks""".stripMargin)),
+
+    // ----- cross-doc verbatim repeats through the suffix order -----
+    GraftQuery(
+      "q_doc_suffix_repeat",
+      (s, d) => SuffixArray.crossDocRepeats(
+        Tables.documents(s, d), "doc_id", "text", window = 8, minDocs = 2),
+      Some(s"""WITH ${SuffixArray.sranksSql(8)},
+              |sashared AS (SELECT srank, count(DISTINCT doc_id) AS n_docs
+              |  FROM sranks GROUP BY srank HAVING count(DISTINCT doc_id) >= 2)
+              |SELECT r.doc_id, r.pos, r.srank, s.n_docs
+              |FROM sranks r JOIN sashared s USING (srank)""".stripMargin)),
+
     // ----- CCNet-style LM scoring: corpus-trained bigram LM, per-doc
     // average negative log-likelihood (see [[graft.llm.NgramLm]]). The
     // oracle retrains the same add-one bigram model in SQL; per-pair
