@@ -46,29 +46,52 @@ object KneserNey {
     val uni = tk.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val bg = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(Shingles.shingles(col("toks"), 2)).as("b"))
+    // persist the TYPE-sized bigram table: four branches (counts,
+    // fan-out, continuation, type total) consume it, and per-branch
+    // column pruning makes their exchanges non-identical so
+    // ReuseExchange cannot collapse them — without the persist each
+    // branch re-explodes the corpus-sized bigram stream (measured 4
+    // redundant corpus passes at sf1). Type-sized, so caching it is
+    // safe at any corpus scale (Heaps'-law vocabulary growth).
     val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", element_at(split(col("b"), " "), 1))
       .withColumn("w2", element_at(split(col("b"), " "), 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // continuation-type tables: distinct successors of w1, distinct
     // predecessors of w2, and the bigram-type total (1 row, broadcast)
     val fan = bc.groupBy(col("w1")).agg(count(lit(1)).as("n_succ"))
     val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
     val types = bc.agg(count(lit(1)).cast("double").as("bt"))
     val d = lit(Discount)
-    val lp = bg
-      .join(bc.select(col("b"), col("c12"), col("w1"), col("w2")), "b")
+    // score each bigram TYPE once: the stats assembly joins only
+    // vocabulary/type-sized relations among themselves, so the
+    // corpus-sized occurrence stream shuffles exactly ONCE (the
+    // per-doc groupBy) instead of riding four sequential joins — at
+    // sf1 the count tables outgrow the broadcast threshold and the
+    // old shape paid four sort-merge passes over the stream
+    val stats = bc
       .join(uni.select(col("w").as("w1"), col("c1")), "w1")
       .join(fan, "w1")
       .join(cont.select(col("w2"), col("n_pred")), "w2")
       .crossJoin(broadcast(types))
-      .select(col("doc_id"),
+      .select(col("b"),
         round(log(
           greatest(col("c12") - d, lit(0.0)) / col("c1") +
             d * col("n_succ") / col("c1") * (col("n_pred") / col("bt"))), 6)
           .cast("decimal(20,9)").as("l"))
-    lp.groupBy(col("doc_id"))
+    // one stream join on b, then the per-doc partial-agg — bigrams
+    // rarely repeat within a document, so a (doc, b) pre-collapse
+    // would add a stream-sized shuffle without shrinking anything
+    // (unlike the token-level [[QualityClassifier.scored]])
+    bg.join(stats, "b")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("l")).as("s"))
       .select(col("doc_id"), col("n_pairs"),
-        round((-col("s")).cast("double") / col("n_pairs"), 6).as("avg_nll"))
+        // round through DECIMAL: the double divide can land on a
+        // 6th-decimal half boundary that the engines' double-round
+        // resolves differently; the 9-dp decimal cast collapses the
+        // 1-ulp divergence before the 6-dp decision
+        round(((-col("s")).cast("double") / col("n_pairs"))
+          .cast("decimal(20,9)"), 6).cast("double").as("avg_nll"))
   }
 }

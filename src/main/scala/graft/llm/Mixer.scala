@@ -87,4 +87,39 @@ object Mixer {
           col("__rate") * 4294967296.0)
       .drop("__rate")
   }
+
+  /** Weighted sampling WITHOUT replacement, exact size k — the
+    * Efraimidis–Spirakis A-ES scheme (2006): each row draws the
+    * deterministic md5 uniform u ∈ (0,1) and keeps the k largest
+    * priorities u^(1/w), realized as the monotone-equivalent key
+    * ln(u)/w (larger = better; heavier rows need smaller |ln u| to
+    * win). The per-row key is engine-neutral (md5 variate + one libm
+    * `ln` rounded through DECIMAL(20,9)) and ranking ties break on
+    * the id, so the kept SET replays exactly in DuckDB
+    * (`q_doc_priority_sample`) — unlike `rand()`-keyed reservoirs.
+    *
+    * Scale shape: the key is a scan-stage expression (zero shuffle);
+    * top-k is orderBy+limit = TakeOrderedAndProject — a distributed
+    * partial top-k, each partition contributes at most k candidates,
+    * never a global sort. [[sample]] gives Bernoulli rates; this
+    * gives exact-k with weights — the two standard sampling contracts
+    * of a curation pipeline. */
+  def prioritySample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "graft-mix"): DataFrame = {
+    // (v + 0.5) / 2^32 ∈ (0,1): exact dyadic, never 0 or 1
+    val u = (hashVariate(col(idCol).cast("string"), salt).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    // the DECIMAL(20,9) cast collapses any last-ulp libm divergence
+    // before the rank compares keys; ties break on the id
+    val key = (log(u) / col(weightCol)).cast("decimal(20,9)")
+    docs.select(col(idCol), col(weightCol), key.as("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol),
+        col("priority").cast("double").as("priority"))
+  }
 }

@@ -47,6 +47,11 @@ object NgramLm {
     val bg = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(Shingles.shingles(col("toks"), 2)).as("b"))
     val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    // the stream rides the two count joins directly: bc is built FROM
+    // bg, so the join's stream-side exchange on b is reused from the
+    // count groupBy, and the small uni side broadcasts — measured
+    // faster at sf1 than the score-per-type shape that pays off for
+    // the four-table KneserNey (see [[KneserNey.scored]])
     val lp = bg
       .join(bc, "b")
       .withColumn("w1", element_at(split(col("b"), " "), 1))
@@ -59,6 +64,8 @@ object NgramLm {
     lp.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("l")).as("s"))
       .select(col("doc_id"), col("n_pairs"),
-        round((-col("s")).cast("double") / col("n_pairs"), 6).as("avg_nll"))
+        // round through DECIMAL — see [[KneserNey.scored]]
+        round(((-col("s")).cast("double") / col("n_pairs"))
+          .cast("decimal(20,9)"), 6).cast("double").as("avg_nll"))
   }
 }

@@ -64,11 +64,17 @@ object QualityClassifier {
       .select(col("w"), col("lo").cast("decimal(20,9)").as("__lo"))
     val tk = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(Shingles.tokens(col(textCol))).as("w"))
-    tk.join(lo, "w")
+    // collapse the stream to (doc, word-type) BEFORE the weight join:
+    // Σ_occurrences lo == Σ_types n·lo exactly (decimal × integer),
+    // and the join probes per distinct word per doc, not per token
+    val dw = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    dw.join(lo, "w")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lo")).as("__s"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("__lo") * col("n")).as("__s"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__s").cast("double") / col("n_tokens"), 6).as("score"))
+        // round through DECIMAL — see [[KneserNey.scored]]
+        round((col("__s").cast("double") / col("n_tokens"))
+          .cast("decimal(20,9)"), 6).cast("double").as("score"))
       .withColumn("keep", col("score") > 0)
   }
 }

@@ -98,4 +98,45 @@ object SpanDedup {
     lens.join(regions, Seq("doc_id"), "left")
       .na.fill(0L, Seq("dup_tokens", "n_regions"))
   }
+
+  /** The CUT step that completes the ExactSubstr journey: rebuild each
+    * document's text with every duplicated region removed (Lee et al.
+    * drop the repeated span from all but one occurrence; like their
+    * released tool we cut ALL flagged occurrences and leave policy to
+    * the caller). Documents that lose everything are kept with empty
+    * text so downstream joins see the full id set.
+    *
+    * Scale shape: regions explode to flagged positions (bounded by
+    * document length, same order as the token stream they cut); the
+    * cut is a left-anti join on (doc_id, pos) — both sides already
+    * carry the doc key; reassembly sorts WITHIN the per-doc collect
+    * (array_sort of (pos, tok) structs), never globally.
+    *
+    * Output: doc_id, n_kept, clean_text. */
+  def dedupText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Shingles.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val cut = dupRegions(docs, idCol, textCol, n, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("start_pos"), col("end_pos"))).as("pos"))
+    val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("tok"))).as("__pt"))
+      .select(col("doc_id"),
+        size(col("__pt")).cast("long").as("n_kept"),
+        array_join(transform(array_sort(col("__pt")), _.getField("tok")), " ")
+          .as("clean_text"))
+    ids.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -1267,7 +1267,8 @@ object LlmQueries extends QueryModule {
            |  JOIN cont ct ON ct.w2 = bc.w2
            |  CROSS JOIN ty)
            |SELECT doc_id, count(*) AS n_pairs,
-           |  round(CAST(-sum(l) AS DOUBLE) / count(*), 6) AS avg_nll
+           |  CAST(round(CAST(CAST(-sum(l) AS DOUBLE) / count(*)
+           |    AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_nll
            |FROM lp GROUP BY doc_id""".stripMargin)),
 
     // ----- all-but-the-top embedding post-processing -----
@@ -1345,7 +1346,8 @@ object LlmQueries extends QueryModule {
               |       AS DECIMAL(20,9)) AS lo
               |  FROM wc CROSS JOIN tot),
               |sc AS (SELECT tk.doc_id, count(*) AS n_tokens,
-              |              round(CAST(sum(lo.lo) AS DOUBLE) / count(*), 6) AS score
+              |              CAST(round(CAST(CAST(sum(lo.lo) AS DOUBLE) / count(*)
+              |                AS DECIMAL(20,9)), 6) AS DOUBLE) AS score
               |       FROM tk JOIN lo USING (w) GROUP BY tk.doc_id)
               |SELECT doc_id, n_tokens, score, score > 0 AS keep FROM sc""".stripMargin)),
 
@@ -1730,6 +1732,61 @@ object LlmQueries extends QueryModule {
            |       COALESCE(a.n_regions, 0) AS n_regions
            |FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id""".stripMargin)),
 
+    // ----- ExactSubstr CUT step: rebuild text with duplicated
+    // regions removed (the output artifact of span dedup). The oracle
+    // replays the full region chain, the position anti-join, and the
+    // ordered reassembly. -----
+    GraftQuery(
+      "q_doc_dedup_text",
+      (s, d) => SpanDedup.dedupText(Tables.documents(s, d), "doc_id", "text", n = 13),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sp AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 12)) AS i, toks
+           |       FROM t WHERE len(toks) >= 13),
+           |hx AS (SELECT doc_id, i - 1 AS pos,
+           |       ${polySql("array_to_string(toks[i:i+12], ' ')")} AS h FROM sp),
+           |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+           |                       FROM hx GROUP BY h) WHERE nd >= 2),
+           |f AS (SELECT doc_id, pos FROM hx WHERE h IN (SELECT h FROM dup)),
+           |r AS (SELECT doc_id, pos,
+           |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |      FROM f),
+           |reg AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 12 AS end_pos
+           |        FROM r GROUP BY doc_id, isl),
+           |cutpos AS (SELECT doc_id,
+           |           unnest(generate_series(start_pos, end_pos)) AS pos FROM reg),
+           |ptoks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+           |          FROM (SELECT doc_id, toks,
+           |                  unnest(generate_series(1, len(toks))) AS i FROM t)),
+           |kept AS (SELECT p.doc_id, p.pos, p.tok
+           |         FROM ptoks p LEFT JOIN cutpos c
+           |           ON c.doc_id = p.doc_id AND c.pos = p.pos
+           |         WHERE c.pos IS NULL)
+           |SELECT d.doc_id, count(k.pos) AS n_kept,
+           |       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN kept k ON k.doc_id = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin)),
+
+    // ----- exact-k weighted sampling (Efraimidis-Spirakis A-ES) -----
+    // The md5 uniform and the DECIMAL-cast ln(u)/w key replay exactly;
+    // ranking ties break on doc_id in both engines.
+    GraftQuery(
+      "q_doc_priority_sample",
+      (s, d) => Mixer.prioritySample(Tables.documents(s, d), "doc_id",
+        "n_chars", k = 100),
+      Some(
+        s"""WITH pk AS (SELECT doc_id, n_chars,
+           |  CAST(ln((CAST(('0x' || substring(md5('graft-mix|' || doc_id), 1, 8))
+           |             AS BIGINT) + CAST(0.5 AS DOUBLE))
+           |          / CAST(4294967296 AS DOUBLE)) / n_chars
+           |       AS DECIMAL(20,9)) AS pr
+           |  FROM documents)
+           |SELECT doc_id, n_chars, CAST(pr AS DOUBLE) AS priority FROM (
+           |  SELECT doc_id, n_chars, pr,
+           |         row_number() OVER (ORDER BY pr DESC, doc_id) AS rk FROM pk)
+           |WHERE rk <= 100""".stripMargin)),
+
     // ----- distributed suffix ranking by prefix doubling (see
     // [[graft.llm.SuffixArray]]): the oracle computes the same ranks by
     // a DIFFERENT algorithm — direct dense_rank over the materialized
@@ -1774,7 +1831,8 @@ object LlmQueries extends QueryModule {
            |  JOIN uni u ON u.w = string_split(g.b, ' ')[1]
            |  CROSS JOIN v)
            |SELECT doc_id, count(*) AS n_pairs,
-           |  round(CAST(-sum(l) AS DOUBLE) / count(*), 6) AS avg_nll
+           |  CAST(round(CAST(CAST(-sum(l) AS DOUBLE) / count(*)
+           |    AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_nll
            |FROM lp GROUP BY doc_id""".stripMargin)),
 
     // ----- BM25 keyword retrieval: top-25 docs for a fixed probe

@@ -109,6 +109,37 @@ object CurationSoak {
         val bm = Bloom.buildBitmap(bench, "text", n = 5, mBits = Bloom.DefaultMBits)
         Bloom.contaminationFlags(docs, "doc_id", "text", bm,
           n = 5, mBits = Bloom.DefaultMBits)
+      },
+      "hll" -> { () =>
+        val occ = docs.select(col("lang"),
+          explode(Shingles.tokens(col("text"))).as("tok"))
+        graft.llm.Sketches.hllDistinct(occ, "lang", "tok")
+      },
+      "cms_topk" -> { () =>
+        val occ = docs.select(explode(Shingles.tokens(col("text"))).as("tok"))
+        graft.llm.Sketches.cmsHeavyHitters(occ, "tok", k = 25)
+      },
+      "len_hist" -> { () =>
+        graft.llm.Sketches.histQuantiles(docs, "n_chars",
+          lo = 0L, hi = 4096L, bins = 64, quantiles = Seq(0.5, 0.9, 0.99))
+      },
+      "rrf_fusion" -> { () =>
+        val lex = Bm25.topkPerQuery(docs, "doc_id", "text",
+          graft.queries.SketchQueries.RrfQueries, k = 20)
+        val dense = Similarity
+          .topKCosine(emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        graft.llm.Hybrid.rrfFuse(lex, dense, k = 10)
+      },
+      "unigram_em" -> { () =>
+        Unigram.emRound(docs, "doc_id", "text", topMulti = 48, maxLen = 4)
+      },
+      "suffix_rank" -> { () =>
+        graft.llm.SuffixArray.boundedSuffixRanks(docs, "doc_id", "text", window = 8)
+      },
+      "suffix_repeat" -> { () =>
+        graft.llm.SuffixArray.crossDocRepeats(docs, "doc_id", "text",
+          window = 8, minDocs = 2)
       })
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
