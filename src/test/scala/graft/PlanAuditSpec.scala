@@ -337,6 +337,69 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vocab not broadcast:\n$p")
   }
 
+  test("hll registers: one exchange total, partial agg absorbs the token stream") {
+    val occ = Tables.documents(spark, sf)
+      .select(col("lang"), explode(graft.llm.Shingles.tokens(col("text"))).as("tok"))
+    val df = graft.llm.Sketches.hllRegisters(occ, "lang", "tok")
+    df.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // audit only the finalized section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"register build should shuffle exactly once:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial"),
+      s"no map-side combine before the register exchange:\n$p")
+  }
+
+  test("cms heavy hitters: the 3072-cell sketch broadcasts into the probe join") {
+    val occ = Tables.documents(spark, sf)
+      .select(explode(graft.llm.Shingles.tokens(col("text"))).as("tok"))
+    val df = graft.llm.Sketches.cmsHeavyHitters(occ, "tok", k = 25)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sketch probe degraded to SMJ:\n$p")
+  }
+
+  test("priority sample: top-k is a partial TakeOrdered, never a global sort") {
+    val df = graft.llm.Mixer.prioritySample(Tables.documents(spark, sf),
+      "doc_id", "n_chars", k = 100)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"sample lost the partial top-k:\n$p")
+  }
+
+  test("suffix ranks: no single-partition exchange anywhere in the doubling") {
+    val df = graft.llm.SuffixArray.boundedSuffixRanks(
+      Tables.documents(spark, sf), "doc_id", "text", window = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a doubling round collapsed to one partition:\n$p")
+    // the pair pull must stay a per-document window
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("PartitionBy") &&
+          l.contains("windowspecdefinition()")),
+      s"unpartitioned window in the doubling:\n$p")
+  }
+
+  test("kneser-ney: the type-sized count table materializes once (persist visible)") {
+    val df = graft.llm.KneserNey.scored(Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"bc persist lost — four corpus re-explosions return:\n$p")
+  }
+
+  test("per-query bm25: query membership joins broadcast, top-k windows per query") {
+    val df = graft.llm.Bm25.topkPerQuery(Tables.documents(spark, sf), "doc_id",
+      "text", graft.queries.SketchQueries.RrfQueries, k = 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"qt/df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a broadcast side degraded to SMJ:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
