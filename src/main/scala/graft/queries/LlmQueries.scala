@@ -611,6 +611,55 @@ object LlmQueries extends QueryModule {
            |WHERE $jac >= 0.1""".stripMargin
       }),
 
+    // ----- LSH recall curve: banded MinHash vs exact-Jaccard truth -----
+    // The oracle rebuilds BOTH pipelines (the shared minhash chain plus
+    // a gt_-prefixed df-capped ground truth reusing its shx/sizes),
+    // joins them on the pair key, and replays the single-pass
+    // conditional aggregate per threshold.
+    GraftQuery(
+      "q_doc_lsh_recall",
+      (s, d) => LshEval.recallCurve(Tables.documents(s, d), "doc_id", "text",
+        n = 3, thresholds = Seq(0.02, 0.05, 0.1, 0.2), maxDf = 50),
+      Some {
+        val ts = Seq(0.02, 0.05, 0.1, 0.2)
+        val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
+        val sums = ts.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END) AS BIGINT) AS nt$i, " +
+            s"CAST(sum(CASE WHEN jaccard >= $t THEN hit ELSE 0 END) AS BIGINT) AS nd$i"
+        }.mkString(", ")
+        val arms = ts.zipWithIndex.map { case (t, i) =>
+          s"""SELECT CAST($t AS DOUBLE) AS threshold,
+             |  coalesce(nt$i, 0) AS n_truth, coalesce(nd$i, 0) AS n_detected,
+             |  CASE WHEN coalesce(nt$i, 0) > 0 THEN
+             |    CAST(round(CAST(CAST(coalesce(nd$i, 0) AS DOUBLE) / nt$i
+             |      AS DECIMAL(20,9)), 6) AS DOUBLE) END AS recall
+             |FROM agg""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${minhashNdCtes(0.02)},
+           |gt_rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shx GROUP BY h)
+           |            WHERE df <= 50),
+           |gt_idx AS (SELECT s2.doc_id, s2.h FROM shx s2 JOIN gt_rare USING (h)),
+           |gt_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |            FROM gt_idx a JOIN gt_idx b
+           |              ON a.h = b.h AND a.doc_id < b.doc_id),
+           |gt_inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |             FROM gt_cand c
+           |             JOIN shx x ON x.doc_id = c.id_a
+           |             JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
+           |             GROUP BY c.id_a, c.id_b),
+           |gt AS (SELECT i.id_a, i.id_b, round($jac, 6) AS jaccard
+           |       FROM gt_inter i
+           |       JOIN sizes sa ON sa.doc_id = i.id_a
+           |       JOIN sizes sb ON sb.doc_id = i.id_b
+           |       WHERE $jac >= 0.02),
+           |jj AS (SELECT gt.jaccard,
+           |         CASE WHEN nd.id_a IS NULL THEN 0 ELSE 1 END AS hit
+           |       FROM gt LEFT JOIN nd
+           |         ON nd.id_a = gt.id_a AND nd.id_b = gt.id_b),
+           |agg AS (SELECT $sums FROM jj)
+           |$arms""".stripMargin
+      }),
+
     // ----- winnowing fingerprints (rolling k-gram hash, window minima) -----
     GraftQuery(
       "q_doc_winnow_fp",

@@ -322,5 +322,80 @@ object RelationalQueries extends QueryModule {
           .select($"o_orderkey", $"o_totalprice")
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)))
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ----- strict-sequence funnel (view → click → purchase) -----
+    // Per user: earliest view, earliest click AFTER that view,
+    // earliest purchase AFTER that click; emit users-per-step reached.
+    // `ts` is long nanos in Spark (nanosAsLong) and timestamp_ns in
+    // DuckDB — all comparisons run on the raw nanos (epoch_ns mirror),
+    // and only counts are output. Scale shape: one conditional agg
+    // over the user-keyed stream per step plus user-keyed broadcast-
+    // able step tables; no windows, no self-join on the event stream.
+    GraftQuery(
+      "q_evt_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val c = ev.filter($"event_type" === "click").join(v, "user_id")
+          .filter($"ts" > $"t1")
+          .groupBy($"user_id").agg(min($"ts").as("t2"))
+        val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+          .filter($"ts" > $"t2")
+          .groupBy($"user_id").agg(min($"ts").as("t3"))
+        val one = (df: org.apache.spark.sql.DataFrame, step: Int, name: String) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(step).cast("long").as("step"), lit(name).as("event_type"),
+              col("n_users"))
+        one(v, 1, "view")
+          .unionByName(one(c, 2, "click"))
+          .unionByName(one(p, 3, "purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+             |v AS (SELECT user_id, min(tn) AS t1 FROM e
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tn > t1 GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tn) AS t3 FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tn > t2 GROUP BY e.user_id)
+             |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(*) AS n_users FROM v
+             |UNION ALL
+             |SELECT 2, 'click', count(*) FROM c
+             |UNION ALL
+             |SELECT 3, 'purchase', count(*) FROM p""".stripMargin)),
+
+    // ----- retention cohorts on integer day arithmetic -----
+    // Cohort = the user's first-event week (floor of epoch days / 7);
+    // one row per (cohort_week, week_offset) with distinct active
+    // users. Integer nanos → exact in both engines; no calendar
+    // functions on the nanos-typed column.
+    GraftQuery(
+      "q_evt_retention",
+      (s, d) => {
+        import s.implicits._
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
+        // epoch micros exceed 2^53 — the quotient would be inexact at
+        // day boundaries. ts is TIMESTAMP_NTZ (micros); the session is
+        // pinned UTC, so the NTZ→instant cast is identity and
+        // unix_micros mirrors DuckDB's epoch_us exactly.
+        val ev = Tables.events(s, d)
+          .select($"user_id",
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        val first = ev.groupBy($"user_id").agg(min($"day").as("day0"))
+        ev.join(first, "user_id")
+          .select($"user_id", expr("day0 div 7").as("cohort_week"),
+            expr("(day - day0) div 7").as("week_offset"))
+          .groupBy($"cohort_week", $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(ts) // 86400000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY user_id)
+             |SELECT CAST(day0 // 7 AS BIGINT) AS cohort_week,
+             |       CAST((day - day0) // 7 AS BIGINT) AS week_offset,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)))
 }
