@@ -140,11 +140,55 @@ object CurationSoak {
       "suffix_repeat" -> { () =>
         graft.llm.SuffixArray.crossDocRepeats(docs, "doc_id", "text",
           window = 8, minDocs = 2)
+      },
+      "dedup_text" -> { () =>
+        // the sink must CONSUME the output columns: a bare count()
+        // over the raw result lets Catalyst drop the final left join
+        // (unique-keyed right side, no columns referenced), and a
+        // count() over a global aggregate is folded to the constant 1
+        // — both "measure" nothing. A non-foldable filter on the
+        // computed columns forces the full chain.
+        SpanDedup.dedupText(docs, "doc_id", "text", n = 13)
+          .filter(col("n_kept") >= 0 && length(col("clean_text")) >= 0)
+      },
+      "priority_sample" -> { () =>
+        Mixer.prioritySample(docs, "doc_id", "n_chars", k = 100)
+      },
+      "lsh_recall" -> { () =>
+        graft.llm.LshEval.recallCurve(docs, "doc_id", "text", n = 3,
+          thresholds = Seq(0.02, 0.05, 0.1, 0.2), maxDf = 50)
+      },
+      "evt_funnel" -> { () =>
+        import org.apache.spark.sql.functions.{col, min => fmin}
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(fmin(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(fmin(col("ts")).as("t2"))
+        ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(fmin(col("ts")).as("t3"))
+      },
+      "evt_retention" -> { () =>
+        import org.apache.spark.sql.functions.{col, countDistinct, expr, min => fmin}
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        val first = ev.groupBy(col("user_id")).agg(fmin(col("day")).as("day0"))
+        ev.join(first, "user_id")
+          .select(col("user_id"), expr("day0 div 7").as("cohort_week"),
+            expr("(day - day0) div 7").as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
       })
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    cases.foreach { case (name, mk) =>
+    // optional comma-separated name filter for single-op reruns
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    cases.filter(c => only.forall(_.contains(c._1))).foreach { case (name, mk) =>
       mk().count() // warm-up: JIT, parquet footers, broadcast build
       var n = 0L
       val t = (1 to 3).map { _ =>
