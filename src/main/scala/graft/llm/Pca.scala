@@ -39,25 +39,47 @@ object Pca {
       .groupBy(col("dim").cast("long").as("dim"))
       .agg((exactSum(col("v")) / count(lit(1))).as("mu"))
 
-  /** Centered covariance entries: (i, j, cov) — d² rows. */
-  def covariance(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val mu = meanVector(emb, vecCol)
+  /** Centered covariance entries: (i, j, cov) — d² rows.
+    * `exact = true` (the oracle mode) casts every product to
+    * DECIMAL(20,9) before the sum so the result is merge-order-free
+    * and bit-replayable; `exact = false` is the production float path
+    * (plain double sums — same cells, last-ulp accumulation-order
+    * nondeterminism, measured ~4.5× faster; see SCALING.md). */
+  def covariance(emb: DataFrame, vecCol: String, dim: Int,
+      exact: Boolean = true): DataFrame =
+    covarianceFrom(emb, vecCol, dim, meanVector(emb, vecCol), exact)
+
+  private def covarianceFrom(
+      emb: DataFrame, vecCol: String, dim: Int, mu: DataFrame,
+      exact: Boolean): DataFrame = {
     val n = emb.count()
-    val xi = emb.select(col(vecCol).as("__v"),
-        posexplode(col(vecCol)).as(Seq("i", "vi")))
-      .withColumn("i", col("i").cast("long"))
-      .join(broadcast(mu.select(col("dim").as("i"), col("mu").as("__mi"))), "i")
-      .withColumn("xi", col("vi").cast("double") - col("__mi"))
-    val xij = xi
-      .withColumn("j", explode(sequence(lit(0L), lit(dim - 1L))))
-      .join(broadcast(mu.select(col("dim").as("j"), col("mu").as("__mj"))), "j")
-      .withColumn("xj",
-        element_at(col("__v"), (col("j") + 1).cast("int")).cast("double") - col("__mj"))
-    xij.groupBy(col("i"), col("j"))
-      .agg((exactSum(col("xi") * col("xj")) / n).as("cov"))
+    // the d-row mean joins ONCE as an ordered array (one-row
+    // broadcast); each vector centers itself with one zip_with, and
+    // the second generate emits the decimal PRODUCTS directly — no
+    // per-row mean joins, no element_at, and the inter-generate rows
+    // carry one centered array instead of the raw vector plus two
+    // join payloads. Same arithmetic per cell as the original
+    // (cast-to-double subtract, double multiply, DECIMAL(20,9) cast),
+    // so the oracle replay is unchanged.
+    val muArr = mu // d doubles, one row; sort inside the aggregate
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("__mu"))
+    val centered = emb.crossJoin(broadcast(muArr))
+      .select(zip_with(col(vecCol), col("__mu"),
+        (v, m) => v.cast("double") - m).as("__c"))
+    val prods = centered
+      .select(col("__c"), posexplode(col("__c")).as(Seq("i", "xi")))
+      .select(col("i").cast("long").as("i"),
+        posexplode(transform(col("__c"),
+          xj => if (exact) (col("xi") * xj).cast(dec) else col("xi") * xj))
+          .as(Seq("j", "p")))
+    prods.groupBy(col("i"), col("j").cast("long").as("j"))
+      .agg((sum(col("p")).cast("double") / n).as("cov"))
   }
 
-  /** One power step: normalize(C·b). `b` is (j, b) — d rows. */
+  /** One power step: normalize(C·b). `b` is (j, b) — d rows (the
+    * d²-sized metadata stage — always decimal-exact; its cost is
+    * corpus-independent). */
   private def step(cov: DataFrame, b: DataFrame): DataFrame = {
     val c = cov.join(broadcast(b), "j")
       .groupBy(col("i"))
@@ -75,9 +97,16 @@ object Pca {
       emb: DataFrame,
       vecCol: String,
       dim: Int,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      exact: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
-    val cov = covariance(emb, vecCol, dim)
+    // persist the d-row mean and d²-row covariance: every power step
+    // AND the final join reference them, and without the cache each
+    // reference re-runs the corpus-sized mean/Gram passes (the cached
+    // state is d²-sized — safe at any corpus scale)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val mu = meanVector(emb, vecCol).persist(lvl)
+    val cov = covarianceFrom(emb, vecCol, dim, mu, exact).persist(lvl)
     var b = spark.range(dim).select(col("id").as("j"), lit(0.125).as("b"),
       lit(0.0).as("__n"))
     for (_ <- 1 to iters) b = step(cov, b.select(col("j"), col("b")))
@@ -85,7 +114,7 @@ object Pca {
     // engines, instead of double-arithmetic round() whose 6th-decimal
     // boundaries the two engines can resolve differently
     def out(c: Column) = round(c.cast(dec), 6).cast("double")
-    meanVector(emb, vecCol)
+    mu
       .join(b.select(col("j").as("dim"), col("b").as("__pc"), col("__n")), "dim")
       .select(col("dim"), out(col("mu")).as("mu"),
         out(col("__pc")).as("pc"), out(col("__n")).as("eigval"))

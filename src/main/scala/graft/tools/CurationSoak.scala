@@ -76,6 +76,9 @@ object CurationSoak {
       "top_pc" -> { () =>
         Pca.topComponent(emb, "embedding", dim = 64, iters = 2)
       },
+      "top_pc_float" -> { () =>
+        Pca.topComponent(emb, "embedding", dim = 64, iters = 2, exact = false)
+      },
       "kmeans" -> { () =>
         val (_, asg) = KMeansLite.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
         asg.select(col("vec_id"), col("cluster"))
@@ -142,14 +145,7 @@ object CurationSoak {
           window = 8, minDocs = 2)
       },
       "dedup_text" -> { () =>
-        // the sink must CONSUME the output columns: a bare count()
-        // over the raw result lets Catalyst drop the final left join
-        // (unique-keyed right side, no columns referenced), and a
-        // count() over a global aggregate is folded to the constant 1
-        // — both "measure" nothing. A non-foldable filter on the
-        // computed columns forces the full chain.
         SpanDedup.dedupText(docs, "doc_id", "text", n = 13)
-          .filter(col("n_kept") >= 0 && length(col("clean_text")) >= 0)
       },
       "priority_sample" -> { () =>
         Mixer.prioritySample(docs, "doc_id", "n_chars", k = 100)
@@ -188,13 +184,23 @@ object CurationSoak {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // optional comma-separated name filter for single-op reruns
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    // The timed sink must CONSUME every output column: under a bare
+    // count(), Catalyst prunes projections whose values don't affect
+    // the row count (quantize/jl/abtt read as scan-speed), drops a
+    // final left join with an unreferenced unique-keyed side, and
+    // folds count-over-global-aggregate to the constant 1. Hashing all
+    // columns into one aggregated value defeats all three for ~one
+    // xxhash per row.
+    def consumeAll(df: org.apache.spark.sql.DataFrame): Unit = {
+      val h = xxhash64(struct(df.columns.map(col): _*))
+      df.select(h.as("__h")).agg(sum(col("__h").cast("decimal(38,0)"))).collect()
+    }
     cases.filter(c => only.forall(_.contains(c._1))).foreach { case (name, mk) =>
-      mk().count() // warm-up: JIT, parquet footers, broadcast build
-      var n = 0L
+      val n = mk().count() // warm-up: JIT, parquet footers, broadcasts
       val t = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        n = mk().count()
+        consumeAll(mk())
         (System.nanoTime() - t0) / 1e9
       }.min
       times(name) = math.rint(t * 1000) / 1000
