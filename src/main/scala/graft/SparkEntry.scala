@@ -35,10 +35,11 @@ object SparkEntry {
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Session settings shared by Verify/Bench/tests: local shuffle
-    * partitioning, AQE on, and nanos-timestamp parquet compat (the
-    * events table uses INT64 TIMESTAMP(NANOS), which Spark only reads
-    * as long when the legacy flag is set; we treat it as opaque
-    * nanos-since-epoch and only ever order by it). */
+    * partitioning, AQE on, and nanos-timestamp parquet compat. The
+    * driver's events table ships INT64 TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ); the `nanosAsLong` flag is kept for nanos-typed
+    * inputs from other sources — it reads TIMESTAMP(NANOS) columns as
+    * raw longs instead of failing, and has no effect on micros. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

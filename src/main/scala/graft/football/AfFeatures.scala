@@ -138,14 +138,18 @@ object AfFeatures {
   def graphFrames(df: DataFrame): DataFrame = {
     val nf = withNodeIndex(withNodeFeatures(df))
     val feats = array(NodeFeatureNames.map(n => round(col(n), 6)): _*)
+    // direct-to-tensor aggregation (graft.functions.OrderedTensorAgg):
+    // same output as array_sort(collect_list(struct)) + transform,
+    // without the interpreted HOF rebuild — node_idx is unique per
+    // frame, so the idx-only sort equals the full-struct sort
     nf.select(frameKeys.map(col) ++ Seq(
         col("node_idx"), col("id"), feats.as("__x")): _*)
       .groupBy(frameKeys.map(col): _*)
-      .agg(array_sort(collect_list(struct(col("node_idx"), col("__x"), col("id"))))
-        .as("__nodes"))
+      .agg(graft.functions.OrderedTensorAgg.orderedNodes(col("node_idx"),
+        col("__x") -> "x", col("id") -> "object_ids").as("__nx"))
       .select(frameKeys.map(col) ++ Seq(
-        transform(col("__nodes"), _.getField("__x")).as("x"),
-        transform(col("__nodes"), _.getField("id")).as("object_ids")): _*)
+        col("__nx").getField("x").as("x"),
+        col("__nx").getField("object_ids").as("object_ids")): _*)
   }
 
   /** Within-frame pair table with AF adjacency (split_by_team + ball

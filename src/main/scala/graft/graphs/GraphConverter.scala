@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *    per-frame ball position supplied by a window aggregate (no join);
   *  - the adjacency predicate and edge features live on a within-frame
   *    pair self-join;
-  *  - matrices are assembled with `collect_list` + `array_sort` +
-  *    `transform`, keyed by an explicit node index that replicates the
-  *    reference's sort (`graph_converter.py:214-222`): possession
-  *    players, then defenders, then ball, each by object id;
+  *  - matrices are assembled by direct-to-tensor
+  *    `TypedImperativeAggregate`s ([[graft.functions.OrderedTensorAgg]];
+  *    the generic `collect_list` + `array_sort` + `transform` shape is
+  *    retained for the honest A/B), keyed by an explicit node index
+  *    that replicates the reference's sort
+  *    (`graph_converter.py:214-222`): possession players, then
+  *    defenders, then ball, each by object id;
   *  - padding (G8) regenerates missing rows relationally — the
   *    reference's driver-side `iter_rows` loop disappears.
   */
@@ -259,7 +262,8 @@ object GraphConverter {
       df: DataFrame,
       settings: GraphSettings,
       labelCol: String = Label,
-      graphIdCol: String = GraphId): DataFrame = {
+      graphIdCol: String = GraphId,
+      nativeAgg: Boolean = true): DataFrame = {
     // Both persists are load-bearing at scale: padFrames reads its
     // input 4× (counts, frame list, ball check, union) and the
     // node/pair aggregations each scan `prepared` — without caching,
@@ -276,7 +280,7 @@ object GraphConverter {
       if (settings.pad) padFrames(input, labelCol, graphIdCol)
       else removeIncompleteFrames(input))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assembleGraphFrames(prepared, settings, labelCol, graphIdCol)
+    assembleGraphFrames(prepared, settings, labelCol, graphIdCol, nativeAgg)
   }
 
   /** The 100 TB variant of [[graphFrames]]: instead of double-caching,
@@ -313,36 +317,63 @@ object GraphConverter {
       settings, labelCol, graphIdCol)
   }
 
-  private def assembleGraphFrames(
+  private[graft] def assembleGraphFrames(
       prepared: DataFrame,
       settings: GraphSettings,
       labelCol: String,
-      graphIdCol: String): DataFrame = {
+      graphIdCol: String,
+      nativeAgg: Boolean = true): DataFrame = {
     val nodes = withNodeFeatures(prepared, settings)
     val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(prepared.columns.contains)
-    val nodeAgg = nodes
-      .groupBy(frameKeys.map(col): _*)
-      .agg(
-        array_sort(collect_list(struct(col("node_idx"), col("x_features"), col(ObjectId))))
-          .as("__nodes"),
-        optCols.map(c => first(col(c)).as(c)): _*)
-      .withColumn("x", transform(col("__nodes"), _.getField("x_features")))
-      .withColumn("object_ids", transform(col("__nodes"), _.getField(ObjectId)))
-      .drop("__nodes")
+    // the direct-to-tensor TypedImperativeAggregate
+    // ([[graft.functions.OrderedTensorAgg]]) replaces the generic
+    // collect_list + array_sort + interpreted transform/element_at
+    // rebuild; `nativeAgg = false` keeps the generic shape for the
+    // honest A/B in graft.tools.BucketedSoak. Output is bit-identical
+    // (q_graph_frames oracle hash unchanged).
+    val nodeAgg = if (nativeAgg)
+      nodes
+        .groupBy(frameKeys.map(col): _*)
+        .agg(
+          graft.functions.OrderedTensorAgg.orderedNodes(col("node_idx"),
+            col("x_features") -> "x", col(ObjectId) -> "object_ids").as("__nx"),
+          optCols.map(c => first(col(c)).as(c)): _*)
+        .withColumn("x", col("__nx").getField("x"))
+        .withColumn("object_ids", col("__nx").getField("object_ids"))
+        .drop("__nx")
+    else
+      nodes
+        .groupBy(frameKeys.map(col): _*)
+        .agg(
+          array_sort(collect_list(struct(col("node_idx"), col("x_features"), col(ObjectId))))
+            .as("__nodes"),
+          optCols.map(c => first(col(c)).as(c)): _*)
+        .withColumn("x", transform(col("__nodes"), _.getField("x_features")))
+        .withColumn("object_ids", transform(col("__nodes"), _.getField(ObjectId)))
+        .drop("__nodes")
 
-    val pairAgg = pairs(prepared, settings)
-      .groupBy(frameKeys.map(col): _*)
-      .agg(
-        array_sort(collect_list(struct(col("i_node_idx"), col("j_node_idx"), col("a"))))
-          .as("__a_cells"),
-        array_sort(collect_list(when(col("a") === 1,
-          struct(col("i_node_idx"), col("j_node_idx"), col("e_features"))))).as("__e_cells"))
-      .withColumn("__n", size(array_distinct(transform(col("__a_cells"), _.getField("j_node_idx")))))
-      .withColumn("a", transform(sequence(lit(0), col("__n") - 1), i =>
-        transform(sequence(lit(0), col("__n") - 1), j =>
-          element_at(col("__a_cells"), (i * col("__n") + j + 1).cast("int")).getField("a"))))
-      .withColumn("e", transform(col("__e_cells"), _.getField("e_features")))
-      .drop("__a_cells", "__e_cells", "__n")
+    val pairAgg = if (nativeAgg)
+      pairs(prepared, settings)
+        .groupBy(frameKeys.map(col): _*)
+        .agg(graft.functions.OrderedTensorAgg.adjacencyEdges(
+          col("i_node_idx"), col("j_node_idx"), col("a"), col("e_features")).as("__ae"))
+        .withColumn("a", col("__ae").getField("a"))
+        .withColumn("e", col("__ae").getField("e"))
+        .drop("__ae")
+    else
+      pairs(prepared, settings)
+        .groupBy(frameKeys.map(col): _*)
+        .agg(
+          array_sort(collect_list(struct(col("i_node_idx"), col("j_node_idx"), col("a"))))
+            .as("__a_cells"),
+          array_sort(collect_list(when(col("a") === 1,
+            struct(col("i_node_idx"), col("j_node_idx"), col("e_features"))))).as("__e_cells"))
+        .withColumn("__n", size(array_distinct(transform(col("__a_cells"), _.getField("j_node_idx")))))
+        .withColumn("a", transform(sequence(lit(0), col("__n") - 1), i =>
+          transform(sequence(lit(0), col("__n") - 1), j =>
+            element_at(col("__a_cells"), (i * col("__n") + j + 1).cast("int")).getField("a"))))
+        .withColumn("e", transform(col("__e_cells"), _.getField("e_features")))
+        .drop("__a_cells", "__e_cells", "__n")
 
     nodeAgg.join(pairAgg, frameKeys)
   }

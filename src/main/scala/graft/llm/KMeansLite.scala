@@ -61,8 +61,9 @@ object KMeansLite {
       s"(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)))), (acc, x) -> acc + x)"
 
   /** md5-sample init: k rows, centroid = the float vector cast to
-    * double. Output: (cluster, __cent). */
-  private def init(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * double. Output: (cluster, __cent). `private[llm]` so
+    * [[MlBridge.kmeansFit]] can seed MLlib with the identical init. */
+  private[llm] def mdInit(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
     emb.select(col(idCol), col(vecCol))
       .withColumn("__h", md5(col(idCol).cast("string")))
@@ -102,7 +103,7 @@ object KMeansLite {
       vecCol: String,
       k: Int,
       iters: Int = 2): (DataFrame, DataFrame) = {
-    var cents = init(emb, idCol, vecCol, k)
+    var cents = mdInit(emb, idCol, vecCol, k)
     var asg = assign(emb, cents, idCol, vecCol)
     for (_ <- 1 until iters) {
       cents = updated(cents, asg, vecCol)

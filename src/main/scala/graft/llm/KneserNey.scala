@@ -37,8 +37,28 @@ object KneserNey {
 
   /** Per-document average negative KN log-likelihood:
     * (doc_id, n_pairs, avg_nll). Documents with fewer than 2 tokens
-    * carry no bigram evidence and are omitted. */
-  def scored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * carry no bigram evidence and are omitted.
+    *
+    * Cache lifetime: the internal bigram-type table stays persisted
+    * after the caller's action (the relation is lazy, so this method
+    * cannot release it) — vocabulary-sized, so in a one-shot job LRU
+    * reclaim is fine; long-lived drivers invoking this repeatedly
+    * should use [[scoredScoped]], which unpersists after use. */
+  def scored(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoredInternal(docs, idCol, textCol)._1
+
+  /** [[scored]] with deterministic cache release: runs `use` on the
+    * scored relation (e.g. write/collect) and unpersists the internal
+    * bigram-type cache afterwards. */
+  def scoredScoped[T](docs: DataFrame, idCol: String, textCol: String)(
+      use: DataFrame => T): T = {
+    val (df, caches) = scoredInternal(docs, idCol, textCol)
+    try use(df)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def scoredInternal(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, Seq[DataFrame]) = {
     val t = docs.select(
       col(idCol).cast("long").as("doc_id"),
       Shingles.tokens(col(textCol)).as("toks"))
@@ -83,7 +103,7 @@ object KneserNey {
     // rarely repeat within a document, so a (doc, b) pre-collapse
     // would add a stream-sized shuffle without shrinking anything
     // (unlike the token-level [[QualityClassifier.scored]])
-    bg.join(stats, "b")
+    val out = bg.join(stats, "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("l")).as("s"))
       .select(col("doc_id"), col("n_pairs"),
@@ -93,5 +113,6 @@ object KneserNey {
         // 1-ulp divergence before the 6-dp decision
         round(((-col("s")).cast("double") / col("n_pairs"))
           .cast("decimal(20,9)"), 6).cast("double").as("avg_nll"))
+    (out, Seq(bc))
   }
 }

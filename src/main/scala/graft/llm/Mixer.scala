@@ -103,7 +103,10 @@ object Mixer {
     * partial top-k, each partition contributes at most k candidates,
     * never a global sort. [[sample]] gives Bernoulli rates; this
     * gives exact-k with weights — the two standard sampling contracts
-    * of a curation pipeline. */
+    * of a curation pipeline.
+    *
+    * Contract: `weightCol` must be strictly positive (enforced with a
+    * per-row runtime check — A-ES is undefined at w ≤ 0). */
   def prioritySample(
       docs: DataFrame,
       idCol: String,
@@ -116,7 +119,16 @@ object Mixer {
     // the DECIMAL(20,9) cast collapses any last-ulp libm divergence
     // before the rank compares keys; ties break on the id
     val key = (log(u) / col(weightCol)).cast("decimal(20,9)")
-    docs.select(col(idCol), col(weightCol), key.as("priority"))
+    // contract: weights must be strictly positive. w=0 gives ln(u)/0 =
+    // -Inf, whose DECIMAL cast NULLs in Spark but errors in the DuckDB
+    // oracle; w<0 inverts the priority order — either silently corrupts
+    // the sample, so fail fast. Guard as a FILTER (assert_true is null
+    // on success — no row dropped, and a filter cannot be pruned away
+    // like a projected-then-dropped assert column would be)
+    docs.filter(assert_true(col(weightCol) > 0,
+        lit(s"prioritySample: $weightCol must be > 0 " +
+          "(A-ES keys are ln(u)/w — zero divides, negatives invert the order)")).isNull)
+      .select(col(idCol), col(weightCol), key.as("priority"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col(weightCol),

@@ -98,12 +98,33 @@ object Pca {
       vecCol: String,
       dim: Int,
       iters: Int = 2,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true): DataFrame =
+    topComponentInternal(emb, vecCol, dim, iters, exact)._1
+
+  /** [[topComponent]] with deterministic cache release: runs `use` on
+    * the statistics relation and unpersists the internal d-row/d²-row
+    * caches afterwards — for long-lived drivers where [[topComponent]]'s
+    * caches (reclaimed only by LRU) would accumulate. */
+  def topComponentScoped[T](
+      emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 2, exact: Boolean = true)(use: DataFrame => T): T = {
+    val (df, caches) = topComponentInternal(emb, vecCol, dim, iters, exact)
+    try use(df)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def topComponentInternal(
+      emb: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int,
+      exact: Boolean): (DataFrame, Seq[DataFrame]) = {
     val spark = emb.sparkSession
     // persist the d-row mean and d²-row covariance: every power step
     // AND the final join reference them, and without the cache each
     // reference re-runs the corpus-sized mean/Gram passes (the cached
-    // state is d²-sized — safe at any corpus scale)
+    // state is d²-sized — safe at any corpus scale; lifetime: released
+    // by the *Scoped variants, else left to LRU — documented)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val mu = meanVector(emb, vecCol).persist(lvl)
     val cov = covarianceFrom(emb, vecCol, dim, mu, exact).persist(lvl)
@@ -114,10 +135,11 @@ object Pca {
     // engines, instead of double-arithmetic round() whose 6th-decimal
     // boundaries the two engines can resolve differently
     def out(c: Column) = round(c.cast(dec), 6).cast("double")
-    mu
+    val res = mu
       .join(b.select(col("j").as("dim"), col("b").as("__pc"), col("__n")), "dim")
       .select(col("dim"), out(col("mu")).as("mu"),
         out(col("__pc")).as("pc"), out(col("__n")).as("eigval"))
+    (res, Seq(mu, cov))
   }
 
   /** All-but-the-top post-processing (Mu & Viswanath 2018): center
@@ -138,9 +160,27 @@ object Pca {
       idCol: String,
       vecCol: String,
       dim: Int,
-      iters: Int = 2): DataFrame = {
-    val tc = topComponent(emb, vecCol, dim, iters)
-      .select(col("dim"), col("mu"), col("pc"))
+      iters: Int = 2): DataFrame =
+    allButTheTopInternal(emb, idCol, vecCol, dim, iters)._1
+
+  /** [[allButTheTop]] with deterministic cache release (see
+    * [[topComponentScoped]]). */
+  def allButTheTopScoped[T](
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      iters: Int = 2)(use: DataFrame => T): T = {
+    val (df, caches) = allButTheTopInternal(emb, idCol, vecCol, dim, iters)
+    try use(df)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def allButTheTopInternal(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val (tc0, caches) = topComponentInternal(emb, vecCol, dim, iters, exact = true)
+    val tc = tc0.select(col("dim"), col("mu"), col("pc"))
     val ex = emb.select(col(idCol).cast("long").as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -149,9 +189,10 @@ object Pca {
       .withColumn("__c", col("v") - col("mu"))
     val pr = ctr.groupBy(col("vec_id"))
       .agg(exactSum(col("__c") * col("pc")).as("__p"))
-    ctr.join(pr, "vec_id")
+    val res = ctr.join(pr, "vec_id")
       .select(col("vec_id"), col("dim"),
         round((col("__c") - col("__p") * col("pc")).cast(dec), 6)
           .cast("double").as("value"))
+    (res, caches)
   }
 }

@@ -65,7 +65,17 @@ object RandomProjection {
     // the "matrix" is still a pure function of (i, j) — this literal
     // is just its memoized first d×k window, identical to sign()
     val signs = typedLit((0L until dim).map(i => (0L until k).map(j => signAt(i, j))))
-    emb.select(col(idCol).cast("long").as("vec_id"),
+    // fail fast instead of silently dropping coordinates: element_at
+    // past the literal's end is null under non-ANSI SQL, so an input
+    // vector longer than `dim` would quietly lose its tail from the
+    // projection — raise the bound (the sign matrix is 8·dim·k bytes)
+    // or pre-truncate explicitly. Guard as a FILTER (assert_true is
+    // null on success, so no row is dropped) — a projected-then-
+    // dropped assert column would be pruned before it ever evaluated
+    emb.filter(assert_true(size(col(vecCol)) <= dim,
+        lit(s"random projection: input vector longer than dim=$dim — " +
+          "raise `dim` or truncate the vectors first")).isNull)
+      .select(col(idCol).cast("long").as("vec_id"),
         posexplode(col(vecCol)).as(Seq("i", "v")))
       .select(col("vec_id"), col("i").cast("long").as("i"),
         col("v").cast("double").as("v"))

@@ -208,29 +208,24 @@ object PressingIntensity {
     * `probability_to_intercept` ARRAY<ARRAY<DOUBLE>> in row-major node
     * order plus `rows`/`columns` label arrays. */
   def matrices(pairsDf: DataFrame): DataFrame = {
-    val sorted = array_sort(col("cells"))
+    // direct-to-grid aggregation (graft.functions.OrderedTensorAgg):
+    // one TypedImperativeAggregate replaces the collect_list +
+    // array_sort + four interpreted transform/element_at rebuilds;
+    // (row_idx, col_idx) is unique per frame, so the pair sort equals
+    // the full-struct sort, and the positional fill (cols = |distinct
+    // col_idx|, rows = total/cols, labels from the first row/column)
+    // is the generic shape's exact recipe
     pairsDf
       .groupBy((frameKeys :+ Timestamp).map(col): _*)
-      .agg(collect_list(struct(col("row_idx"), col("col_idx"), col("row_id"),
-        col("col_id"), col("tti"), col("pti"))).as("cells"))
-      .withColumn("cells", sorted)
-      .withColumn("n_cols", size(array_distinct(transform(col("cells"), _.getField("col_idx")))))
-      .withColumn("n_rows", (size(col("cells")) / col("n_cols")).cast("int"))
+      .agg(graft.functions.OrderedTensorAgg.gridMatrices(
+        col("row_idx"), col("col_idx"), col("row_id"), col("col_id"),
+        col("tti") -> "time_to_intercept",
+        col("pti") -> "probability_to_intercept").as("__m"))
       .select(
         (frameKeys :+ Timestamp).map(col) ++ Seq(
-          transform(sequence(lit(0), col("n_rows") - 1), i =>
-            transform(sequence(lit(0), col("n_cols") - 1), j =>
-              element_at(col("cells"), (i * col("n_cols") + j + 1).cast("int")).getField("tti")))
-            .as("time_to_intercept"),
-          transform(sequence(lit(0), col("n_rows") - 1), i =>
-            transform(sequence(lit(0), col("n_cols") - 1), j =>
-              element_at(col("cells"), (i * col("n_cols") + j + 1).cast("int")).getField("pti")))
-            .as("probability_to_intercept"),
-          transform(sequence(lit(0), col("n_rows") - 1), i =>
-            element_at(col("cells"), (i * col("n_cols") + 1).cast("int")).getField("row_id"))
-            .as("rows"),
-          transform(sequence(lit(0), col("n_cols") - 1), j =>
-            element_at(col("cells"), (j + 1).cast("int")).getField("col_id"))
-            .as("columns")): _*)
+          col("__m").getField("time_to_intercept").as("time_to_intercept"),
+          col("__m").getField("probability_to_intercept").as("probability_to_intercept"),
+          col("__m").getField("rows").as("rows"),
+          col("__m").getField("columns").as("columns")): _*)
   }
 }

@@ -1730,6 +1730,49 @@ object LlmQueries extends QueryModule {
              |       WHEN 6 THEN f6 ELSE f7 END AS DOUBLE) AS value
              |FROM feat CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin)),
 
+    // ----- multimodal: REAL video decode (JDK-only RIFF/AVI walker,
+    // [[graft.llm.Multimodal.AviCodec]]). 6 closed-form synthetic
+    // videos (5 frames of 8×6) are written as uncompressed-DIB AVIs
+    // through the real container writer, parsed back chunk-by-chunk on
+    // the executors (LIST recursion, strf header, movi traversal,
+    // bottom-up BGR row decode), and reduced to per-frame pixel stats;
+    // DuckDB recomputes the stats from the pixel formula alone — the
+    // lossless-codec half of the video story (the MJPEG half is
+    // spec-pinned with a lossy tolerance in MultimodalSpec). -----
+    GraftQuery(
+      "q_media_video_frames",
+      (s, _) => {
+        import s.implicits._
+        val media = s.range(6).map { id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticAvi(id, nFrames = 5, w = 8, h = 6),
+            "video/avi", 8, 6)
+        }
+        Multimodal.videoFrameStats(media).toDF()
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            col("min_luma"), col("max_luma"))
+      },
+      Some("""WITH px AS (
+             |  SELECT ids.media_id, fx.f, xs.x, ys.y,
+             |    (7 * xs.x + 13 * ys.y + 5 * fx.f + ids.media_id) % 256 AS r,
+             |    (3 * xs.x + 5 * ys.y + 7 * fx.f + 2 * ids.media_id) % 256 AS g,
+             |    (11 * xs.x + 17 * ys.y + 19 * fx.f + 3 * ids.media_id) % 256 AS b
+             |  FROM (SELECT unnest(generate_series(0, 5)) AS media_id) ids
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) fx
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) ys
+             |)
+             |SELECT media_id, f AS frame_no,
+             |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+             |  CAST(sum(r) AS BIGINT) AS sum_r,
+             |  CAST(sum(g) AS BIGINT) AS sum_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b,
+             |  CAST(min((r * 299 + g * 587 + b * 114) // 1000) AS BIGINT) AS min_luma,
+             |  CAST(max((r * 299 + g * 587 + b * 114) // 1000) AS BIGINT) AS max_luma
+             |FROM px GROUP BY 1, 2""".stripMargin)),
+
     // ----- ExactSubstr-style repeated-span regions: any 13-token
     // span shared verbatim across ≥2 docs, adjacent flags merged into
     // maximal regions (see [[graft.llm.SpanDedup]]). Pure integer

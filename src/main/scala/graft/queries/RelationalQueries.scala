@@ -327,8 +327,9 @@ object RelationalQueries extends QueryModule {
     // ----- strict-sequence funnel (view → click → purchase) -----
     // Per user: earliest view, earliest click AFTER that view,
     // earliest purchase AFTER that click; emit users-per-step reached.
-    // `ts` is long nanos in Spark (nanosAsLong) and timestamp_ns in
-    // DuckDB — all comparisons run on the raw nanos (epoch_ns mirror),
+    // `ts` is INT64 TIMESTAMP(MICROS) in the parquet — TIMESTAMP_NTZ
+    // in Spark, TIMESTAMP in DuckDB. Spark compares the timestamps
+    // directly; the oracle maps through epoch_ns (order-preserving),
     // and only counts are output. Scale shape: one conditional agg
     // over the user-keyed stream per step plus user-keyed broadcast-
     // able step tables; no windows, no self-join on the event stream.

@@ -71,13 +71,21 @@ object BucketedSoak {
     val persisted = (1 to 2).map(_ => timed(() =>
       consumeAll(GraphConverter.graphFrames(
         GraphQueries.paddedInput(spark, sfDir), settings)))).min
+    // the round-8 generic assembly (collect_list + array_sort +
+    // interpreted transform/element_at) vs the round-9 direct
+    // TypedImperativeAggregate — same pipeline, same persists, only
+    // the tensor-assembly aggregates differ
+    val generic = (1 to 2).map(_ => timed(() =>
+      consumeAll(GraphConverter.graphFrames(
+        GraphQueries.paddedInput(spark, sfDir), settings,
+        nativeAgg = false)))).min
     val bucketed = (1 to 2).map(_ => timed(() =>
       consumeAll(GraphConverter.graphFramesBucketed(
         spark, GraphQueries.paddedInput(spark, sfDir), settings,
         bucketDir)))).min
 
     println(s"""{"metric":"graph_frames_soak","persisted":$persisted,""" +
-      s""""bucketed":$bucketed,"sf":"$sfDir"}""")
+      s""""generic":$generic,"bucketed":$bucketed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -144,6 +144,13 @@ object CurationSoak {
         graft.llm.SuffixArray.crossDocRepeats(docs, "doc_id", "text",
           window = 8, minDocs = 2)
       },
+      // window 16 = one more prefix-doubling round than window 8: the
+      // empirical check that cost grows by the ROUND COUNT (log w),
+      // not the window content — the scale-invariance claim in
+      // SCALING.md's suffix rows
+      "suffix_rank_w16" -> { () =>
+        graft.llm.SuffixArray.boundedSuffixRanks(docs, "doc_id", "text", window = 16)
+      },
       "dedup_text" -> { () =>
         SpanDedup.dedupText(docs, "doc_id", "text", n = 13)
       },

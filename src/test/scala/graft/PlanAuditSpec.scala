@@ -97,6 +97,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("graph tensor aggregates stay map-side combinable (partial before the exchange)") {
+    import graft.tracking._
+    import graft.graphs.{GraphConverter, GraphSettings}
+    val trk = Labels.addDummyLabels(
+      Labels.addGraphIds(
+        Possession.inferBallCarrier(
+          Kinematics(SyntheticTracking.df(spark, sf), TrackingSettings(), None, None)),
+        Seq("game_id", "frame_id")),
+      Seq("game_id", "frame_id"))
+    val df = GraphConverter.graphFrames(trk, GraphSettings())
+    df.collect()
+    // traverse the finalized plan tree (the toString dump truncates on
+    // plans this wide, hiding the pair-agg subtree from string greps)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val aggs = flatten(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("ObjectHashAggregate"))
+      .map(_.simpleString(10000))
+    // the direct-to-tensor TypedImperativeAggregates must run as
+    // ObjectHashAggregate with a partial (map-side) phase, exactly
+    // like collect_list did — losing the partial phase would shuffle
+    // raw node/pair rows instead of per-frame buffers
+    assert(aggs.nonEmpty, "tensor agg lost ObjectHashAggregate")
+    assert(aggs.exists(_.contains("partial_ordered_nodes")),
+      s"node assembly lost map-side combine:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(_.contains("partial_adjacency_edges")),
+      s"pair assembly lost map-side combine:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(a => a.contains("ordered_nodes(") && !a.contains("partial_")) &&
+      aggs.exists(a => a.contains("adjacency_edges(") && !a.contains("partial_")),
+      s"missing final-phase tensor aggregates:\n${aggs.mkString("\n")}")
+  }
+
   test("sportec load: per-match aggregates broadcast, one frame-key window shuffle") {
     import graft.tracking.SportecSource
     val files = "/root/reference/tests/files"

@@ -1,0 +1,98 @@
+package graft.llm
+
+import graft.SparkTestSession
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-validation of the relational oracle trainers against their
+  * MLlib production counterparts ([[MlBridge]]): same init, same pass
+  * count ⇒ the same model up to double-summation order. */
+class MlBridgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("kmeans: MLlib Lloyd's from the md5 init matches KMeansLite centroid-for-centroid") {
+    val k = 8; val iters = 2
+    val (liteCents, _) = KMeansLite.fit(emb, "vec_id", "embedding", k, iters)
+    val lite = liteCents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (mlCents, _) = MlBridge.kmeansFit(emb, "vec_id", "embedding", k, iters)
+    assert(lite.size === k && mlCents.length === k)
+    for (c <- 0 until k) {
+      val d = math.sqrt(lite(c.toLong).zip(mlCents(c))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      // DECIMAL(20,9)-rounded means vs double axpy sums: agreement to
+      // well under any assignment-flipping distance
+      assert(d < 1e-6, s"cluster $c centroid drift $d")
+    }
+  }
+
+  test("kmeans: assignments under the final centers agree >= 99%") {
+    val k = 8; val iters = 2
+    val (liteCents, _) = KMeansLite.fit(emb, "vec_id", "embedding", k, iters)
+    val liteAsg = KMeansLite.assign(emb, liteCents, "vec_id", "embedding")
+      .select(col("vec_id").cast("long"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, mlAsg) = MlBridge.kmeansFit(emb, "vec_id", "embedding", k, iters)
+    val ml = mlAsg.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(ml.keySet === liteAsg.keySet)
+    val agree = ml.count { case (id, c) => liteAsg(id) == c }
+    assert(agree.toDouble / ml.size >= 0.99,
+      s"only $agree/${ml.size} assignments agree")
+  }
+
+  test("kmeans: the two models report the same clustering cost") {
+    val k = 8; val iters = 2
+    val (liteCents, _) = KMeansLite.fit(emb, "vec_id", "embedding", k, iters)
+    val liteCost = KMeansLite.assign(emb, liteCents, "vec_id", "embedding")
+      .join(liteCents, "cluster")
+      .agg(sum(KMeansLite.l2sqFold(col("embedding"), col("__cent"))))
+      .head.getDouble(0)
+    val (mlCents, mlAsg) = MlBridge.kmeansFit(emb, "vec_id", "embedding", k, iters)
+    val centRows = mlCents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+    val centDf = spark.createDataFrame(centRows).toDF("cluster", "__cent")
+    val mlCost = mlAsg.withColumn("cluster", col("cluster").cast("long"))
+      .join(emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding")), "vec_id")
+      .join(centDf, "cluster")
+      .agg(sum(KMeansLite.l2sqFold(col("embedding"), col("__cent"))))
+      .head.getDouble(0)
+    assert(math.abs(liteCost - mlCost) / liteCost < 1e-6,
+      s"cost diverged: lite $liteCost vs mllib $mlCost")
+  }
+
+  test("quality classifier: the trained LR path behaves like the closed form") {
+    val docs = Tables.documents(spark, sf)
+    val seed = col("source").isin("src1", "src4", "src7")
+    val lr = MlBridge.qualityScored(docs, "doc_id", "text", seed)
+    val nDocs = docs.count()
+    assert(lr.count() === nDocs)
+    // probabilities, not log-odds
+    assert(lr.filter(col("score") < 0 || col("score") > 1).count() === 0L)
+    // the model must have learned the seed direction: seed docs score
+    // strictly higher on average than the rest
+    val seedScore = docs.select(col("doc_id").cast("long").as("doc_id"), seed.as("s"))
+      .join(lr, "doc_id")
+      .groupBy(col("s")).agg(avg(col("score")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(seedScore(true) > seedScore(false) + 0.05,
+      s"seed ${seedScore(true)} vs rest ${seedScore(false)}")
+    // and its RANKING correlates with the closed-form NB's: the two
+    // models put different class-prior mass into their thresholds
+    // (LR's intercept absorbs the seed fraction; NB's score>0 is a
+    // pure likelihood-ratio rule), so compare median-calibrated
+    // decisions — each model's own top half — which removes the
+    // operating-point offset and leaves the learned direction
+    val nb = QualityClassifier.scored(docs, "doc_id", "text", seed)
+      .select(col("doc_id"), col("score").as("nb_score"))
+    val both = lr.join(nb, "doc_id")
+    val lrCut = both.stat.approxQuantile("score", Array(0.5), 0.0).head
+    val nbCut = both.stat.approxQuantile("nb_score", Array(0.5), 0.0).head
+    val agree = both.filter(
+      (col("score") >= lrCut) === (col("nb_score") >= nbCut)).count()
+    assert(agree.toDouble / nDocs > 0.7,
+      s"LR/NB median-split agreement only $agree/$nDocs")
+  }
+}
