@@ -170,6 +170,23 @@ object CurationPipeline {
       textCol: String = "text"): DataFrame =
     Bm25.topk(docs, idCol, textCol, terms, k)
 
+  /** Stage 7d: seed-vs-corpus quality classification (the GPT-3/CCNet
+    * recipe). `trained = false` (default) is the closed-form NB
+    * log-odds path — DECIMAL-exact, DuckDB-oracled
+    * (`q_doc_quality_clf`); `trained = true` is the MLlib
+    * hashed-BoW LogisticRegression fastText analog
+    * ([[graft.llm.MlBridge.qualityScored]]) — the production trainer,
+    * cross-validated against the NB path in MlBridgeSpec. Gate on
+    * `keep` (or rank by `score`) downstream. */
+  def classifierScore(
+      docs: DataFrame,
+      seed: org.apache.spark.sql.Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trained: Boolean = false): DataFrame =
+    if (trained) MlBridge.qualityScored(docs, idCol, textCol, seed)
+    else QualityClassifier.scored(docs, idCol, textCol, seed)
+
   /** The whole journey with defaults. */
   def run(
       docs: DataFrame,

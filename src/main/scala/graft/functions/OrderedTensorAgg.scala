@@ -242,6 +242,84 @@ private[graft] case class AdjacencyEdgesAgg(
       adj = newChildren(2), edgeFeatures = newChildren(3))
 }
 
+/** Index-ordered element-wise vector sum: (idx, vec ARRAY<DOUBLE>) →
+  * ARRAY<DOUBLE>, summed sequentially in ascending-idx order — the
+  * GNN message/pool aggregation ([[graft.graphs.GnnInference]]).
+  * Bit-identical to `aggregate(transform(array_sort(collect_list(
+  * struct(idx, vec))), …), zeros, zip_with(+))`: the fold's summation
+  * order IS ascending idx (that is why the sort was there — run-to-run
+  * reproducibility), and adding the zero vector first is an FP no-op.
+  * Null semantics mirror the fold: a null vector nulls the whole
+  * result (zip_with(acc, null) = null), a null element nulls its
+  * position, and length mismatches null the positions the shorter
+  * vector lacks (zip_with pads with null). */
+private[graft] case class OrderedVectorSumAgg(
+    idx: Expression,
+    vec: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends OrderedBufferAgg {
+
+  override protected def entryFields: Seq[Expression] = Seq(idx, vec)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def eval(buffer: ArrayBuffer[InternalRow]): Any = {
+    val sorted = sortedByInt(buffer, 0)
+    if (sorted.isEmpty) return null
+    var acc: Array[Double] = null
+    var nulls: Array[Boolean] = null
+    var n = 0
+    var k = 0
+    while (k < sorted.length) {
+      val r = sorted(k)
+      if (r.isNullAt(1)) return null // zip_with(acc, null) = null
+      val v = r.getArray(1)
+      val m = v.numElements()
+      if (acc == null) {
+        n = m
+        acc = new Array[Double](n)
+        nulls = new Array[Boolean](n)
+      } else if (m != n) {
+        // zip_with pads the shorter side with null → those positions
+        // null out; grow to the longest seen, nulling the new tail
+        val widest = math.max(m, n)
+        val acc2 = new Array[Double](widest)
+        val nulls2 = new Array[Boolean](widest)
+        System.arraycopy(acc, 0, acc2, 0, n)
+        System.arraycopy(nulls, 0, nulls2, 0, n)
+        var t = math.min(m, n)
+        while (t < widest) { nulls2(t) = true; t += 1 }
+        acc = acc2; nulls = nulls2; n = widest
+      }
+      var i = 0
+      val lim = math.min(m, n)
+      while (i < lim) {
+        if (v.isNullAt(i)) nulls(i) = true
+        else if (!nulls(i)) acc(i) += v.getDouble(i)
+        i += 1
+      }
+      k += 1
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (nulls(i)) null else java.lang.Double.valueOf(acc(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "ordered_vector_sum"
+  override def withNewMutableAggBufferOffset(newOffset: Int): OrderedVectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): OrderedVectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(idx = newChildren(0), vec = newChildren(1))
+}
+
 /** Rectangular grid assembly for the PI matrices: (row_idx, col_idx,
   * row_label, col_label, v₀, v₁, …) → struct(rows, columns, name₀:
   * rows×cols matrix of v₀, …). Positional: cols = |distinct col_idx|,
@@ -338,6 +416,11 @@ object OrderedTensorAgg {
       ColumnShim.expression(idx),
       payloadsAndNames.map(p => ColumnShim.expression(p._1)),
       payloadsAndNames.map(_._2)).toAggregateExpression())
+
+  /** ARRAY<DOUBLE> element-wise sum in ascending-idx order. */
+  def orderedVectorSum(idx: Column, vec: Column): Column =
+    ColumnShim.column(OrderedVectorSumAgg(
+      ColumnShim.expression(idx), ColumnShim.expression(vec)).toAggregateExpression())
 
   /** struct(a: n×n int matrix, e: edge features of the a=1 cells). */
   def adjacencyEdges(i: Column, j: Column, a: Column, e: Column): Column =

@@ -86,14 +86,13 @@ object GnnInference {
           affine(col("z"), layer.ws, layer.bs, "softplus"),
           (g, s) => g * s))
       .groupBy((keys.map(col) :+ col("i").as("idx")): _*)
-      // deterministic: messages sum in source-node order (collect_list
-      // order varies run to run; sorted folds make inference
-      // reproducible bit-for-bit on reruns)
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("msg")))),
-          _.getField("msg")),
-        typedLit(Seq.fill(layer.bf.size)(0.0)),
-        (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("sum_msg"))
+      // deterministic: messages sum in source-node order — the direct
+      // aggregate ([[graft.functions.OrderedTensorAgg.orderedVectorSum]])
+      // sums sequentially in ascending j, bit-identical to the former
+      // aggregate(transform(array_sort(collect_list(...)))) fold but
+      // without the interpreted HOF chain or the intermediate array
+      .agg(graft.functions.OrderedTensorAgg
+        .orderedVectorSum(col("j"), col("msg")).as("sum_msg"))
     nodes.join(messages, keys :+ "idx", "left")
       .withColumn("x",
         when(col("sum_msg").isNull, col("x"))
@@ -111,15 +110,11 @@ object GnnInference {
       convs: Seq[CgLayer],
       head: Seq[DenseLayer]): DataFrame = {
     val convolved = convs.foldLeft(nodes)((n, l) => cgconv(n, edges, keys, l))
-    val dim = convs.last.bf.size
     val pooled = convolved
       .groupBy(keys.map(col): _*)
       .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("idx"), col("x")))),
-            _.getField("x")),
-          typedLit(Seq.fill(dim)(0.0)),
-          (acc, m) => zip_with(acc, m, (a, b) => a + b)).as("__sum"),
+        graft.functions.OrderedTensorAgg
+          .orderedVectorSum(col("idx"), col("x")).as("__sum"),
         count(lit(1)).as("__n"))
       .withColumn("score", transform(col("__sum"), v => v / col("__n")))
       .drop("__sum", "__n")

@@ -89,16 +89,16 @@ object DedupClusters {
     * `org.apache.spark.graphx.lib.ConnectedComponents` (Pregel min-
     * label propagation over the library's edge-partitioned graph).
     *
-    * Exists as the cross-validation of the relational loop (the two
-    * implementations must agree label-for-label — DedupClustersSpec)
-    * and as the alternative at scale: GraphX ships routing tables and
-    * vertex mirrors (lower per-round shuffle on high-degree graphs),
-    * the relational loop keeps everything in Catalyst (AQE, codegen,
-    * no RDD serialization). The CurationSoak A/B row records which
-    * wins on the soak corpus; the relational loop remains the default
-    * — it measured faster at both scales (clique-ish near-dup
-    * components converge in ≤4 one-shuffle rounds) and needs no
-    * vertex-id cast.
+    * Measured head-to-head on the real minhash near-dup graph
+    * (`graft.tools.CcSoak`, min-of-2 with a stage-metrics listener):
+    * GraphX wins at both scales — 0.32 s vs 1.12 s at sf0.1 (256
+    * pairs) and 0.58 s vs 2.27 s at sf1 (250k pairs, 50k nodes), with
+    * 6.6× less shuffle read — Pregel's per-partition routing tables
+    * beat the relational loop's per-round join + localCheckpoint
+    * overhead on these clique-ish graphs. GraphX is therefore the
+    * DEFAULT for [[keepTable]]; the relational loop remains as the
+    * label-for-label cross-check (GraphXBridgeSpec) and the fallback
+    * for non-integral node ids.
     *
     * Requires integral node ids (GraphX VertexId = Long). */
   def connectedComponentsGraphX(
@@ -129,8 +129,15 @@ object DedupClusters {
       pairs: DataFrame,
       idCol: String,
       aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): DataFrame = {
+    // GraphX by default (CcSoak: 3.4–3.9× faster, ~6× less shuffle on
+    // the real near-dup graphs at both soak scales); the relational
+    // loop serves non-integral ids and stays the cross-check. Labels
+    // are identical either way (GraphXBridgeSpec), so the oracle
+    // replay is implementation-independent.
+    val comps = (if (useGraphX) connectedComponentsGraphX(pairs, aCol, bCol)
+                 else connectedComponents(pairs, aCol, bCol))
       .withColumnRenamed("node", idCol)
     docs.select(col(idCol))
       .join(comps, Seq(idCol), "left")

@@ -230,19 +230,48 @@ object Similarity {
       .groupBy(col(outId), col(outVec))
       .agg(max_by(col("cell"), struct(col("__cc"), -col("cell"))).as("cell"))
 
+  /** Multi-probe query-side assignment: the `nProbe` highest-cosine
+    * cells per query (FAISS `nprobe`). The probe table is |Q|·nProbe
+    * rows — still query-sized; the corpus side stays single-cell, so
+    * the search join fans out by nProbe on the SMALL side only. */
+  private def assignProbes(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outId: String,
+      outVec: String,
+      nProbe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(outId))
+      .orderBy(col("__cc").desc, col("cell").asc)
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cc", cosine(col(outVec), col("__cent")))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col(outId), col(outVec), col("cell"))
+  }
+
   def topKCosineIvf(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nCentroids: Int = 8): DataFrame = {
+      nCentroids: Int = 8,
+      nProbe: Int = 1): DataFrame = {
     val cents = coarseCodebook(corpus, idCol, vecCol, nCentroids)
     val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "__cv")
-    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "__qv")
+    // single-probe keeps the original windowless max_by assignment
+    // (and the original plan); multi-probe ranks the |Q|-sized side
+    val q = if (nProbe <= 1) assignCells(queries, cents, idCol, vecCol, "query_id", "__qv")
+      else assignProbes(queries, cents, idCol, vecCol, "query_id", "__qv", nProbe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    // a corpus vector lives in exactly one cell, so multi-probe never
+    // produces duplicate (query, neighbor) pairs — no dedup needed
     c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", cosine(col("__qv"), col("__cv")))

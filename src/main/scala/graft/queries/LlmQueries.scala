@@ -733,6 +733,82 @@ object LlmQueries extends QueryModule {
            |  FROM sc) r WHERE rank <= 3""".stripMargin
       }),
 
+    // ----- ANN recall@k: the vector-side eval artifact -----
+    // Like q_doc_lsh_recall for text dedup: measure what the two
+    // approximate serving paths (single-probe IVF, random-hyperplane
+    // LSH buckets) actually recall of the exact cosine top-k on THIS
+    // corpus — the knob-tuning artifact for nCells/hyperplanes. The
+    // oracle replays all three pipelines and the metric.
+    GraftQuery(
+      "q_emb_ann_recall",
+      (s, d) => AnnEval.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 16, k = 5, nCentroids = 8),
+      Some {
+        val cosQC = Similarity.cosineSql("q.qv", "c.cv")
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
+        val bucket = Similarity.lshBucketSql("embedding")
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |asgr AS (
+           |  SELECT v.vec_id, v.embedding, ct.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id
+           |                            ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |  FROM embeddings v CROSS JOIN cents ct),
+           |asg AS (SELECT vec_id, embedding, cell FROM asgr WHERE crn = 1),
+           |bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |ci AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM asg),
+           |qi AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM asg WHERE vec_id < 16),
+           |iv AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM qi q JOIN ci c USING (cell) WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |q2 AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM asgr
+           |       WHERE crn <= 2 AND vec_id < 16),
+           |iv2 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM q2 q JOIN ci c USING (cell) WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bk WHERE vec_id < 16),
+           |cb AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM bk),
+           |lb AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM qb q JOIN cb c USING (bucket) WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |pos AS (SELECT count(*) AS possible FROM ex)
+           |SELECT m.method, m.returned, m.hits, pos.possible,
+           |       CAST(round(CAST(CAST(m.hits AS DOUBLE) / pos.possible
+           |            AS DECIMAL(20,9)), 6) AS DOUBLE) AS recall
+           |FROM (
+           |  SELECT 'ivf_p1' AS method, CAST(count(*) AS BIGINT) AS returned,
+           |         CAST(count(ex.query_id) AS BIGINT) AS hits
+           |  FROM iv LEFT JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'ivf_p2', CAST(count(*) AS BIGINT),
+           |         CAST(count(ex.query_id) AS BIGINT)
+           |  FROM iv2 LEFT JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'lsh_bucketed', CAST(count(*) AS BIGINT),
+           |         CAST(count(ex.query_id) AS BIGINT)
+           |  FROM lb LEFT JOIN ex USING (query_id, neighbor_id)
+           |) m CROSS JOIN pos""".stripMargin
+      }),
+
     // ----- SemDeDup: cluster-local semantic dedup (arXiv:2303.09540) -----
     // Cells from the same deterministic md5 coarse codebook as IVF;
     // the pairwise cosine pass never leaves a cell, so candidate

@@ -1,0 +1,40 @@
+package graft.llm
+
+import graft.SparkTestSession
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the ANN recall eval that the hash oracle
+  * cannot express: probing more cells grows the candidate set and
+  * never hurts recall, and the exact path trivially scores 1.0. */
+class AnnEvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("multi-probe: p2 candidates are a superset of p1, recall non-decreasing") {
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(p: Int) = Similarity
+      .topKCosineIvf(emb, q, "vec_id", "embedding", k = 5, nCentroids = 4, nProbe = p)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1); val p2 = pairs(2)
+    assert((p1 & truth).size <= (p2 & truth).size,
+      "probing a second cell must not lose true neighbors")
+    // full probe count == cell count degenerates to exact search
+    val pAll = pairs(4)
+    assert(pAll === truth)
+  }
+
+  test("recallAtK: one row per method, recall in [0,1], exact-degenerate sanity") {
+    val out = AnnEval.recallAtK(emb, "vec_id", "embedding", col("vec_id") < 8,
+      k = 5, nCentroids = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out.keySet === Set("ivf_p1", "ivf_p2", "lsh_bucketed"))
+    out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(out("ivf_p2") >= out("ivf_p1"))
+  }
+}
