@@ -14,9 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract.
   *
   * Design: each is a user-keyed `flatMapGroupsWithState` that emits a
-  * versioned per-user SNAPSHOT on every update ("latest version wins"
-  * — an upsert sink keys on user_id), plus a batch rollup over the
-  * snapshot table that reproduces the batch query's output. The
+  * versioned per-user SNAPSHOT on every update — an upsert sink keys
+  * on user_id and overwrites in EMISSION order (the Update-mode
+  * contract); `version` additionally orders snapshots within one
+  * state incarnation for sinks that may reorder writes. Note that a
+  * TTL restart (below) resets `version` to 1 — emission order, not
+  * the version number, is the cross-incarnation tiebreaker. Plus a
+  * batch rollup over the snapshot table that reproduces the batch
+  * query's output. The
   * rollup runs per trigger (`foreachBatch`) exactly like the sketch
   * family's estimator-over-state pattern ([[StreamingSketch]]) — the
   * snapshot table is user-count-sized, so the rollup is a bounded
@@ -39,8 +44,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    EARLIER event re-anchors the bitmap (shift; the far tail falls
   *    off the horizon), so cohort assignment is exact for any arrival
   *    order within the horizon.
+  *  - STATE LIFETIME: by default state is kept for every user seen —
+  *    right when the user keyspace is bounded. Both operators take an
+  *    optional `idleTimeout` for unbounded keyspaces: a watermark is
+  *    applied (inputs later than the TTL are dropped — the exactness
+  *    contract narrows to the TTL window) and users idle past the TTL
+  *    have their state removed via EventTimeTimeout; a returning user
+  *    restarts fresh. State bound becomes |users active within TTL|.
   */
 object StreamingEventAnalytics {
+
+  /** Interval string → milliseconds (months at the 30-day convention,
+    * matching watermark semantics closely enough for a state TTL). */
+  private def ttlMillis(interval: Option[String]): Long =
+    interval.map { d =>
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(d))
+      i.months * 2592000000L + i.days * 86400000L + i.microseconds / 1000L
+    }.getOrElse(0L)
 
   // ---------------------------------------------------------------- funnel
 
@@ -59,10 +80,16 @@ object StreamingEventAnalytics {
       t3: Option[Long],
       version: Long)
 
-  private def funnelStep(
+  private def funnelStep(ttlMs: Long)(
       user: Long,
       it: Iterator[FunnelEvent],
       state: GroupState[FunnelState]): Iterator[FunnelSnapshot] = {
+    if (state.hasTimedOut) {
+      // idle past the TTL: the last emitted snapshot is already final;
+      // drop the state (a returning user starts a fresh funnel)
+      state.remove()
+      return Iterator.empty
+    }
     val evs = it.toSeq
     val s = state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
     val t1 = (s.minView.toList ++
@@ -77,24 +104,41 @@ object StreamingEventAnalytics {
     val keptPurch = t3.fold(purchases)(p3 => purchases.filter(_ <= p3)).distinct.sorted
     val version = s.version + 1
     state.update(FunnelState(t1, keptClicks, keptPurch, version))
+    if (ttlMs > 0)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
     Iterator.single(FunnelSnapshot(user, t1, t2, t3, version))
   }
 
   /** Per-user strict-sequence funnel state (view → click → purchase)
     * over a streaming (user_id, event_type, ts) feed; `ts` may be
     * TIMESTAMP or long micros. Emits a versioned snapshot per updated
-    * user per trigger — run in Update mode, latest version wins. */
-  def userSteps(events: DataFrame): Dataset[FunnelSnapshot] = {
+    * user per trigger — run in Update mode, latest version wins.
+    *
+    * `idleTimeout = None` (default) keeps state for every user seen —
+    * the exact-under-arbitrary-lateness contract, right when the user
+    * keyspace is bounded (a product's account base). For unbounded
+    * keyspaces pass a TTL (e.g. `Some("30 days")`): a watermark is
+    * applied (so input later than the TTL is dropped — the exactness
+    * contract narrows to the TTL window) and a user idle past it has
+    * their state removed; if they return, the funnel restarts fresh.
+    * State bound becomes |users active within TTL|. */
+  def userSteps(
+      events: DataFrame,
+      idleTimeout: Option[String] = None): Dataset[FunnelSnapshot] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val base = events
       .select(col("user_id").cast("long").as("user_id"),
         col("event_type"),
-        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
-      .as[FunnelEvent]
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        expr("cast(ts as timestamp)").as("__event_time"))
+    val wm = idleTimeout.fold(base)(d => base.withWatermark("__event_time", d))
+    val ttlMs = ttlMillis(idleTimeout)
+    wm.as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        funnelStep)
+      .flatMapGroupsWithState(OutputMode.Update,
+        if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(funnelStep(ttlMs))
   }
 
   /** The batch rollup over the LATEST funnel snapshots: users reached
@@ -128,10 +172,14 @@ object StreamingEventAnalytics {
     if (off >= 0 && off < HorizonDays)
       words((off / 64).toInt) |= (1L << (off % 64).toInt)
 
-  private def retentionStep(
+  private def retentionStep(ttlMs: Long)(
       user: Long,
       it: Iterator[RetentionEvent],
       state: GroupState[RetentionState]): Iterator[RetentionSnapshot] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val days = it.map(_.day).toSeq
     val prev = state.getOption
     val day0 = (prev.map(_.day0).toList ++ days).min
@@ -152,6 +200,8 @@ object StreamingEventAnalytics {
     days.foreach(d => setBit(words, d - day0))
     val version = prev.map(_.version).getOrElse(0L) + 1
     state.update(RetentionState(day0, words, version))
+    if (ttlMs > 0)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
     val active = (0 until HorizonDays).collect {
       case off if (words(off / 64) & (1L << (off % 64))) != 0L => day0 + off
     }
@@ -160,17 +210,26 @@ object StreamingEventAnalytics {
 
   /** Per-user first-touch anchor + active-day bitmap over a streaming
     * (user_id, ts) feed. Emits versioned snapshots carrying the
-    * absolute active days — run in Update mode, latest version wins. */
-  def userActivity(events: DataFrame): Dataset[RetentionSnapshot] = {
+    * absolute active days — run in Update mode, latest version wins.
+    * `idleTimeout` as in [[userSteps]]: None = keep every user's
+    * state (bounded keyspaces); Some(ttl) = watermark + state removal
+    * for users idle past the TTL (a returning user re-cohorts). */
+  def userActivity(
+      events: DataFrame,
+      idleTimeout: Option[String] = None): Dataset[RetentionSnapshot] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val base = events
       .select(col("user_id").cast("long").as("user_id"),
-        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
-      .as[RetentionEvent]
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        expr("cast(ts as timestamp)").as("__event_time"))
+    val wm = idleTimeout.fold(base)(d => base.withWatermark("__event_time", d))
+    val ttlMs = ttlMillis(idleTimeout)
+    wm.as[RetentionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        retentionStep)
+      .flatMapGroupsWithState(OutputMode.Update,
+        if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(retentionStep(ttlMs))
   }
 
   /** The batch rollup over the LATEST retention snapshots:

@@ -63,6 +63,24 @@ class MlBridgeSpec extends AnyFunSuite {
       s"cost diverged: lite $liteCost vs mllib $mlCost")
   }
 
+  test("train-anywhere, serve-here: an MLlib-trained codebook drives IVF search like KMeansLite's") {
+    val k = 4; val iters = 2
+    // same init, same pass count => near-identical centroids (proved
+    // above), so the float codebooks and hence the served top-k match
+    val (liteCents, _) = KMeansLite.fit(emb, "vec_id", "embedding", k, iters)
+    val liteBook = KMeansLite.asFloatCodebook(liteCents)
+    val (mlCents, _) = MlBridge.kmeansFit(emb, "vec_id", "embedding", k, iters)
+    val mlBook = spark.createDataFrame(
+      mlCents.zipWithIndex.map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) })
+      .toDF("cell", "__cent")
+    def serve(book: org.apache.spark.sql.DataFrame) =
+      Similarity.topKCosineIvfTrained(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, book)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(serve(liteBook) === serve(mlBook))
+  }
+
   test("quality classifier: the trained LR path behaves like the closed form") {
     val docs = Tables.documents(spark, sf)
     val seed = col("source").isin("src1", "src4", "src7")

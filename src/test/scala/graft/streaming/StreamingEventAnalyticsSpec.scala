@@ -96,6 +96,114 @@ class StreamingEventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel TTL: an idle user's state is dropped and a return restarts fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000000L
+    val day1 = 365L * 24 * hour // off t=0 (epoch-0 sits on the initial watermark)
+    val src = MemoryStream[(Long, String, Long)]
+    // upsert-by-emission-order collector (a TTL restart resets the
+    // version counter, so max-version "latest" is wrong across
+    // incarnations — emission order is the documented tiebreaker)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, StreamingEventAnalytics.FunnelSnapshot)]
+    val q = StreamingEventAnalytics.userSteps(toEventDf(src), idleTimeout = Some("1 hour"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[StreamingEventAnalytics.FunnelSnapshot],
+         bid: Long) =>
+          val rows = ds.collect()
+          emitted.synchronized { rows.foreach(r => emitted += ((bid, r))) }
+      }
+      .start()
+    try {
+      src.addData(Seq((1L, "view", day1), (1L, "click", day1 + hour / 6)))
+      q.processAllAvailable()
+      // watermark drivers: far-future rows on a separate key; timeouts
+      // only fire in data-triggered batches (two pushes: one to raise
+      // the watermark, one to fire the timeout)
+      src.addData(Seq((999L, "view", day1 + 10 * hour))); q.processAllAvailable()
+      src.addData(Seq((999L, "view", day1 + 11 * hour))); q.processAllAvailable()
+      // user 1 returns long after the TTL: state must have restarted
+      src.addData(Seq((1L, "purchase", day1 + 12 * hour))); q.processAllAvailable()
+      val u1 = emitted.synchronized {
+        emitted.filter(_._2.user_id == 1L).maxBy(_._1)._2
+      }
+      assert(u1.version === 1L, "state should have been dropped and restarted")
+      assert(u1.t1.isEmpty && u1.t3.isEmpty,
+        "a fresh funnel has no view/purchase steps from the purged history")
+    } finally q.stop()
+  }
+
+  test("retention TTL: an idle user re-cohorts on return") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    val src = MemoryStream[(Long, String, Long)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, StreamingEventAnalytics.RetentionSnapshot)]
+    val q = StreamingEventAnalytics.userActivity(toEventDf(src), idleTimeout = Some("1 hour"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[StreamingEventAnalytics.RetentionSnapshot],
+         bid: Long) =>
+          val rows = ds.collect()
+          emitted.synchronized { rows.foreach(r => emitted += ((bid, r))) }
+      }
+      .start()
+    try {
+      src.addData(Seq((9L, "e", 10L * day))); q.processAllAvailable()
+      src.addData(Seq((999L, "e", 50L * day))); q.processAllAvailable()
+      src.addData(Seq((999L, "e", 51L * day))); q.processAllAvailable()
+      src.addData(Seq((9L, "e", 60L * day))); q.processAllAvailable()
+      val u9 = emitted.synchronized {
+        emitted.filter(_._2.user_id == 9L).maxBy(_._1)._2
+      }
+      assert(u9.version === 1L && u9.day0 === 60L,
+        "the returning user must re-cohort at the new first-touch day")
+    } finally q.stop()
+  }
+
+  test("funnel: state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val src = MemoryStream[(Long, String, Long)]
+    // the memory-table sink refuses checkpoint recovery; foreachBatch
+    // (the production upsert shape) recovers fine
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingEventAnalytics.FunnelSnapshot]
+    def start() = StreamingEventAnalytics.userSteps(toEventDf(src))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[StreamingEventAnalytics.FunnelSnapshot],
+         _: Long) =>
+          val rows = ds.collect()
+          emitted.synchronized { rows.foreach(emitted += _) }
+      }
+      .start()
+    val q1 = start()
+    try {
+      src.addData(Seq((5L, "view", 100L), (5L, "click", 200L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the per-user state must carry over,
+    // so the purchase completes the funnel begun before the restart
+    val q2 = start()
+    try {
+      src.addData(Seq((5L, "purchase", 300L)))
+      q2.processAllAvailable()
+      val u5 = emitted.synchronized {
+        emitted.filter(_.user_id == 5L).maxBy(_.version)
+      }
+      assert((u5.t1, u5.t2, u5.t3) === ((Some(100L), Some(200L), Some(300L))),
+        "the restarted query must remember the pre-restart view and click")
+      assert(u5.version === 2L, "state version continues across the restart")
+    } finally q2.stop()
+  }
+
   test("retention: a late earlier event re-anchors the cohort; beyond-horizon activity drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
