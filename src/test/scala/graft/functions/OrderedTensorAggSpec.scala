@@ -127,6 +127,23 @@ class OrderedTensorAggSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("the tensor aggregates are SQL functions via SparkSessionExtensions") {
+    import spark.implicits._
+    Seq((1L, 0, Seq(1.0, 2.0)), (1L, 1, Seq(3.0, 4.0)))
+      .toDF("g", "i", "v").createOrReplaceTempView("ovs_sql")
+    val s = spark.sql("SELECT ordered_vector_sum(i, v) AS s FROM ovs_sql GROUP BY g")
+      .head.getSeq[Double](0)
+    assert(s === Seq(4.0, 6.0))
+    Seq((1L, 0, 0, 1, Seq(9.0)), (1L, 0, 1, 0, Seq(8.0)),
+      (1L, 1, 0, 0, Seq(7.0)), (1L, 1, 1, 1, Seq(6.0)))
+      .toDF("g", "i", "j", "a", "e").createOrReplaceTempView("ae_sql")
+    val r = spark.sql(
+      "SELECT adjacency_edges(i, j, a, e) AS ae FROM ae_sql GROUP BY g").head
+    val ae = r.getStruct(0)
+    assert(ae.getSeq[Seq[Int]](0) === Seq(Seq(1, 0), Seq(0, 1)))
+    assert(ae.getSeq[Seq[Double]](1) === Seq(Seq(9.0), Seq(6.0)))
+  }
+
   test("orderedVectorSum: a null vector nulls the group (zip_with semantics)") {
     import spark.implicits._
     val df = Seq(
