@@ -23,34 +23,59 @@ import org.apache.spark.sql.functions._
   *
   * Measured on the sf0.01 synthetic embeddings (near-uniform random —
   * the hardest geometry for ANN): ivf_p1 0.24, ivf_p2 0.35,
-  * lsh_bucketed 0.00. The numbers are the POINT, not a defect: random
-  * vectors have no cluster structure for cell-local search to
-  * exploit, the probe knob demonstrably buys recall (the FAISS
-  * nprobe trade), and the 16-plane LSH buckets are so fine that
-  * queries rarely share a bucket with their true neighbors — run this
-  * eval on the real corpus before picking a serving path.
+  * lsh_bucketed 0.00, pq_adc 0.025 (vs its exact-L2 truth — 8 codes
+  * per 16-dim subspace is ~3 bits/subspace, hopeless on clusterless
+  * vectors). The numbers are the POINT, not a defect: random vectors
+  * have no structure for cell-local search or codebooks to exploit,
+  * the probe knob demonstrably buys recall (the FAISS nprobe trade),
+  * and the 16-plane LSH buckets are so fine that queries rarely share
+  * a bucket with their true neighbors — run this eval on the real
+  * corpus before picking any serving path or its knobs.
   */
 object AnnEval {
 
-  /** Recall@k of the IVF (single-probe, cell-local) and random-
-    * hyperplane LSH-bucketed ANN paths vs exact cosine top-k. */
+  /** Recall@k of every approximate serving path against its exact
+    * ground truth: the cosine paths (single-/multi-probe IVF, random-
+    * hyperplane LSH buckets) vs exact cosine top-k, and PQ-ADC vs
+    * exact L2 top-k (PQ ranks by quantized L2 — comparing it to the
+    * cosine truth would conflate metric choice with quantization
+    * error). `dim` is the PQ input dimension. */
   def recallAtK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       queryPred: Column,
       k: Int,
-      nCentroids: Int = 8): DataFrame = {
+      nCentroids: Int = 8,
+      dim: Int = 64): DataFrame = {
     val q = emb.filter(queryPred)
-    val truth = Similarity.topKCosine(emb, q, idCol, vecCol, k)
+
+    def truthOf(topk: DataFrame) = topk
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
-    val possible = truth.agg(count(lit(1)).as("possible"))
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf_p1" -> Similarity.topKCosineIvf(emb, q, idCol, vecCol, k, nCentroids),
-      "ivf_p2" -> Similarity.topKCosineIvf(emb, q, idCol, vecCol, k, nCentroids,
-        nProbe = 2),
-      "lsh_bucketed" -> Similarity.topKCosineBucketed(emb, q, idCol, vecCol, k))
-    methods.map { case (name, df) =>
+    val cosTruth = truthOf(Similarity.topKCosine(emb, q, idCol, vecCol, k))
+    // exact L2 ground truth — same brute-force shape, Pq's distance
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val l2Truth = truthOf(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .crossJoin(broadcast(q.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__d", Pq.l2sq(col("__qv"), col("__cv")))
+        .withColumn("rank", row_number().over(wL2))
+        .filter(col("rank") <= k))
+
+    val methods: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("ivf_p1", Similarity.topKCosineIvf(emb, q, idCol, vecCol, k, nCentroids),
+        cosTruth),
+      ("ivf_p2", Similarity.topKCosineIvf(emb, q, idCol, vecCol, k, nCentroids,
+        nProbe = 2), cosTruth),
+      ("lsh_bucketed", Similarity.topKCosineBucketed(emb, q, idCol, vecCol, k),
+        cosTruth),
+      ("pq_adc", Pq.topKAdc(emb, q, idCol, vecCol, kNeighbors = k,
+        dim = dim, m = 4, k = nCentroids), l2Truth))
+    methods.map { case (name, df, truth) =>
+      val possible = truth.agg(count(lit(1)).as("possible"))
       df.select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("returned"),

@@ -747,6 +747,10 @@ object LlmQueries extends QueryModule {
         val cosQC = Similarity.cosineSql("q.qv", "c.cv")
         val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
         val bucket = Similarity.lshBucketSql("embedding")
+        val l2QC = Pq.l2sqSql("q.qv", "c.cv")
+        def sl(v: String) = s"list_slice($v, s.sub * 16 + 1, s.sub * 16 + 16)"
+        val dEnc = Pq.l2sqSql(sl("v.embedding"), sl("cbq.embedding"))
+        val dLut = Pq.l2sqSql(sl("q.embedding"), sl("cbq.embedding"))
         s"""WITH cents AS (
            |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
            |         embedding
@@ -790,23 +794,58 @@ object LlmQueries extends QueryModule {
            |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
            |  FROM qb q JOIN cb c USING (bucket) WHERE q.query_id <> c.neighbor_id) r
            |  WHERE rank <= 5),
-           |pos AS (SELECT count(*) AS possible FROM ex)
-           |SELECT m.method, m.returned, m.hits, pos.possible,
-           |       CAST(round(CAST(CAST(m.hits AS DOUBLE) / pos.possible
+           |exl2 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $l2QC ASC, c.neighbor_id ASC) AS rank
+           |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |cbq AS (SELECT cell AS code, embedding FROM cents),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+           |encd AS (
+           |  SELECT vec_id AS neighbor_id, sub, code FROM (
+           |    SELECT v.vec_id, s.sub, cbq.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY $dEnc ASC, cbq.code ASC) AS rn
+           |    FROM embeddings v CROSS JOIN subs s CROSS JOIN cbq) WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, s.sub, cbq.code,
+           |         CAST($dLut AS DECIMAL(20,9)) AS d
+           |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cbq WHERE q.vec_id < 16),
+           |pq AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM (SELECT l.query_id, e.neighbor_id,
+           |               CAST(sum(l.d) AS DOUBLE) AS adist
+           |        FROM encd e JOIN lut l USING (sub, code)
+           |        WHERE l.query_id <> e.neighbor_id
+           |        GROUP BY 1, 2) sc) r
+           |  WHERE rank <= 5)
+           |SELECT m.method, m.returned, m.hits, m.possible,
+           |       CAST(round(CAST(CAST(m.hits AS DOUBLE) / m.possible
            |            AS DECIMAL(20,9)), 6) AS DOUBLE) AS recall
            |FROM (
            |  SELECT 'ivf_p1' AS method, CAST(count(*) AS BIGINT) AS returned,
-           |         CAST(count(ex.query_id) AS BIGINT) AS hits
+           |         CAST(count(ex.query_id) AS BIGINT) AS hits,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex) AS possible
            |  FROM iv LEFT JOIN ex USING (query_id, neighbor_id)
            |  UNION ALL
            |  SELECT 'ivf_p2', CAST(count(*) AS BIGINT),
-           |         CAST(count(ex.query_id) AS BIGINT)
+           |         CAST(count(ex.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
            |  FROM iv2 LEFT JOIN ex USING (query_id, neighbor_id)
            |  UNION ALL
            |  SELECT 'lsh_bucketed', CAST(count(*) AS BIGINT),
-           |         CAST(count(ex.query_id) AS BIGINT)
+           |         CAST(count(ex.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
            |  FROM lb LEFT JOIN ex USING (query_id, neighbor_id)
-           |) m CROSS JOIN pos""".stripMargin
+           |  UNION ALL
+           |  SELECT 'pq_adc', CAST(count(*) AS BIGINT),
+           |         CAST(count(exl2.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
+           |  FROM pq LEFT JOIN exl2 USING (query_id, neighbor_id)
+           |) m""".stripMargin
       }),
 
     // ----- SemDeDup: cluster-local semantic dedup (arXiv:2303.09540) -----
