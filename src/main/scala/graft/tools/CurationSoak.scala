@@ -161,6 +161,10 @@ object CurationSoak {
         graft.llm.LshEval.recallCurve(docs, "doc_id", "text", n = 3,
           thresholds = Seq(0.02, 0.05, 0.1, 0.2), maxDf = 50)
       },
+      "ann_recall" -> { () =>
+        graft.llm.AnnEval.recallAtK(emb, "vec_id", "embedding",
+          col("vec_id") < 16, k = 5)
+      },
       "evt_funnel" -> { () =>
         import org.apache.spark.sql.functions.{col, min => fmin}
         val ev = Tables.events(spark, sfDir)
