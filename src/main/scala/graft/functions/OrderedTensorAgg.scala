@@ -252,7 +252,17 @@ private[graft] case class AdjacencyEdgesAgg(
   * Null semantics mirror the fold: a null vector nulls the whole
   * result (zip_with(acc, null) = null), a null element nulls its
   * position, and length mismatches null the positions the shorter
-  * vector lacks (zip_with pads with null). */
+  * vector lacks (zip_with pads with null).
+  *
+  * Parity caveat: the generic fold seeds with a FIXED-length
+  * `zeros(dim)` initializer, so a group whose vectors are ALL shorter
+  * than `dim` still returns `dim` elements (null tail); this agg has
+  * no dim argument and returns the longest length actually seen.
+  * Bit-identical parity therefore assumes every input vector has the
+  * uniform declared length — the [[graft.graphs.GnnInference]]
+  * invariant (its vectors are dense dim-length rows by construction),
+  * spec-pinned in OrderedTensorAggSpec. Callers with ragged inputs
+  * who need the zeros-initializer shape should pad to `dim` upstream. */
 private[graft] case class OrderedVectorSumAgg(
     idx: Expression,
     vec: Expression,

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * vectors). The numbers are the POINT, not a defect: random vectors
   * have no structure for cell-local search or codebooks to exploit,
   * the probe knob demonstrably buys recall (the FAISS nprobe trade),
-  * and the 16-plane LSH buckets are so fine that queries rarely share
-  * a bucket with their true neighbors — run this eval on the real
+  * and the 8-plane LSH buckets (2^8 = 256 of them) are so fine that
+  * queries rarely share a bucket with their true neighbors — run this eval on the real
   * corpus before picking any serving path or its knobs.
   */
 object AnnEval {

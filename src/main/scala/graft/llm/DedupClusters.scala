@@ -100,12 +100,20 @@ object DedupClusters {
     * label-for-label cross-check (GraphXBridgeSpec) and the fallback
     * for non-integral node ids.
     *
-    * Requires integral node ids (GraphX VertexId = Long). */
+    * Requires integral node ids (GraphX VertexId = Long).
+    *
+    * Runs to the Pregel fixed point by default (`maxIter =
+    * Int.MaxValue`): a capped run silently returns
+    * partially-propagated labels when a component's diameter exceeds
+    * the cap — exactly the chain-shaped duplicate graphs the
+    * relational loop fails loudly on — so the default must never
+    * under-iterate. Pregel stops as soon as no label changes, so the
+    * uncapped call costs O(diameter) supersteps, not Int.MaxValue. */
   def connectedComponentsGraphX(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = Int.MaxValue): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs

@@ -440,7 +440,10 @@ object Multimodal {
           val id = cc(payload, o)
           val size = rd32(payload, o + 4)
           val body = o + 8
-          if (body + size > to) return // truncated chunk — stop cleanly
+          // a negative size (sign bit set in the little-endian u32) is a
+          // corrupt chunk: it would wrap `body + size` below `to` and stall
+          // the offset, so treat it like truncation and stop cleanly
+          if (size < 0 || body + size > to) return
           id match {
             case "LIST" =>
               walk(body + 4, body + size) // skip the list-kind fourcc
@@ -462,11 +465,13 @@ object Multimodal {
               if (img != null) { frames += ((frameNo, img)); frameNo += 1 }
             case _ => ()
           }
-          o = body + size + (size % 2) // odd sizes carry a pad byte
+          val next = body + size + (size % 2) // odd sizes carry a pad byte
+          if (next <= o) return // defensive: never stall on a zero advance
+          o = next
         }
       }
       try walk(12, math.min(payload.length, 8 + rd32(payload, 4)))
-      catch { case _: ArrayIndexOutOfBoundsException => return Nil }
+      catch { case scala.util.control.NonFatal(_) => return Nil }
       frames.toSeq
     }
   }

@@ -36,23 +36,30 @@ object HonestBench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val headline = SparkEntry.allQueries.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
+    // a query that fails must NOT fold its time-to-failure into the
+    // honest total (it would read as a speedup) — track it separately
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { q =>
-      try consumeAll(q.run(spark, sfDir)) catch { case _: Throwable => () }
+      try consumeAll(q.run(spark, sfDir))
+      catch { case scala.util.control.NonFatal(_) => failed += q.name }
       spark.catalog.clearCache()
     }
-    val results = headline.map { q =>
-      val times = (1 to 3).map { _ =>
+    val results = headline.filterNot(q => failed.contains(q.name)).flatMap { q =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try consumeAll(q.run(spark, sfDir)) catch { case _: Throwable => () }
+        val ok =
+          try { consumeAll(q.run(spark, sfDir)); true }
+          catch { case scala.util.control.NonFatal(_) => failed += q.name; false }
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      q.name -> times.min
+      if (times.size == 3) Some(q.name -> times.min) else None
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"honest_total","value":${results.map(_._2).sum},""" +
-      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s""""unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

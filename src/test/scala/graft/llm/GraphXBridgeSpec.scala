@@ -37,6 +37,26 @@ class GraphXBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("converges on a chain whose diameter exceeds the old 20-superstep cap") {
+    // 60-node chain: a capped ConnectedComponents.run(graph, 20) would
+    // silently return partially-propagated labels here (the exact case
+    // the relational loop fails loudly on); the uncapped default must
+    // label every node with the chain's minimum id
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gx = labelsOf(DedupClusters.connectedComponentsGraphX(pairs, "id_a", "id_b"))
+    assert(gx.size === 60)
+    assert(gx.values.toSet === Set(1L), "all 60 chain nodes must share component 1")
+    // the relational loop propagates one hop per round, so the same
+    // chain needs its cap raised explicitly — its 20-round default
+    // fails loudly here (by design), never silently
+    assertThrows[IllegalStateException] {
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    }
+    val rel = labelsOf(
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 64))
+    assert(rel === gx)
+  }
+
   test("agrees with GraphX on the real minhash near-dup graph (sf0.001)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = MinHash.nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.2)

@@ -61,6 +61,31 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(Multimodal.AviCodec.readFrames(truncated).size < 3)
   }
 
+  test("corrupt chunk sizes terminate: negative and zero-advance chunks") {
+    val good = Multimodal.syntheticAvi(1L, 3, 8, 6)
+    // corrupt the first movi-chunk size field to -8: body+size wraps
+    // below `to` and the offset would stall forever without the guard
+    def rd32(a: Array[Byte], o: Int): Int =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+        ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+    def findChunk(a: Array[Byte], id: String): Int = {
+      val pat = id.getBytes("US-ASCII")
+      (0 until a.length - 4).find(i => pat.indices.forall(j => a(i + j) == pat(j))).get
+    }
+    for (bad <- Seq(-8, -1, Int.MinValue)) {
+      val corrupt = good.clone()
+      val at = findChunk(corrupt, "00db") + 4
+      corrupt(at) = (bad & 0xff).toByte
+      corrupt(at + 1) = ((bad >> 8) & 0xff).toByte
+      corrupt(at + 2) = ((bad >> 16) & 0xff).toByte
+      corrupt(at + 3) = ((bad >> 24) & 0xff).toByte
+      assert(rd32(corrupt, at) === bad)
+      // must return (frames before the corruption at most), not hang/throw
+      val frames = Multimodal.AviCodec.readFrames(corrupt)
+      assert(frames.size < 3)
+    }
+  }
+
   test("videoFrameStats: distributed per-frame stats with stride, non-AVI rows drop out") {
     import spark.implicits._
     val media = spark.range(3).map { id =>
