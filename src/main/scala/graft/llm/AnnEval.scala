@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   * have no structure for cell-local search or codebooks to exploit,
   * the probe knob demonstrably buys recall (the FAISS nprobe trade),
   * and the 8-plane LSH buckets (2^8 = 256 of them) are so fine that
-  * queries rarely share a bucket with their true neighbors — run this eval on the real
-  * corpus before picking any serving path or its knobs.
+  * queries rarely share a bucket with their true neighbors — run
+  * this eval on the real corpus before picking any serving path or
+  * its knobs.
+  *
+  * The eval also measures the in-engine remedy: `pq_adc_refine`
+  * ([[Pq.topKAdcRefined]] — 3k-deep ADC shortlist, exact re-rank)
+  * sits next to `pq_adc` so the recall lift of refinement is read
+  * off the same run that exposes the quantization loss.
   */
 object AnnEval {
 
@@ -73,7 +79,11 @@ object AnnEval {
       ("lsh_bucketed", Similarity.topKCosineBucketed(emb, q, idCol, vecCol, k),
         cosTruth),
       ("pq_adc", Pq.topKAdc(emb, q, idCol, vecCol, kNeighbors = k,
-        dim = dim, m = 4, k = nCentroids), l2Truth))
+        dim = dim, m = 4, k = nCentroids), l2Truth),
+      // the remedy next to the disease: same ADC scan, 3k shortlist,
+      // exact re-rank — recall ≥ pq_adc's by construction
+      ("pq_adc_refine", Pq.topKAdcRefined(emb, q, idCol, vecCol, kNeighbors = k,
+        dim = dim, m = 4, k = nCentroids, refineFactor = 3), l2Truth))
     methods.map { case (name, df, truth) =>
       val possible = truth.agg(count(lit(1)).as("possible"))
       df.select(col("query_id"), col("neighbor_id"))

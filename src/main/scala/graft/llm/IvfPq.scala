@@ -139,4 +139,32 @@ object IvfPq {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("__adist"), 6).as("adist"))
   }
+
+  /** IVF-ADC shortlist + exact re-ranking — `IndexRefineFlat` over
+    * `IndexIVFPQ`, the full FAISS billion-vector serving stack. The
+    * inverted file bounds WHICH vectors are scored (nprobe cells),
+    * the residual-PQ codes bound the scan's memory, and the refine
+    * stage ([[Similarity.refineTopK]]) re-scores the
+    * `kNeighbors · refineFactor` shortlist with exact squared-L2 so
+    * quantization error cannot mis-order the final top-k. The refine
+    * join touches ≤|Q|·k′ full-precision vectors — candidate-bounded,
+    * not cell-bounded. Output: (query_id, neighbor_id, rank, dist). */
+  def topKAdcRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      dim: Int,
+      nlist: Int = 4,
+      nprobe: Int = 2,
+      m: Int = 4,
+      k: Int = 8,
+      refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor=$refineFactor must be >= 1")
+    val shortlist = topKAdc(corpus, queries, idCol, vecCol,
+      kNeighbors * refineFactor, dim, nlist, nprobe, m, k)
+    Similarity.refineTopK(corpus, queries, shortlist, idCol, vecCol,
+      kNeighbors, metric = "l2")
+  }
 }

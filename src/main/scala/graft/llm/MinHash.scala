@@ -64,12 +64,15 @@ object MinHash {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      hash: Column => Column = TextHash.polyHash): DataFrame = {
+      hash: Column => Column = TextHash.polyHash,
+      numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes >= 1 && numHashes <= A.length,
+      s"numHashes=$numHashes needs 1..${A.length} fixed permutations")
     val sh = shingleHashes(docs, idCol, textCol, n, hash)
     sh.groupBy(col(idCol))
       .agg(
         min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
-        (1 until NumHashes).map(i =>
+        (1 until numHashes).map(i =>
           min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
   }
 
@@ -85,12 +88,16 @@ object MinHash {
   def candidatePairs(
       sig: DataFrame,
       idCol: String,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val bandRows = (0 until Bands).map { b =>
+      maxBucket: Option[Int] = None,
+      bands: Int = Bands,
+      rows: Int = Rows): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
+      s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
+    val bandRows = (0 until bands).map { b =>
       sig.select(
         col(idCol),
         lit(b).as("band"),
-        struct((0 until Rows).map(r => col(s"mh${b * Rows + r}").as(s"k$r")): _*).as("key"))
+        struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"k$r")): _*).as("key"))
     }.reduce(_ unionByName _)
     // the bucket-size window shuffles on the same (band, key) the join
     // itself needs, so the cap adds no extra exchange round
@@ -123,7 +130,9 @@ object MinHash {
       n: Int = 3,
       threshold: Double = 0.2,
       hash: Column => Column = TextHash.polyHash,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      bands: Int = Bands,
+      rows: Int = Rows): DataFrame = {
     // the distinct (id, shingle-hash) table feeds four consumers
     // (signatures, sizes, both intersection sides); all four build on
     // the SAME distinct() subtree so Catalyst's ReusedExchange serves
@@ -133,9 +142,9 @@ object MinHash {
     val sigs = sh.groupBy(col(idCol))
       .agg(
         min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
-        (1 until NumHashes).map(i =>
+        (1 until (bands * rows)).map(i =>
           min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
-    val pairs = candidatePairs(sigs, idCol, maxBucket)
+    val pairs = candidatePairs(sigs, idCol, maxBucket, bands, rows)
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
@@ -150,5 +159,59 @@ object MinHash {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The banded-LSH S-curve: probability that a pair with Jaccard
+    * similarity `s` collides in at least one of `bands` bands of
+    * `rows` minhashes each — `1 − (1 − s^r)^b` (Leskovec/Rajaraman/
+    * Ullman, MMDS §3.4.2). The curve's midpoint sits near
+    * `(1/b)^(1/r)`. */
+  def collisionProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** A chosen (bands, rows) split with its closed-form operating
+    * point: predicted recall at the target threshold and the
+    * false-positive collision rate at half the threshold (the
+    * wasted-verification proxy — every sub-threshold collision costs
+    * an exact-Jaccard check downstream). */
+  final case class BandTuning(
+      bands: Int,
+      rows: Int,
+      predictedRecall: Double,
+      fpAtHalfThreshold: Double)
+
+  /** Knob auto-tuning from the S-curve the empirical
+    * `q_doc_lsh_recall` eval validated: choose (bands, rows) with
+    * `bands · rows ≤ maxHashes` such that the closed-form collision
+    * probability at `threshold` meets `targetRecall`, and among the
+    * feasible splits minimize the false-positive rate at
+    * `threshold / 2` (then prefer fewer total hashes). If no split
+    * within the hash budget can reach the target — steep targets at
+    * low thresholds need r=1 and many bands — the split with the
+    * highest achievable recall is returned; callers detect the miss
+    * via `predictedRecall < targetRecall`.
+    *
+    * This is a driver-side closed form over ≤ maxHashes² integer
+    * splits — no data is touched; pass the result's (bands, rows)
+    * to [[nearDuplicates]] / [[candidatePairs]]. */
+  def tuneBands(
+      threshold: Double,
+      targetRecall: Double,
+      maxHashes: Int = NumHashes): BandTuning = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold=$threshold must be in (0,1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall must be in (0,1)")
+    require(maxHashes >= 1 && maxHashes <= A.length,
+      s"maxHashes=$maxHashes needs 1..${A.length} fixed permutations")
+    val options = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+    } yield BandTuning(b, r,
+      collisionProbability(threshold, b, r),
+      collisionProbability(threshold / 2, b, r))
+    val feasible = options.filter(_.predictedRecall >= targetRecall)
+    if (feasible.nonEmpty)
+      feasible.minBy(t => (t.fpAtHalfThreshold, t.bands * t.rows))
+    else
+      options.maxBy(t => (t.predictedRecall, -t.fpAtHalfThreshold))
   }
 }

@@ -128,4 +128,29 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("__adist"), 6).as("adist"))
   }
+
+  /** ADC shortlist + exact re-ranking ([[Similarity.refineTopK]]):
+    * the quantized scan proposes `kNeighbors · refineFactor`
+    * candidates per query, then exact squared-L2 on ONLY those
+    * candidates picks the final top-k — the standard FAISS remedy for
+    * ADC's quantization-error mis-ordering (recall@k ≥ the unrefined
+    * path's, cost one candidate-bounded corpus probe). Output:
+    * (query_id, neighbor_id, rank, dist round 6) — TRUE distances,
+    * unlike [[topKAdc]]'s approximate `adist`. */
+  def topKAdcRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      dim: Int,
+      m: Int = 4,
+      k: Int = 8,
+      refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor=$refineFactor must be >= 1")
+    val shortlist = topKAdc(corpus, queries, idCol, vecCol,
+      kNeighbors * refineFactor, dim, m, k)
+    Similarity.refineTopK(corpus, queries, shortlist, idCol, vecCol,
+      kNeighbors, metric = "l2")
+  }
 }

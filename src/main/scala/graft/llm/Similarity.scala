@@ -250,7 +250,7 @@ object Similarity {
       .withColumn("__cc", cosine(col(outVec), col("__cent")))
       .withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= nProbe)
-      .select(col(outId), col(outVec), col("cell"))
+      .select(col(outId), col(outVec), col("cell"), col("__pr"))
   }
 
   def topKCosineIvf(
@@ -307,6 +307,141 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("__cos"), 6).as("cos_sim"))
+  }
+
+  /** The IVF nprobe recall curve, measured in ONE pass: recall@k of
+    * [[topKCosineIvf]] for every probe depth 1..maxProbe against the
+    * exact cosine top-k truth on the same query sample. The FAISS
+    * nprobe dial is corpus-geometry-dependent — this is the sampled
+    * probe the `q_emb_ann_recall` warning artifact calls for, turned
+    * into a per-knob curve so [[tuneProbes]] can pick the cheapest
+    * depth that meets a recall target.
+    *
+    * Scale shape: the probed candidate relation is built ONCE at
+    * maxProbe depth (the shapes of [[topKCosineIvf]] — broadcast
+    * codebook, cell-keyed search join); each candidate row then
+    * fans out only to the probe levels it is visible at (≤ maxProbe
+    * copies of a |candidates|-row relation, nothing corpus-sized),
+    * and one grouped aggregate per level scores the curve. The
+    * exact-truth side is the broadcast-query brute-force scan every
+    * eval here pays once.
+    *
+    * Output: (nprobe, returned, hits, possible, recall round 6),
+    * recall non-decreasing in nprobe by construction (candidate sets
+    * nest). */
+  def probeRecallCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      maxProbe: Int): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= nCentroids,
+      s"maxProbe=$maxProbe must be in 1..$nCentroids")
+    val cents = coarseCodebook(corpus, idCol, vecCol, nCentroids)
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "__cv")
+    val q = assignProbes(queries, cents, idCol, vecCol, "query_id", "__qv", maxProbe)
+    val truth = topKCosine(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
+    val cand = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("neighbor_id"), col("__cos"),
+        explode(sequence(col("__pr").cast("int"), lit(maxProbe))).as("nprobe"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    val top = cand
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= k)
+    val possible = truth.agg(count(lit(1)).as("possible"))
+    top.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("returned"),
+        sum(coalesce(col("__t"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(possible))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        col("returned"), col("hits").cast("long").as("hits"), col("possible"),
+        round((col("hits").cast("double") / col("possible"))
+          .cast("decimal(20,9)"), 6).cast("double").as("recall"))
+  }
+
+  /** Smallest nprobe whose measured recall@k on the sampled queries
+    * meets `targetRecall`; `maxProbe` when none does (the curve is
+    * non-decreasing, so that is the best available within the
+    * budget). The collect is the ≤maxProbe-row curve — driver-safe. */
+  def tuneProbes(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      targetRecall: Double,
+      maxProbe: Int): Int = {
+    val curve = probeRecallCurve(corpus, queries, idCol, vecCol, k, nCentroids, maxProbe)
+      .select(col("nprobe"), col("recall"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    (1 to maxProbe).find(p => curve.getOrElse(p, 0.0) >= targetRecall)
+      .getOrElse(maxProbe)
+  }
+
+  /** FAISS-style re-ranking refine stage (the `IndexRefineFlat` idea):
+    * take ANY approximate path's candidate shortlist — typically
+    * produced with k′ ≫ k — fetch the exact corpus vectors for ONLY
+    * those candidates, score them with the TRUE metric, and emit the
+    * exact top-k per query.
+    *
+    * Why it helps: quantized paths (PQ/IVF-PQ ADC) rank by
+    * approximate distances, so the true nearest neighbors are often
+    * IN the k′ shortlist but mis-ordered; exact re-scoring recovers
+    * them. Recall@k of the refined result is provably ≥ the
+    * unrefined path's for the same candidate set: every refined
+    * selection that displaces a true top-k item must itself have a
+    * strictly better exact score, hence be a true top-k item too
+    * (both sides break ties on ascending neighbor id).
+    *
+    * Scale shape: the candidate list is ≤|Q|·k′ rows — query-sized —
+    * so it BROADCASTS; the corpus is scanned once and only candidate
+    * rows survive the join (the full-precision vectors of
+    * non-candidates are never materialized); query vectors broadcast
+    * like every probe-side table here. The only shuffle is the
+    * ≤|Q|·k′-row per-query window — independent of corpus size.
+    *
+    * `metric`: "cosine" (descending `cos_sim`) or "l2" (ascending
+    * squared-L2 `dist`, [[Pq.l2sq]]'s exact fold).
+    * Output: (query_id, neighbor_id, rank, cos_sim|dist round 6). */
+  def refineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val withCv = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = withCv.join(broadcast(q), Seq("query_id"))
+    val (scoreCol, outName, w) =
+      if (metric == "cosine")
+        (cosine(col("__qv"), col("__cv")), "cos_sim",
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("__s").desc, col("neighbor_id").asc))
+      else
+        (Pq.l2sq(col("__qv"), col("__cv")), "dist",
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("__s").asc, col("neighbor_id").asc))
+    scored
+      .withColumn("__s", scoreCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("__s"), 6).as(outName))
   }
 
   /** Per-group elementwise mean vector (e.g. label centroids — the

@@ -738,7 +738,8 @@ object LlmQueries extends QueryModule {
     // approximate serving paths (single-probe IVF, random-hyperplane
     // LSH buckets) actually recall of the exact cosine top-k on THIS
     // corpus — the knob-tuning artifact for nCells/hyperplanes. The
-    // oracle replays all three pipelines and the metric.
+    // oracle replays every pipeline and the metric — including the
+    // pq_adc_refine remedy (15-deep ADC shortlist, exact L2 re-rank).
     GraftQuery(
       "q_emb_ann_recall",
       (s, d) => AnnEval.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -812,7 +813,7 @@ object LlmQueries extends QueryModule {
            |  SELECT q.vec_id AS query_id, s.sub, cbq.code,
            |         CAST($dLut AS DECIMAL(20,9)) AS d
            |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cbq WHERE q.vec_id < 16),
-           |pq AS (SELECT query_id, neighbor_id FROM (
+           |pqrk AS (
            |  SELECT query_id, neighbor_id,
            |         row_number() OVER (PARTITION BY query_id
            |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
@@ -820,8 +821,15 @@ object LlmQueries extends QueryModule {
            |               CAST(sum(l.d) AS DOUBLE) AS adist
            |        FROM encd e JOIN lut l USING (sub, code)
            |        WHERE l.query_id <> e.neighbor_id
-           |        GROUP BY 1, 2) sc) r
-           |  WHERE rank <= 5)
+           |        GROUP BY 1, 2) sc),
+           |pq AS (SELECT query_id, neighbor_id FROM pqrk WHERE rank <= 5),
+           |pqr AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, p.neighbor_id,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $l2QC ASC, p.neighbor_id ASC) AS rrank
+           |  FROM pqrk p JOIN q ON q.query_id = p.query_id
+           |              JOIN c ON c.neighbor_id = p.neighbor_id
+           |  WHERE p.rank <= 15) r WHERE rrank <= 5)
            |SELECT m.method, m.returned, m.hits, m.possible,
            |       CAST(round(CAST(CAST(m.hits AS DOUBLE) / m.possible
            |            AS DECIMAL(20,9)), 6) AS DOUBLE) AS recall
@@ -845,7 +853,71 @@ object LlmQueries extends QueryModule {
            |         CAST(count(exl2.query_id) AS BIGINT),
            |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
            |  FROM pq LEFT JOIN exl2 USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'pq_adc_refine', CAST(count(*) AS BIGINT),
+           |         CAST(count(exl2.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
+           |  FROM pqr LEFT JOIN exl2 USING (query_id, neighbor_id)
            |) m""".stripMargin
+      }),
+
+    // ----- IVF nprobe tuning curve: one pass, recall per probe depth -----
+    // The sampled recall probe that turns the ann_recall warning into a
+    // knob decision: candidates are generated ONCE at maxProbe depth,
+    // fanned out to the probe levels they are visible at, and scored
+    // per level — Similarity.tuneProbes picks the cheapest depth
+    // meeting a target from this curve.
+    GraftQuery(
+      "q_emb_probe_tuning",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.probeRecallCurve(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 5, nCentroids = 8, maxProbe = 3)
+      },
+      Some {
+        val cosQC = Similarity.cosineSql("qp.qv", "ci.cv")
+        val cosTQ = Similarity.cosineSql("q.qv", "c.cv")
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |asgr AS (
+           |  SELECT v.vec_id, v.embedding, ct.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id
+           |                            ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |  FROM embeddings v CROSS JOIN cents ct),
+           |ci AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell
+           |       FROM asgr WHERE crn = 1),
+           |qp AS (SELECT vec_id AS query_id, embedding AS qv, cell, crn AS pr
+           |       FROM asgr WHERE crn <= 3 AND vec_id < 16),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosTQ DESC, c.neighbor_id ASC) AS rank
+           |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
+           |lv AS (SELECT unnest(generate_series(1, 3)) AS nprobe),
+           |cand AS (
+           |  SELECT qp.query_id, ci.neighbor_id, $cosQC AS cosv, qp.pr
+           |  FROM qp JOIN ci USING (cell) WHERE qp.query_id <> ci.neighbor_id),
+           |cl AS (SELECT query_id, neighbor_id, cosv, l.nprobe
+           |       FROM cand JOIN lv l ON cand.pr <= l.nprobe),
+           |top AS (SELECT query_id, neighbor_id, nprobe FROM (
+           |  SELECT query_id, neighbor_id, nprobe,
+           |         row_number() OVER (PARTITION BY query_id, nprobe
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM cl) r WHERE rank <= 5)
+           |SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+           |       CAST(count(*) AS BIGINT) AS returned,
+           |       CAST(count(ex.query_id) AS BIGINT) AS hits,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS possible,
+           |       CAST(round(CAST(CAST(count(ex.query_id) AS DOUBLE) /
+           |            (SELECT count(*) FROM ex) AS DECIMAL(20,9)), 6) AS DOUBLE) AS recall
+           |FROM top t LEFT JOIN ex USING (query_id, neighbor_id)
+           |GROUP BY t.nprobe""".stripMargin
       }),
 
     // ----- SemDeDup: cluster-local semantic dedup (arXiv:2303.09540) -----
@@ -2174,6 +2246,133 @@ object LlmQueries extends QueryModule {
            |         row_number() OVER (PARTITION BY query_id
            |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
            |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- PQ-ADC + refine: shortlist by codes, re-rank exactly -----
+    // The FAISS IndexRefineFlat remedy for ADC quantization error:
+    // the quantized scan proposes a 3k shortlist, exact L2 on ONLY
+    // those candidates picks the final top-k. The oracle replays the
+    // whole journey — codebook, encoding, LUT sums, shortlist ranking,
+    // and the exact re-scoring — so a divergence anywhere flips the
+    // hash. Output carries TRUE distances (dist), not adist.
+    GraftQuery(
+      "q_emb_ann_refine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Pq.topKAdcRefined(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", kNeighbors = 3, dim = 64, m = 4, k = 8,
+          refineFactor = 3)
+      },
+      Some {
+        def sl(v: String) = s"list_slice($v, s.sub * 16 + 1, s.sub * 16 + 16)"
+        val dEnc = Pq.l2sqSql(sl("v.embedding"), sl("cb.embedding"))
+        val dLut = Pq.l2sqSql(sl("q.embedding"), sl("cb.embedding"))
+        val l2QC = Pq.l2sqSql("q.qv", "c.cv")
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS code,
+           |         embedding
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+           |encd AS (
+           |  SELECT vec_id AS neighbor_id, sub, code FROM (
+           |    SELECT v.vec_id, s.sub, cb.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY $dEnc ASC, cb.code ASC) AS rn
+           |    FROM embeddings v CROSS JOIN subs s CROSS JOIN cb) WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+           |         CAST($dLut AS DECIMAL(20,9)) AS d
+           |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cb WHERE q.vec_id < 16),
+           |shortl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM (SELECT l.query_id, e.neighbor_id,
+           |               CAST(sum(l.d) AS DOUBLE) AS adist
+           |        FROM encd e JOIN lut l USING (sub, code)
+           |        WHERE l.query_id <> e.neighbor_id
+           |        GROUP BY 1, 2) sc) r WHERE rank <= 9),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+           |SELECT query_id, neighbor_id, rank, round(dist, 6) AS dist FROM (
+           |  SELECT sh.query_id, sh.neighbor_id, $l2QC AS dist,
+           |         row_number() OVER (PARTITION BY sh.query_id
+           |                            ORDER BY $l2QC ASC, sh.neighbor_id ASC) AS rank
+           |  FROM shortl sh JOIN q ON q.query_id = sh.query_id
+           |                 JOIN c ON c.neighbor_id = sh.neighbor_id) r
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- IVF-PQ + refine: the full FAISS serving stack -----
+    // IndexRefineFlat over IndexIVFPQ: nprobe cells bound WHICH codes
+    // are scanned, residual-PQ bounds the scan's bytes, and the exact
+    // re-rank of the 3k shortlist undoes quantization mis-ordering.
+    GraftQuery(
+      "q_emb_ivfpq_refine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        IvfPq.topKAdcRefined(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", kNeighbors = 3, dim = 64,
+          nlist = 4, nprobe = 2, m = 4, k = 8, refineFactor = 3)
+      },
+      Some {
+        def l2(a: String, b: String) = KMeansLite.l2sqFoldSql(a, b)
+        def sl(v: String) = s"list_slice($v, s.sub * 16 + 1, s.sub * 16 + 16)"
+        val resV = IvfPq.residualSql("e.embedding", "c.cent")
+        val resQ = IvfPq.residualSql("q.embedding", "c.cent")
+        val l2QC = Pq.l2sqSql("qf.qv", "cf.cv")
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding AS cent
+           |  FROM embeddings ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 4),
+           |res AS (
+           |  SELECT vec_id, cell, r FROM (
+           |    SELECT e.vec_id, c.cell, $resV AS r,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${l2("e.embedding", "c.cent")} ASC,
+           |                                       c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+           |rcb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS code,
+           |         r AS rv
+           |  FROM res ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+           |encd AS (
+           |  SELECT vec_id AS neighbor_id, cell, sub, code FROM (
+           |    SELECT v.vec_id, v.cell, s.sub, rc.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY ${l2(sl("v.r"), sl("rc.rv"))} ASC,
+           |                                       rc.code ASC) AS rn
+           |    FROM res v CROSS JOIN subs s CROSS JOIN rcb rc) WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, cell, qr FROM (
+           |    SELECT q.vec_id AS query_id, c.cell, $resQ AS qr,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY ${l2("q.embedding", "c.cent")} ASC,
+           |                                       c.cell ASC) AS pr
+           |    FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 16) WHERE pr <= 2),
+           |lut AS (
+           |  SELECT p.query_id, p.cell, s.sub, rc.code,
+           |         CAST(${l2(sl("p.qr"), sl("rc.rv"))} AS DECIMAL(20,9)) AS d
+           |  FROM probes p CROSS JOIN subs s CROSS JOIN rcb rc),
+           |shortl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM (SELECT l.query_id, e.neighbor_id,
+           |               CAST(sum(l.d) AS DOUBLE) AS adist
+           |        FROM encd e JOIN lut l USING (cell, sub, code)
+           |        WHERE l.query_id <> e.neighbor_id
+           |        GROUP BY 1, 2) sc) r WHERE rank <= 9),
+           |qf AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+           |cf AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+           |SELECT query_id, neighbor_id, rank, round(dist, 6) AS dist FROM (
+           |  SELECT sh.query_id, sh.neighbor_id, $l2QC AS dist,
+           |         row_number() OVER (PARTITION BY sh.query_id
+           |                            ORDER BY $l2QC ASC, sh.neighbor_id ASC) AS rank
+           |  FROM shortl sh JOIN qf ON qf.query_id = sh.query_id
+           |                 JOIN cf ON cf.neighbor_id = sh.neighbor_id) r
+           |WHERE rank <= 3""".stripMargin
       })
   )
 }

@@ -66,6 +66,13 @@ object CurationSoak {
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
           kNeighbors = 3, dim = 64, m = 4, k = 8)
       },
+      // the refine stage's measured overhead vs the bare ADC scan:
+      // same quantized shortlist 3× deeper, plus the candidate-bounded
+      // exact re-scoring join
+      "pq_ann_refine" -> { () =>
+        Pq.topKAdcRefined(emb, emb.filter(col("vec_id") < 16), "vec_id",
+          "embedding", kNeighbors = 3, dim = 64, m = 4, k = 8, refineFactor = 3)
+      },
       "unigram" -> { () =>
         Unigram.segments(docs, "doc_id", "text", topMulti = 48, maxLen = 4)
       },

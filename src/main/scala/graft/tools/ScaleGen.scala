@@ -33,6 +33,10 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    // optional 2nd arg: copy count (10 = sf1, 100 = sf10 — the 100×
+    // soak tier; key shifts use a 10M stride so 100 copies stay well
+    // inside the long keyspace)
+    val nCopies = if (args.length > 1) args(1).toInt else Copies
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkEntry.configure(SparkSession.builder(), cpus).getOrCreate()
@@ -47,7 +51,7 @@ object ScaleGen {
       .foreach(t => write(read(t), t, 1))
 
     def copies(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(Copies).select(col("id").as("__c")))
+      df.crossJoin(spark.range(nCopies).select(col("id").as("__c")))
 
     val liK = 10000000L // > max l_orderkey at sf0.1 (1.5M keyspace)
     write(copies(read("lineitem"))
@@ -74,7 +78,7 @@ object ScaleGen {
           when(i === 0, v + col("__c").cast("float") * lit(1e-4f)).otherwise(v)))
       .drop("__c"), "embeddings", 4)
 
-    println(s"[scalegen] wrote $outDir (${Copies}x sf0.1)")
+    println(s"[scalegen] wrote $outDir (${nCopies}x sf0.1)")
     spark.stop()
   }
 }

@@ -33,8 +33,12 @@ class AnnEvalSpec extends AnyFunSuite {
     val out = AnnEval.recallAtK(emb, "vec_id", "embedding", col("vec_id") < 8,
       k = 5, nCentroids = 4)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
-    assert(out.keySet === Set("ivf_p1", "ivf_p2", "lsh_bucketed", "pq_adc"))
+    assert(out.keySet ===
+      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "pq_adc", "pq_adc_refine"))
     out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(out("ivf_p2") >= out("ivf_p1"))
+    // the refine guarantee: exact re-ranking of a superset shortlist
+    // can only recover truth items the quantized ordering buried
+    assert(out("pq_adc_refine") >= out("pq_adc"))
   }
 }
