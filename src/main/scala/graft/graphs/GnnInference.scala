@@ -109,8 +109,27 @@ object GnnInference {
       keys: Seq[String],
       convs: Seq[CgLayer],
       head: Seq[DenseLayer]): DataFrame = {
+    val pooled = pooledEmbeddings(nodes, edges, keys, convs)
+    val scored = head.foldLeft(pooled) { (df, l) =>
+      df.withColumn("score", affine(col("score"), l.w, l.b, l.activation))
+    }
+    scored.select((keys.map(col) :+ col("score")): _*)
+  }
+
+  /** The conv stack + global mean pool WITHOUT the head: one row per
+    * graph with `score` = the pooled graph embedding (ARRAY<DOUBLE>).
+    * This is the feature table a head TRAINER consumes
+    * ([[graft.llm.MlBridge.gnnHeadFit]] /
+    * [[graft.llm.MlBridge.gnnHeadLsq2]]) — [[forward]] is exactly
+    * this followed by the dense stack, so a head trained here serves
+    * through `forward` unchanged. */
+  def pooledEmbeddings(
+      nodes: DataFrame,
+      edges: DataFrame,
+      keys: Seq[String],
+      convs: Seq[CgLayer]): DataFrame = {
     val convolved = convs.foldLeft(nodes)((n, l) => cgconv(n, edges, keys, l))
-    val pooled = convolved
+    convolved
       .groupBy(keys.map(col): _*)
       .agg(
         graft.functions.OrderedTensorAgg
@@ -118,9 +137,5 @@ object GnnInference {
         count(lit(1)).as("__n"))
       .withColumn("score", transform(col("__sum"), v => v / col("__n")))
       .drop("__sum", "__n")
-    val scored = head.foldLeft(pooled) { (df, l) =>
-      df.withColumn("score", affine(col("score"), l.w, l.b, l.activation))
-    }
-    scored.select((keys.map(col) :+ col("score")): _*)
   }
 }

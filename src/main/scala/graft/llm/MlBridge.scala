@@ -98,4 +98,96 @@ object MlBridge {
         vector_to_array(col("probability")).getItem(1).as("score"))
       .withColumn("keep", col("score") > 0.5)
   }
+
+  /** The GNN head TRAINER: MLlib logistic regression over the pooled
+    * graph embeddings [[graft.graphs.GnnInference.pooledEmbeddings]]
+    * emits. The learned (coefficients, intercept) come back as a
+    * [[graft.graphs.GnnInference.DenseLayer]] with sigmoid activation,
+    * so the trained head serves through `GnnInference.forward`
+    * unchanged — train here, score a 100 TB season there, one model.
+    *
+    * Production variant only (L-BFGS, like [[qualityScored]]); the
+    * closed-form least-squares twin [[gnnHeadLsq2]] carries the
+    * `q_gnn_head` oracle, MlBridgeSpec proves the serve-side
+    * round-trip and the twin agreement on separable data.
+    *
+    * Returns (the trained head layer, the per-graph scored table
+    * (keys…, score = P(label=1), keep = score > 0.5)). */
+  def gnnHeadFit(
+      pooled: DataFrame,
+      keys: Seq[String],
+      labelCol: Column,
+      maxIter: Int = 50,
+      regParam: Double = 0.0): (graft.graphs.GnnInference.DenseLayer, DataFrame) = {
+    val data = pooled.select((keys.map(col) :+
+      org.apache.spark.ml.functions.array_to_vector(col("score")).as("features") :+
+      labelCol.cast("double").as("label")): _*)
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(data)
+    val layer = graft.graphs.GnnInference.DenseLayer(
+      w = model.coefficients.toArray.toSeq.map(c => Seq(c)),
+      b = Seq(model.intercept),
+      activation = "sigmoid")
+    val scored = model.transform(data)
+      .select((keys.map(col) :+
+        vector_to_array(col("probability")).getItem(1).as("score")): _*)
+      .withColumn("keep", col("score") > 0.5)
+    (layer, scored)
+  }
+
+  /** Closed-form least-squares twin of [[gnnHeadFit]] for 2-feature
+    * pooled embeddings (the `q_gnn_forward` model size): the linear
+    * probability model β = (XᵀX)⁻¹Xᵀy with an intercept, solved by
+    * Cramer's rule on the 3×3 normal equations — every sum
+    * accumulates as DECIMAL(20,9) over features pre-rounded to 6
+    * decimals, so the Gram matrix is exact and merge-order-free and
+    * the whole fit replays bit-for-bit in the DuckDB oracle
+    * (`q_gnn_head`). Decisions (`keep` = score > 0.5) agree with the
+    * logistic trainer on separable data (MlBridgeSpec).
+    *
+    * Output: (keys…, score round 6, keep). */
+  def gnnHeadLsq2(
+      pooled: DataFrame,
+      keys: Seq[String],
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d6(c: Column): Column = round(c.cast(DecimalType(20, 9)), 6).cast("double")
+    def dec(c: Column): Column = c.cast(DecimalType(20, 9))
+    val ft = pooled.select((keys.map(col) :+
+      d6(element_at(col("score"), 1)).as("p1") :+
+      d6(element_at(col("score"), 2)).as("p2") :+
+      labelCol.cast("double").as("y")): _*)
+    val g = ft.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("p1"))).cast("double").as("s1"),
+      sum(dec(col("p2"))).cast("double").as("s2"),
+      sum(dec(col("p1") * col("p1"))).cast("double").as("s11"),
+      sum(dec(col("p1") * col("p2"))).cast("double").as("s12"),
+      sum(dec(col("p2") * col("p2"))).cast("double").as("s22"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("p1") * col("y"))).cast("double").as("s1y"),
+      sum(dec(col("p2") * col("y"))).cast("double").as("s2y"))
+    // first-row cofactor expansions, mirrored verbatim in the oracle
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val beta = g.select((det0 / det).as("b0"), (det1 / det).as("b1"),
+      (det2 / det).as("b2"))
+    ft.crossJoin(broadcast(beta))
+      .withColumn("__s", col("b0") + col("b1") * col("p1") + col("b2") * col("p2"))
+      .select((keys.map(col) :+
+        (round(col("__s").cast(DecimalType(20, 9)), 6).cast("double") + lit(0.0)).as("score") :+
+        (col("__s") > 0.5).as("keep")): _*)
+  }
 }

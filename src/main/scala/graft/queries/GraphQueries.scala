@@ -197,6 +197,77 @@ object GraphQueries extends QueryModule {
     GraphConverter.removeIncompleteFrames(dat)
   }
 
+  /** The `q_gnn_forward` graph: 2-feature nodes (normalized x, y),
+    * 1-feature edges (pairwise distance), built straight from the
+    * synthetic tracking table. Shared by the forward-pass oracle and
+    * the head-trainer oracle. Returns (keys, nodes, edges). */
+  private def gnnGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(GameId, FrameId)
+    val base = SyntheticTracking.df(s, d)
+      .select(col(GameId), col(FrameId), col(ObjectId).as("id"),
+        (col(X) / 105.0 + 0.5).as("fx"), (col(Y) / 68.0 + 0.5).as("fy"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("id"))) - 1)
+    val nodes = base.select(col(GameId), col(FrameId), col("idx"),
+      array(col("fx"), col("fy")).as("x"))
+    val l = base.select(col(GameId), col(FrameId), col("idx").as("i"),
+      col("fx").as("ix"), col("fy").as("iy"))
+    val r = base.select(col(GameId), col(FrameId), col("idx").as("j"),
+      col("fx").as("jx"), col("fy").as("jy"))
+    val edges = l.join(r, keys).filter(col("i") =!= col("j"))
+      .select(col(GameId), col(FrameId), col("i"), col("j"),
+        array(sqrt((col("ix") - col("jx")) * (col("ix") - col("jx")) +
+          (col("iy") - col("jy")) * (col("iy") - col("jy")))).as("e"))
+    (keys, nodes, edges)
+  }
+
+  private val gnnConv = graft.graphs.GnnInference.CgLayer(
+    wf = Seq(Seq(0.3, -0.2), Seq(0.1, 0.4), Seq(-0.3, 0.2), Seq(0.2, 0.1), Seq(0.5, -0.4)),
+    bf = Seq(0.05, -0.05),
+    ws = Seq(Seq(0.2, 0.3), Seq(-0.1, 0.2), Seq(0.4, -0.2), Seq(0.1, 0.1), Seq(-0.2, 0.3)),
+    bs = Seq(0.0, 0.1))
+
+  /** CTE chain replaying [[gnnGraph]] + one [[gnnConv]] CGConv layer +
+    * mean pool, ending in `gpool(game_id, frame_id, p1, p2)`. */
+  private val gnnPoolCte: String =
+    """gb AS (
+      |  SELECT game_id, frame_id, id, x/105.0 + 0.5 AS fx, y/68.0 + 0.5 AS fy,
+      |    row_number() OVER (PARTITION BY game_id, frame_id ORDER BY id) - 1 AS idx
+      |  FROM tracking
+      |),
+      |ge AS (
+      |  SELECT l.game_id, l.frame_id, l.idx AS i,
+      |    l.fx AS ix, l.fy AS iy, r.fx AS jx, r.fy AS jy,
+      |    sqrt((l.fx-r.fx)*(l.fx-r.fx) + (l.fy-r.fy)*(l.fy-r.fy)) AS ed
+      |  FROM gb l JOIN gb r ON l.game_id = r.game_id AND l.frame_id = r.frame_id
+      |    AND l.idx <> r.idx
+      |),
+      |gmsg AS (
+      |  SELECT game_id, frame_id, i,
+      |    (1.0/(1.0+exp(-(0.05 + 0.3*ix + 0.1*iy + (-0.3)*jx + 0.2*jy + 0.5*ed))))
+      |      * (greatest(0.0 + 0.2*ix + (-0.1)*iy + 0.4*jx + 0.1*jy + (-0.2)*ed, 0.0)
+      |         + ln(1.0 + exp(-abs(0.0 + 0.2*ix + (-0.1)*iy + 0.4*jx + 0.1*jy + (-0.2)*ed)))) AS m1,
+      |    (1.0/(1.0+exp(-(-0.05 + (-0.2)*ix + 0.4*iy + 0.2*jx + 0.1*jy + (-0.4)*ed))))
+      |      * (greatest(0.1 + 0.3*ix + 0.2*iy + (-0.2)*jx + 0.1*jy + 0.3*ed, 0.0)
+      |         + ln(1.0 + exp(-abs(0.1 + 0.3*ix + 0.2*iy + (-0.2)*jx + 0.1*jy + 0.3*ed)))) AS m2
+      |  FROM ge
+      |),
+      |gsum AS (
+      |  SELECT game_id, frame_id, i, sum(m1) AS sm1, sum(m2) AS sm2
+      |  FROM gmsg GROUP BY game_id, frame_id, i
+      |),
+      |gx AS (
+      |  SELECT b.game_id, b.frame_id, b.idx,
+      |    b.fx + coalesce(s.sm1, 0.0) AS x1, b.fy + coalesce(s.sm2, 0.0) AS x2
+      |  FROM gb b LEFT JOIN gsum s
+      |    ON s.game_id = b.game_id AND s.frame_id = b.frame_id AND s.i = b.idx
+      |),
+      |gpool AS (
+      |  SELECT game_id, frame_id, sum(x1)/count(*) AS p1, sum(x2)/count(*) AS p2
+      |  FROM gx GROUP BY game_id, frame_id
+      |)""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     // ----- CGConv forward pass (GnnInference): one conv layer + sigmoid
     // head over per-frame graphs built straight from the synthetic
@@ -208,74 +279,73 @@ object GraphQueries extends QueryModule {
     GraftQuery(
       "q_gnn_forward",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val keys = Seq(GameId, FrameId)
-        val base = SyntheticTracking.df(s, d)
-          .select(col(GameId), col(FrameId), col(ObjectId).as("id"),
-            (col(X) / 105.0 + 0.5).as("fx"), (col(Y) / 68.0 + 0.5).as("fy"))
-          .withColumn("idx", row_number().over(
-            Window.partitionBy(keys.map(col): _*).orderBy(col("id"))) - 1)
-        val nodes = base.select(col(GameId), col(FrameId), col("idx"),
-          array(col("fx"), col("fy")).as("x"))
-        val l = base.select(col(GameId), col(FrameId), col("idx").as("i"),
-          col("fx").as("ix"), col("fy").as("iy"))
-        val r = base.select(col(GameId), col(FrameId), col("idx").as("j"),
-          col("fx").as("jx"), col("fy").as("jy"))
-        val edges = l.join(r, keys).filter(col("i") =!= col("j"))
-          .select(col(GameId), col(FrameId), col("i"), col("j"),
-            array(sqrt((col("ix") - col("jx")) * (col("ix") - col("jx")) +
-              (col("iy") - col("jy")) * (col("iy") - col("jy")))).as("e"))
         import graft.graphs.GnnInference
-        val conv = GnnInference.CgLayer(
-          wf = Seq(Seq(0.3, -0.2), Seq(0.1, 0.4), Seq(-0.3, 0.2), Seq(0.2, 0.1), Seq(0.5, -0.4)),
-          bf = Seq(0.05, -0.05),
-          ws = Seq(Seq(0.2, 0.3), Seq(-0.1, 0.2), Seq(0.4, -0.2), Seq(0.1, 0.1), Seq(-0.2, 0.3)),
-          bs = Seq(0.0, 0.1))
+        val (keys, nodes, edges) = gnnGraph(s, d)
         val head = GnnInference.DenseLayer(Seq(Seq(0.8), Seq(-0.6)), Seq(0.1), "sigmoid")
-        GnnInference.forward(nodes, edges, keys, Seq(conv), Seq(head))
+        GnnInference.forward(nodes, edges, keys, Seq(gnnConv), Seq(head))
           .select(col(GameId), col(FrameId),
             (round(element_at(col("score"), 1), 6) + 0.0).as("score"))
       },
-      Some(withAll(
-        """gb AS (
-          |  SELECT game_id, frame_id, id, x/105.0 + 0.5 AS fx, y/68.0 + 0.5 AS fy,
-          |    row_number() OVER (PARTITION BY game_id, frame_id ORDER BY id) - 1 AS idx
-          |  FROM tracking
-          |),
-          |ge AS (
-          |  SELECT l.game_id, l.frame_id, l.idx AS i,
-          |    l.fx AS ix, l.fy AS iy, r.fx AS jx, r.fy AS jy,
-          |    sqrt((l.fx-r.fx)*(l.fx-r.fx) + (l.fy-r.fy)*(l.fy-r.fy)) AS ed
-          |  FROM gb l JOIN gb r ON l.game_id = r.game_id AND l.frame_id = r.frame_id
-          |    AND l.idx <> r.idx
-          |),
-          |gmsg AS (
-          |  SELECT game_id, frame_id, i,
-          |    (1.0/(1.0+exp(-(0.05 + 0.3*ix + 0.1*iy + (-0.3)*jx + 0.2*jy + 0.5*ed))))
-          |      * (greatest(0.0 + 0.2*ix + (-0.1)*iy + 0.4*jx + 0.1*jy + (-0.2)*ed, 0.0)
-          |         + ln(1.0 + exp(-abs(0.0 + 0.2*ix + (-0.1)*iy + 0.4*jx + 0.1*jy + (-0.2)*ed)))) AS m1,
-          |    (1.0/(1.0+exp(-(-0.05 + (-0.2)*ix + 0.4*iy + 0.2*jx + 0.1*jy + (-0.4)*ed))))
-          |      * (greatest(0.1 + 0.3*ix + 0.2*iy + (-0.2)*jx + 0.1*jy + 0.3*ed, 0.0)
-          |         + ln(1.0 + exp(-abs(0.1 + 0.3*ix + 0.2*iy + (-0.2)*jx + 0.1*jy + 0.3*ed)))) AS m2
-          |  FROM ge
-          |),
-          |gsum AS (
-          |  SELECT game_id, frame_id, i, sum(m1) AS sm1, sum(m2) AS sm2
-          |  FROM gmsg GROUP BY game_id, frame_id, i
-          |),
-          |gx AS (
-          |  SELECT b.game_id, b.frame_id, b.idx,
-          |    b.fx + coalesce(s.sm1, 0.0) AS x1, b.fy + coalesce(s.sm2, 0.0) AS x2
-          |  FROM gb b LEFT JOIN gsum s
-          |    ON s.game_id = b.game_id AND s.frame_id = b.frame_id AND s.i = b.idx
-          |),
-          |gpool AS (
-          |  SELECT game_id, frame_id, sum(x1)/count(*) AS p1, sum(x2)/count(*) AS p2
-          |  FROM gx GROUP BY game_id, frame_id
-          |)""".stripMargin)(
+      Some(withAll(gnnPoolCte)(
         """SELECT game_id, frame_id,
           |  round(1.0/(1.0+exp(-(0.1 + 0.8*p1 + (-0.6)*p2))), 6) + 0.0 AS score
           |FROM gpool""".stripMargin))),
+
+    // ----- GNN head training: closed-form least-squares twin -----
+    // The oracle half of the train-the-head journey (MLlib logistic
+    // regression is the production trainer — MlBridge.gnnHeadFit;
+    // L-BFGS is outside bit-exact replay, so the linear-probability
+    // twin carries the hash): pooled embeddings from the SAME conv
+    // stack as q_gnn_forward, rounded to 6 decimals, DECIMAL-exact
+    // 3×3 normal equations solved by Cramer's rule — the oracle
+    // replays feature building, the Gram sums, the determinant
+    // algebra, and the per-graph scores, so any divergence anywhere
+    // in the fit flips the hash. Label: frame_id % 3 = 0 (a
+    // deterministic, replayable stand-in for a real outcome column).
+    GraftQuery(
+      "q_gnn_head",
+      (s, d) => {
+        import graft.graphs.GnnInference
+        import graft.llm.MlBridge
+        val (keys, nodes, edges) = gnnGraph(s, d)
+        val pooled = GnnInference.pooledEmbeddings(nodes, edges, keys, Seq(gnnConv))
+        MlBridge.gnnHeadLsq2(pooled, keys, col(FrameId) % 3 === 0)
+      },
+      Some(withAll(gnnPoolCte +
+        """,
+          |hft AS (
+          |  SELECT game_id, frame_id,
+          |    CAST(round(CAST(p1 AS DECIMAL(20,9)), 6) AS DOUBLE) AS p1,
+          |    CAST(round(CAST(p2 AS DECIMAL(20,9)), 6) AS DOUBLE) AS p2,
+          |    CAST(frame_id % 3 = 0 AS DOUBLE) AS y
+          |  FROM gpool
+          |),
+          |hg AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n,
+          |    CAST(sum(CAST(p1 AS DECIMAL(20,9))) AS DOUBLE) AS s1,
+          |    CAST(sum(CAST(p2 AS DECIMAL(20,9))) AS DOUBLE) AS s2,
+          |    CAST(sum(CAST(p1*p1 AS DECIMAL(20,9))) AS DOUBLE) AS s11,
+          |    CAST(sum(CAST(p1*p2 AS DECIMAL(20,9))) AS DOUBLE) AS s12,
+          |    CAST(sum(CAST(p2*p2 AS DECIMAL(20,9))) AS DOUBLE) AS s22,
+          |    CAST(sum(CAST(y AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+          |    CAST(sum(CAST(p1*y AS DECIMAL(20,9))) AS DOUBLE) AS s1y,
+          |    CAST(sum(CAST(p2*y AS DECIMAL(20,9))) AS DOUBLE) AS s2y
+          |  FROM hft
+          |),
+          |hb AS (
+          |  SELECT
+          |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))
+          |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b0,
+          |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))
+          |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b1,
+          |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))
+          |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS b2
+          |  FROM hg
+          |)""".stripMargin)(
+        """SELECT f.game_id, f.frame_id,
+          |  CAST(round(CAST(b.b0 + b.b1*f.p1 + b.b2*f.p2 AS DECIMAL(20,9)), 6) AS DOUBLE) + 0.0 AS score,
+          |  (b.b0 + b.b1*f.p1 + b.b2*f.p2) > 0.5 AS keep
+          |FROM hft f CROSS JOIN hb b""".stripMargin))),
 
     // ----- G1: adjacency (split_by_team + ball connect) as pair list -----
     GraftQuery(

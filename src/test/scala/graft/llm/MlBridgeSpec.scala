@@ -81,6 +81,46 @@ class MlBridgeSpec extends AnyFunSuite {
     assert(serve(liteBook) === serve(mlBook))
   }
 
+  test("gnn head: trained layer serves through GnnInference.forward; twin agrees") {
+    import spark.implicits._
+    import graft.graphs.GnnInference
+    // 40 single-node "graphs" with controlled 2-dim pooled embeddings:
+    // class 1 near (0.8, 0.8), class 0 near (0.2, 0.2), deterministic
+    // jitter — cleanly separable, so LR and the least-squares twin
+    // must make identical keep decisions
+    val nodes = (0L until 40L).map { g =>
+      val base = if (g % 2 == 0) 0.8 else 0.2
+      val jit = (g % 7).toDouble / 100.0
+      (g, 0, Seq(base + jit, base - jit))
+    }.toDF("graph_id", "idx", "x")
+    val edges = Seq.empty[(Long, Int, Int, Seq[Double])]
+      .toDF("graph_id", "i", "j", "e")
+    val keys = Seq("graph_id")
+    val pooled = GnnInference.pooledEmbeddings(nodes, edges, keys, Nil)
+    val label = element_at(col("score"), 1) > 0.5
+
+    val (layer, scored) = MlBridge.gnnHeadFit(pooled, keys, label)
+    // serve-side round-trip: the SAME pooled features through
+    // GnnInference.forward with the trained head reproduce the
+    // model's own probabilities
+    val served = GnnInference.forward(nodes, edges, keys, Nil, Seq(layer))
+      .select(col("graph_id"), element_at(col("score"), 1).as("fwd"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.keySet === direct.keySet)
+    served.foreach { case (g, s) =>
+      assert(math.abs(s - direct(g)) < 1e-9, s"graph $g: forward $s vs transform ${direct(g)}")
+    }
+    // perfect separation on this corpus, and the closed-form twin
+    // (the q_gnn_head oracle path) reaches the same decisions
+    val want = (0L until 40L).map(g => g -> (g % 2 == 0)).toMap
+    val lrKeep = scored.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val lsqKeep = MlBridge.gnnHeadLsq2(pooled, keys, label)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(lrKeep === want, "LR must separate the two classes")
+    assert(lsqKeep === want, "the least-squares twin must separate them too")
+  }
+
   test("quality classifier: the trained LR path behaves like the closed form") {
     val docs = Tables.documents(spark, sf)
     val seed = col("source").isin("src1", "src4", "src7")
