@@ -59,7 +59,18 @@ object PressingIntensity {
   def pairs(
       df: DataFrame,
       settings: TrackingSettings = TrackingSettings(),
-      params: Params = Params()): DataFrame = {
+      params: Params = Params()): DataFrame =
+    scorePairs(pairJoin(indexedBase(df, settings, params), params), settings, params)
+
+  /** Stage 1 of [[pairs]] — the indexed base relation (side masks +
+    * the single frame-window index pass). Package-private so
+    * [[graft.tools.PiProfile]] can time each stage under the honest
+    * sink; `pairs` is exactly the three stages composed, so the
+    * profiled plans are the production plans. */
+  private[graft] def indexedBase(
+      df: DataFrame,
+      settings: TrackingSettings,
+      params: Params): DataFrame = {
     // home/away orients compare team_id against the home id in BOTH the
     // full-method node ordering and the transpose decision; with it
     // unset every comparison would be silently false (id-order nodes,
@@ -109,12 +120,19 @@ object PressingIntensity {
     val wF = Window.partitionBy(frameKeys.map(col): _*)
     val gidx = row_number().over(wF.orderBy(sideRank.asc, col(ObjectId).asc)) - 1
     val nOwn = sum((isOwning && !isBall).cast("int")).over(wF)
-    val indexed = df.filter(colSide || rowSide)
+    df.filter(colSide || rowSide)
       .withColumn("__gidx", gidx)
       .withColumn("__nown", nOwn)
       .withColumn("__cmem", colSide)
       .withColumn("__rmem", rowSide)
+  }
 
+  /** Stage 2 of [[pairs]] — the per-frame pair fan-out: both join
+    * inputs are filters over the SAME indexed subtree (ReusedExchange
+    * serves the second side) and the join reuses the window's
+    * frame-key partitioning. */
+  private[graft] def pairJoin(indexed: DataFrame, params: Params): DataFrame = {
+    val isBall = col(TeamId) === Ball
     val (cIdx, rIdx) = params.method match {
       case "teams" =>
         (when(isBall, col("__nown")).otherwise(col("__gidx")).cast("int"),
@@ -133,8 +151,15 @@ object PressingIntensity {
     val c = side(col("__cmem"), "c", cIdx, "ts")
     val r = side(col("__rmem"), "r", rIdx, "ts2")
 
-    val joined = r.join(c, frameKeys)
+    r.join(c, frameKeys)
+  }
 
+  /** Stage 3 of [[pairs]] — the TTI/PTI arithmetic, ball-merge,
+    * masking and orientation transpose over the joined pair rows. */
+  private[graft] def scorePairs(
+      joined: DataFrame,
+      settings: TrackingSettings,
+      params: Params): DataFrame = {
     // --- TTI (models/utils.py:74-99, replicated operation-for-operation)
     val ux = (col("c_x") + col("c_vx")) - col("c_x")
     val uy = (col("c_y") + col("c_vy")) - col("c_y")
