@@ -62,6 +62,15 @@ object CurationSoak {
       "semdedup" -> { () =>
         Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4, nCells = 8)
       },
+      // the production knob rule, measured: nCells ∝ corpus bounds the
+      // per-cell population (target ~2.5k vectors/cell) so the in-cell
+      // quadratic term stays constant per cell as the corpus grows —
+      // the fixed-8-cell case above deliberately stresses the opposite
+      "semdedup_scaled" -> { () =>
+        val n = emb.count()
+        val cells = math.max(8L, n / 2500L).toInt
+        Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4, nCells = cells)
+      },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
           kNeighbors = 3, dim = 64, m = 4, k = 8)
