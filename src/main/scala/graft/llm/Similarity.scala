@@ -162,6 +162,16 @@ object Similarity {
     * centroids drop in without changing the algebra).
     *
     * Output: one row per vector — (id, cell, keep). */
+  /** The cell-count rule the sf10 soak measured (SCALING.md round-10
+    * table): size the coarse quantizer so the per-cell population
+    * stays ~`perCell` vectors — the in-cell pairwise term is then
+    * CONSTANT per cell as the corpus grows (linear total), where a
+    * fixed cell count goes quadratic (measured 49.9× vs 9.2× time at
+    * 10× data). Pass `cellsFor(corpusSize)` as [[semDeDup]]'s
+    * `nCells` when the corpus size is known. */
+  def cellsFor(corpusSize: Long, perCell: Long = 2500L): Int =
+    math.max(8L, corpusSize / perCell).toInt
+
   def semDeDup(
       emb: DataFrame,
       idCol: String,

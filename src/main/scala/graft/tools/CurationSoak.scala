@@ -67,9 +67,8 @@ object CurationSoak {
       // quadratic term stays constant per cell as the corpus grows —
       // the fixed-8-cell case above deliberately stresses the opposite
       "semdedup_scaled" -> { () =>
-        val n = emb.count()
-        val cells = math.max(8L, n / 2500L).toInt
-        Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4, nCells = cells)
+        Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4,
+          nCells = Similarity.cellsFor(emb.count()))
       },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
