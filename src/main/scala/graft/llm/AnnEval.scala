@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   * The eval also measures the in-engine remedy: `pq_adc_refine`
   * ([[Pq.topKAdcRefined]] — 3k-deep ADC shortlist, exact re-rank)
   * sits next to `pq_adc` so the recall lift of refinement is read
-  * off the same run that exposes the quantization loss.
+  * off the same run that exposes the quantization loss, and `lsh_mp`
+  * ([[Similarity.topKCosineBucketedMultiProbe]], Hamming-1) next to
+  * `lsh_bucketed` for the same reason (0.0 → 0.125 at sf0.01).
   */
 object AnnEval {
 
@@ -78,6 +80,9 @@ object AnnEval {
         nProbe = 2), cosTruth),
       ("lsh_bucketed", Similarity.topKCosineBucketed(emb, q, idCol, vecCol, k),
         cosTruth),
+      // the LSH remedy: probe the 8 Hamming-1 neighbor buckets too
+      ("lsh_mp", Similarity.topKCosineBucketedMultiProbe(emb, q, idCol, vecCol, k,
+        hamming = 1), cosTruth),
       ("pq_adc", Pq.topKAdc(emb, q, idCol, vecCol, kNeighbors = k,
         dim = dim, m = 4, k = nCentroids), l2Truth),
       // the remedy next to the disease: same ADC scan, 3k shortlist,

@@ -126,6 +126,62 @@ object Similarity {
         round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** XOR masks for all buckets within Hamming distance `h` of a
+    * query's own bucket (h ∈ {0, 1, 2}): 1, 1+8, or 1+8+28 probes
+    * over the 2^8 bucket space. */
+  private[llm] def hammingMasks(h: Int): Seq[Long] = {
+    require(h >= 0 && h <= 2, s"hamming=$h supported for 0..2")
+    val zero = Seq(0L)
+    val one = (0 until PlaneBits).map(p => 1L << p)
+    val two = for {
+      p <- 0 until PlaneBits; q <- (p + 1) until PlaneBits
+    } yield (1L << p) | (1L << q)
+    h match {
+      case 0 => zero
+      case 1 => zero ++ one
+      case _ => zero ++ one ++ two
+    }
+  }
+
+  /** Multi-probe bucketed ANN (Lv et al. 2007, "Multi-Probe LSH"):
+    * each query searches every bucket within Hamming distance
+    * `hamming` of its own — the nearest-miss buckets, where a true
+    * neighbor lands whenever ONE hyperplane sign disagrees. The
+    * remedy for the recall collapse `q_emb_ann_recall` measures on
+    * [[topKCosineBucketed]] (8 planes cut 256 buckets so fine that
+    * single-bucket probing recalls ~0 on a clusterless corpus).
+    *
+    * Scale shape: identical to IVF multi-probe — the fan-out
+    * multiplies the QUERY side only (|Q| × 9 probes at h=1); the
+    * corpus side keeps one bucket per vector, so no duplicate
+    * (query, neighbor) pairs and the join still shuffles on the
+    * bucket key. Output matches [[topKCosineBucketed]]'s shape. */
+  def topKCosineBucketedMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      hamming: Int = 1): DataFrame = {
+    val c = withLshBucket(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
+    val q = withLshBucket(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("bucket"),
+        explode(typedLit(hammingMasks(hamming))).as("__m"))
+      .select(col("query_id"), col("__qv"),
+        col("bucket").bitwiseXOR(col("__m")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("__cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidate pairs come from
     * LSH-bucket collisions only (never all-pairs), then exact cosine
     * verifies against the threshold — the embedding analog of

@@ -501,6 +501,35 @@ object LlmQueries extends QueryModule {
            |  FROM sc) r WHERE rank <= 3""".stripMargin
       }),
 
+    // ----- multi-probe bucketed ANN (Lv et al. 2007) -----
+    // The LSH recall remedy: each query also searches the 8 buckets
+    // one hyperplane-sign flip away (Hamming-1 masks XORed onto the
+    // query bucket) — query-side fan-out only, corpus stays
+    // one-bucket-per-vector, so no pair dedup is needed.
+    GraftQuery(
+      "q_emb_lsh_multiprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.topKCosineBucketedMultiProbe(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, hamming = 1)
+      },
+      Some {
+        val cos = Similarity.cosineSql("q.qv", "c.cv")
+        val bucket = Similarity.lshBucketSql("embedding")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |mk AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, xor(bucket, m) AS bucket
+           |      FROM b CROSS JOIN mk WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cos AS cosv
+           |       FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
     // ----- embedding-cosine near-duplicates via bucket collisions -----
     GraftQuery(
       "q_emb_near_dup",
@@ -795,6 +824,14 @@ object LlmQueries extends QueryModule {
            |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
            |  FROM qb q JOIN cb c USING (bucket) WHERE q.query_id <> c.neighbor_id) r
            |  WHERE rank <= 5),
+           |mk AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m),
+           |qbm AS (SELECT query_id, qv, xor(bucket, m) AS bucket FROM qb CROSS JOIN mk),
+           |lbm AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM qbm q JOIN cb c USING (bucket) WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 5),
            |exl2 AS (SELECT query_id, neighbor_id FROM (
            |  SELECT q.query_id, c.neighbor_id,
            |         row_number() OVER (PARTITION BY q.query_id
@@ -848,6 +885,11 @@ object LlmQueries extends QueryModule {
            |         CAST(count(ex.query_id) AS BIGINT),
            |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
            |  FROM lb LEFT JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'lsh_mp', CAST(count(*) AS BIGINT),
+           |         CAST(count(ex.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
+           |  FROM lbm LEFT JOIN ex USING (query_id, neighbor_id)
            |  UNION ALL
            |  SELECT 'pq_adc', CAST(count(*) AS BIGINT),
            |         CAST(count(exl2.query_id) AS BIGINT),

@@ -34,11 +34,34 @@ class AnnEvalSpec extends AnyFunSuite {
       k = 5, nCentroids = 4)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(out.keySet ===
-      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "pq_adc", "pq_adc_refine"))
+      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "lsh_mp", "pq_adc", "pq_adc_refine"))
     out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(out("ivf_p2") >= out("ivf_p1"))
     // the refine guarantee: exact re-ranking of a superset shortlist
     // can only recover truth items the quantized ordering buried
     assert(out("pq_adc_refine") >= out("pq_adc"))
+    // the multi-probe guarantee: Hamming-1 probing searches a superset
+    // of the single-bucket candidates
+    assert(out("lsh_mp") >= out("lsh_bucketed"))
+  }
+
+  test("multi-probe LSH: hamming=0 degenerates to single-bucket; candidates nest") {
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.topKCosineBucketed(emb, q, "vec_id", "embedding", k = 5))
+    val h0 = pairs(Similarity.topKCosineBucketedMultiProbe(emb, q, "vec_id", "embedding",
+      k = 5, hamming = 0))
+    assert(h0 === single, "hamming=0 must equal the single-bucket path")
+    // unbounded k exposes the raw candidate sets: h1 must contain h0's
+    val all0 = pairs(Similarity.topKCosineBucketedMultiProbe(emb, q, "vec_id", "embedding",
+      k = 100000, hamming = 0))
+    val all1 = pairs(Similarity.topKCosineBucketedMultiProbe(emb, q, "vec_id", "embedding",
+      k = 100000, hamming = 1))
+    val all2 = pairs(Similarity.topKCosineBucketedMultiProbe(emb, q, "vec_id", "embedding",
+      k = 100000, hamming = 2))
+    assert(all0.subsetOf(all1) && all1.subsetOf(all2))
+    assert(all1.size > all0.size, "Hamming-1 probes must widen the candidate set")
   }
 }
