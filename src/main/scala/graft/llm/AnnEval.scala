@@ -88,7 +88,15 @@ object AnnEval {
       // the remedy next to the disease: same ADC scan, 3k shortlist,
       // exact re-rank — recall ≥ pq_adc's by construction
       ("pq_adc_refine", Pq.topKAdcRefined(emb, q, idCol, vecCol, kNeighbors = k,
-        dim = dim, m = 4, k = nCentroids, refineFactor = 3), l2Truth))
+        dim = dim, m = 4, k = nCentroids, refineFactor = 3), l2Truth),
+      // the full FAISS serving stack, bare and refined — residual
+      // codes recover more than raw-vector codes, and the refine
+      // stage re-ranks whatever the probed cells surfaced
+      ("ivfpq_adc", IvfPq.topKAdc(emb, q, idCol, vecCol, kNeighbors = k,
+        dim = dim, nlist = 4, nprobe = 2, m = 4, k = nCentroids), l2Truth),
+      ("ivfpq_refine", IvfPq.topKAdcRefined(emb, q, idCol, vecCol, kNeighbors = k,
+        dim = dim, nlist = 4, nprobe = 2, m = 4, k = nCentroids,
+        refineFactor = 3), l2Truth))
     methods.map { case (name, df, truth) =>
       val possible = truth.agg(count(lit(1)).as("possible"))
       df.select(col("query_id"), col("neighbor_id"))

@@ -866,6 +866,54 @@ object LlmQueries extends QueryModule {
            |                            ORDER BY $l2QC ASC, p.neighbor_id ASC) AS rrank
            |  FROM pqrk p JOIN q ON q.query_id = p.query_id
            |              JOIN c ON c.neighbor_id = p.neighbor_id
+           |  WHERE p.rank <= 15) r WHERE rrank <= 5),
+           |vcb AS (SELECT cell, embedding AS cent FROM cents WHERE cell < 4),
+           |vres AS (
+           |  SELECT vec_id, cell, r FROM (
+           |    SELECT e.vec_id, cv.cell, ${IvfPq.residualSql("e.embedding", "cv.cent")} AS r,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${KMeansLite.l2sqFoldSql("e.embedding", "cv.cent")} ASC,
+           |                                       cv.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN vcb cv) WHERE rn = 1),
+           |vrcb AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS code,
+           |         r AS rv
+           |  FROM vres ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |vencd AS (
+           |  SELECT vec_id AS neighbor_id, cell, sub, code FROM (
+           |    SELECT v.vec_id, v.cell, s.sub, rc.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.sub
+           |                              ORDER BY ${KMeansLite.l2sqFoldSql("list_slice(v.r, s.sub * 16 + 1, s.sub * 16 + 16)", "list_slice(rc.rv, s.sub * 16 + 1, s.sub * 16 + 16)")} ASC,
+           |                                       rc.code ASC) AS rn
+           |    FROM vres v CROSS JOIN subs s CROSS JOIN vrcb rc) WHERE rn = 1),
+           |vprobes AS (
+           |  SELECT query_id, cell, qr FROM (
+           |    SELECT qe.vec_id AS query_id, cv.cell,
+           |           ${IvfPq.residualSql("qe.embedding", "cv.cent")} AS qr,
+           |           row_number() OVER (PARTITION BY qe.vec_id
+           |                              ORDER BY ${KMeansLite.l2sqFoldSql("qe.embedding", "cv.cent")} ASC,
+           |                                       cv.cell ASC) AS pr
+           |    FROM embeddings qe CROSS JOIN vcb cv WHERE qe.vec_id < 16) WHERE pr <= 2),
+           |vlut AS (
+           |  SELECT p.query_id, p.cell, s.sub, rc.code,
+           |         CAST(${KMeansLite.l2sqFoldSql("list_slice(p.qr, s.sub * 16 + 1, s.sub * 16 + 16)", "list_slice(rc.rv, s.sub * 16 + 1, s.sub * 16 + 16)")} AS DECIMAL(20,9)) AS d
+           |  FROM vprobes p CROSS JOIN subs s CROSS JOIN vrcb rc),
+           |vrk AS (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |  FROM (SELECT l.query_id, e.neighbor_id,
+           |               CAST(sum(l.d) AS DOUBLE) AS adist
+           |        FROM vencd e JOIN vlut l USING (cell, sub, code)
+           |        WHERE l.query_id <> e.neighbor_id
+           |        GROUP BY 1, 2) sc),
+           |vtop AS (SELECT query_id, neighbor_id FROM vrk WHERE rank <= 5),
+           |vref AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, p.neighbor_id,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $l2QC ASC, p.neighbor_id ASC) AS rrank
+           |  FROM vrk p JOIN q ON q.query_id = p.query_id
+           |             JOIN c ON c.neighbor_id = p.neighbor_id
            |  WHERE p.rank <= 15) r WHERE rrank <= 5)
            |SELECT m.method, m.returned, m.hits, m.possible,
            |       CAST(round(CAST(CAST(m.hits AS DOUBLE) / m.possible
@@ -900,6 +948,16 @@ object LlmQueries extends QueryModule {
            |         CAST(count(exl2.query_id) AS BIGINT),
            |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
            |  FROM pqr LEFT JOIN exl2 USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'ivfpq_adc', CAST(count(*) AS BIGINT),
+           |         CAST(count(exl2.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
+           |  FROM vtop LEFT JOIN exl2 USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'ivfpq_refine', CAST(count(*) AS BIGINT),
+           |         CAST(count(exl2.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM exl2)
+           |  FROM vref LEFT JOIN exl2 USING (query_id, neighbor_id)
            |) m""".stripMargin
       }),
 

@@ -34,7 +34,9 @@ class AnnEvalSpec extends AnyFunSuite {
       k = 5, nCentroids = 4)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(out.keySet ===
-      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "lsh_mp", "pq_adc", "pq_adc_refine"))
+      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "lsh_mp", "pq_adc", "pq_adc_refine",
+        "ivfpq_adc", "ivfpq_refine"))
+    assert(out("ivfpq_refine") >= out("ivfpq_adc"))
     out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(out("ivf_p2") >= out("ivf_p1"))
     // the refine guarantee: exact re-ranking of a superset shortlist
