@@ -141,13 +141,16 @@ object LlmQueries extends QueryModule {
   /** CTE chain ending in `nd` = the MinHash near-dup pair table
     * (id_a, id_b, inter, size_a, size_b, jaccard) at `threshold` —
     * shared by the pairwise query and the clustering query built on it. */
-  private def minhashNdCtes(threshold: Double): String = {
-    val mins = (0 until MinHash.NumHashes)
+  private def minhashNdCtes(
+      threshold: Double,
+      bands: Int = MinHash.Bands,
+      rows: Int = MinHash.Rows): String = {
+    val mins = (0 until bands * rows)
       .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
       .mkString(", ")
-    val bandCollide = (0 until MinHash.Bands).map { b =>
-      (0 until MinHash.Rows)
-        .map(r => s"a.mh${b * MinHash.Rows + r} = b.mh${b * MinHash.Rows + r}")
+    val bandCollide = (0 until bands).map { b =>
+      (0 until rows)
+        .map(r => s"a.mh${b * rows + r} = b.mh${b * rows + r}")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
@@ -687,6 +690,25 @@ object LlmQueries extends QueryModule {
            |         ON nd.id_a = gt.id_a AND nd.id_b = gt.id_b),
            |agg AS (SELECT $sums FROM jj)
            |$arms""".stripMargin
+      }),
+
+    // ----- tuned-bands LSH dedup: the tuneBands journey, oracled -----
+    // The knobs come from the closed form (tuneBands(0.2, 0.9) →
+    // (11, 1) within the 12-hash budget), the pipeline runs with them
+    // (generalized bands/rows signatures + collision), and the oracle
+    // replays the 11-band single-row collision rule — pinning the
+    // tune → run journey cross-engine, not just the tuner arithmetic.
+    GraftQuery(
+      "q_doc_lsh_tuned",
+      (s, d) => {
+        val t = graft.llm.MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
+        MinHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.2, bands = t.bands, rows = t.rows)
+      },
+      Some {
+        val t = graft.llm.MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
+        s"""WITH ${minhashNdCtes(0.2, t.bands, t.rows)}
+           |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd""".stripMargin
       }),
 
     // ----- winnowing fingerprints (rolling k-gram hash, window minima) -----
