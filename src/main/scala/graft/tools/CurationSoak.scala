@@ -70,6 +70,17 @@ object CurationSoak {
         Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4,
           nCells = Similarity.cellsFor(emb.count()))
       },
+      // bucketed LSH serving, single-probe vs Hamming-1 multi-probe —
+      // the 9× query-side fan-out's measured cost next to its measured
+      // recall lift (ann_recall's lsh_mp row)
+      "lsh_ann" -> { () =>
+        Similarity.topKCosineBucketed(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3)
+      },
+      "lsh_ann_mp" -> { () =>
+        Similarity.topKCosineBucketedMultiProbe(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, hamming = 1)
+      },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
           kNeighbors = 3, dim = 64, m = 4, k = 8)
