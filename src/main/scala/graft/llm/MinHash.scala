@@ -69,6 +69,19 @@ object MinHash {
     require(numHashes >= 1 && numHashes <= A.length,
       s"numHashes=$numHashes needs 1..${A.length} fixed permutations")
     val sh = shingleHashes(docs, idCol, textCol, n, hash)
+    signaturesFromHashes(sh, idCol, numHashes)
+  }
+
+  /** The one copy of the permuted-minima fold: aggregates a
+    * (id, shingle-hash) table into `idCol, mh0..mh{numHashes-1}` with a
+    * single partial-agg groupBy. [[signatures]] and [[nearDuplicates]]
+    * both build on this so the min-hash formula exists exactly once. */
+  private def signaturesFromHashes(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= A.length,
+      s"numHashes=$numHashes needs 1..${A.length} fixed permutations")
     sh.groupBy(col(idCol))
       .agg(
         min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
@@ -133,17 +146,15 @@ object MinHash {
       maxBucket: Option[Int] = None,
       bands: Int = Bands,
       rows: Int = Rows): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
+      s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
     // the distinct (id, shingle-hash) table feeds four consumers
     // (signatures, sizes, both intersection sides); all four build on
     // the SAME distinct() subtree so Catalyst's ReusedExchange serves
     // them from one shuffle write instead of four corpus scans
     val sh = shingleHashes(docs, idCol, textCol, n, hash).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val sigs = sh.groupBy(col(idCol))
-      .agg(
-        min((col("h") * A(0) + B(0)) % Prime).as("mh0"),
-        (1 until (bands * rows)).map(i =>
-          min((col("h") * A(i) + B(i)) % Prime).as(s"mh$i")): _*)
+    val sigs = signaturesFromHashes(sh, idCol, bands * rows)
     val pairs = candidatePairs(sigs, idCol, maxBucket, bands, rows)
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")

@@ -182,8 +182,17 @@ object MlBridge {
     val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
       col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
       col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
-    val beta = g.select((det0 / det).as("b0"), (det1 / det).as("b1"),
-      (det2 / det).as("b2"))
+    // degenerate Gram (constant features, or fewer distinct (p1,p2)
+    // points than parameters) makes det exactly 0 under the DECIMAL-
+    // exact sums — fail fast with a named error instead of emitting
+    // NaN scores on both engines
+    val detSafe = when(det === lit(0.0),
+      raise_error(lit("gnnHeadLsq2: degenerate Gram matrix (det=0) — " +
+        "features are constant/collinear; the 3-parameter head needs " +
+        "at least 3 affinely independent (p1,p2) points")).cast("double"))
+      .otherwise(det)
+    val beta = g.select((det0 / detSafe).as("b0"), (det1 / detSafe).as("b1"),
+      (det2 / detSafe).as("b2"))
     ft.crossJoin(broadcast(beta))
       .withColumn("__s", col("b0") + col("b1") * col("p1") + col("b2") * col("p2"))
       .select((keys.map(col) :+

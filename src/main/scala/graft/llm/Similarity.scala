@@ -202,6 +202,16 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** The cell-count rule the sf10 soak measured (SCALING.md round-10
+    * table): size the coarse quantizer so the per-cell population
+    * stays ~`perCell` vectors — the in-cell pairwise term is then
+    * CONSTANT per cell as the corpus grows (linear total), where a
+    * fixed cell count goes quadratic (measured 49.9× vs 9.2× time at
+    * 10× data). Pass `cellsFor(corpusSize)` as [[semDeDup]]'s
+    * `nCells` when the corpus size is known. */
+  def cellsFor(corpusSize: Long, perCell: Long = 2500L): Int =
+    math.max(8L, corpusSize / perCell).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a coarse
     * quantizer, then deduplicate ONLY within clusters — a vector is
@@ -218,16 +228,6 @@ object Similarity {
     * centroids drop in without changing the algebra).
     *
     * Output: one row per vector — (id, cell, keep). */
-  /** The cell-count rule the sf10 soak measured (SCALING.md round-10
-    * table): size the coarse quantizer so the per-cell population
-    * stays ~`perCell` vectors — the in-cell pairwise term is then
-    * CONSTANT per cell as the corpus grows (linear total), where a
-    * fixed cell count goes quadratic (measured 49.9× vs 9.2× time at
-    * 10× data). Pass `cellsFor(corpusSize)` as [[semDeDup]]'s
-    * `nCells` when the corpus size is known. */
-  def cellsFor(corpusSize: Long, perCell: Long = 2500L): Int =
-    math.max(8L, corpusSize / perCell).toInt
-
   def semDeDup(
       emb: DataFrame,
       idCol: String,

@@ -31,6 +31,7 @@ object CurationSoak {
 
     def docs = Tables.documents(spark, sfDir)
     def emb = Tables.embeddings(spark, sfDir)
+    val scaledCells = Similarity.cellsFor(emb.count())
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "decontaminate" -> { () =>
@@ -66,9 +67,11 @@ object CurationSoak {
       // per-cell population (target ~2.5k vectors/cell) so the in-cell
       // quadratic term stays constant per cell as the corpus grows —
       // the fixed-8-cell case above deliberately stresses the opposite
+      // (cell count computed OUTSIDE the thunk so the timed run covers
+      // only the semDeDup plan, not an extra corpus scan)
       "semdedup_scaled" -> { () =>
         Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4,
-          nCells = Similarity.cellsFor(emb.count()))
+          nCells = scaledCells)
       },
       // bucketed LSH serving, single-probe vs Hamming-1 multi-probe —
       // the 9× query-side fan-out's measured cost next to its measured

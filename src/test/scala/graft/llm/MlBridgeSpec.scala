@@ -121,6 +121,22 @@ class MlBridgeSpec extends AnyFunSuite {
     assert(lsqKeep === want, "the least-squares twin must separate them too")
   }
 
+  test("gnn head twin: degenerate Gram (constant features) fails fast, not NaN") {
+    import spark.implicits._
+    // every pooled embedding identical => XᵀX is rank-1, det = 0; the
+    // fit must raise the named error instead of scoring everything NaN
+    val pooled = (0L until 10L).map(g => (g, Seq(0.5, 0.5)))
+      .toDF("graph_id", "score")
+    val ex = intercept[Exception] {
+      MlBridge.gnnHeadLsq2(pooled, Seq("graph_id"),
+        col("graph_id") % 2 === 0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("degenerate Gram matrix")),
+      s"wanted the det=0 fail-fast, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("quality classifier: the trained LR path behaves like the closed form") {
     val docs = Tables.documents(spark, sf)
     val seed = col("source").isin("src1", "src4", "src7")
