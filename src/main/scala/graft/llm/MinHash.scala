@@ -98,6 +98,22 @@ object MinHash {
     * dropped from candidate generation entirely — their members are
     * still compared through their OTHER bands (the standard LSH
     * treatment, same shape as [[Jaccard]]'s document-frequency cap). */
+  /** One (id, band, key) row per document per band — the projection
+    * both the LSH join ([[candidatePairs]]) and the cost measurement
+    * ([[bandCostTable]]) bucket on, kept in one place so the measured
+    * cost is the cost of the join that will actually run. */
+  private def bandKeyRows(
+      sig: DataFrame,
+      idCol: String,
+      bands: Int,
+      rows: Int): DataFrame =
+    (0 until bands).map { b =>
+      sig.select(
+        col(idCol),
+        lit(b).as("band"),
+        struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"k$r")): _*).as("key"))
+    }.reduce(_ unionByName _)
+
   def candidatePairs(
       sig: DataFrame,
       idCol: String,
@@ -106,12 +122,7 @@ object MinHash {
       rows: Int = Rows): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
-    val bandRows = (0 until bands).map { b =>
-      sig.select(
-        col(idCol),
-        lit(b).as("band"),
-        struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"k$r")): _*).as("key"))
-    }.reduce(_ unionByName _)
+    val bandRows = bandKeyRows(sig, idCol, bands, rows)
     // the bucket-size window shuffles on the same (band, key) the join
     // itself needs, so the cap adds no extra exchange round
     val capped = maxBucket match {
@@ -224,5 +235,108 @@ object MinHash {
       feasible.minBy(t => (t.fpAtHalfThreshold, t.bands * t.rows))
     else
       options.maxBy(t => (t.predictedRecall, -t.fpAtHalfThreshold))
+  }
+
+  /** The cost dimension the closed form cannot see: measured
+    * candidate-generation volume of a (bands, rows) split on a real
+    * signature table. `candidatePairs` is Σ sz·(sz−1)/2 over the
+    * (band, key) buckets — the exact-Jaccard verification work the LSH
+    * join will emit (pre-distinct, i.e. the work, not the output);
+    * `cappedPairs` is the share of that volume sitting in buckets a
+    * `maxBucket` guard would drop ENTIRELY — silent recall loss the
+    * S-curve's promise doesn't price in. With r = 1 every band key is
+    * a single raw minhash, so bucket sizes follow shingle popularity
+    * and these two numbers are exactly where an (11, 1)-style tuned
+    * config gets expensive. */
+  final case class BandCost(
+      bands: Int,
+      rows: Int,
+      candidatePairs: Long,
+      cappedPairs: Long,
+      maxBucketSize: Long) {
+    def truncationBites: Boolean = cappedPairs > 0L
+  }
+
+  /** One measured-cost row per (bands, rows) config, in ONE job over
+    * the signature table (the per-config aggregates union, so the sig
+    * scan is shared — persist `sig` upstream when it is expensive).
+    * Columns: n_bands, n_rows, candidate_pairs, capped_pairs,
+    * max_bucket_sz. Scale shape: per config, one groupBy on the same
+    * (band, key) the production join shuffles on, then a one-row
+    * aggregate — the measurement costs one candidate-generation
+    * shuffle and no join. */
+  def bandCostTable(
+      sig: DataFrame,
+      idCol: String,
+      configs: Seq[(Int, Int)],
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(configs.nonEmpty, "bandCostTable needs at least one (bands, rows) config")
+    val cap = maxBucket.getOrElse(Int.MaxValue)
+    configs.map { case (b, r) =>
+      require(b >= 1 && r >= 1 && b * r <= A.length,
+        s"bands=$b rows=$r needs bands*rows in 1..${A.length}")
+      bandKeyRows(sig, idCol, b, r)
+        .groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          coalesce(sum(expr("(sz * (sz - 1)) div 2")), lit(0L)).as("candidate_pairs"),
+          coalesce(sum(when(col("sz") > cap, expr("(sz * (sz - 1)) div 2"))
+            .otherwise(lit(0L))), lit(0L)).as("capped_pairs"),
+          coalesce(max(col("sz")), lit(0L)).as("max_bucket_sz"))
+        .select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+          col("candidate_pairs"), col("capped_pairs"), col("max_bucket_sz"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[tuneBands]] with the measured cost term attached: the
+    * closed-form feasible set is shortlisted (best split per distinct
+    * r — r is what moves bucket skew), each shortlisted split's
+    * candidate volume is MEASURED on the caller's signature table
+    * ([[bandCostTable]], one job), and the pick prefers
+    * truncation-free splits, then least measured candidate work, then
+    * the closed-form (fp, hashes) order. When every feasible split
+    * truncates under `maxBucket` (the r=1-only regime: steep targets
+    * at low thresholds), the least-truncating one is returned with
+    * `truncationWarning = true` — the caller sees the recall the
+    * S-curve promised is NOT what the capped join will deliver. */
+  final case class MeasuredBandTuning(
+      choice: BandTuning,
+      cost: BandCost,
+      alternatives: Seq[(BandTuning, BandCost)],
+      truncationWarning: Boolean)
+
+  def tuneBandsMeasured(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double,
+      targetRecall: Double,
+      maxHashes: Int = NumHashes,
+      maxBucket: Option[Int] = None,
+      shortlist: Int = 3): MeasuredBandTuning = {
+    val options = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+    } yield BandTuning(b, r,
+      collisionProbability(threshold, b, r),
+      collisionProbability(threshold / 2, b, r))
+    val feasible = options.filter(_.predictedRecall >= targetRecall)
+    val pool =
+      if (feasible.nonEmpty) feasible
+      else Seq(options.maxBy(t => (t.predictedRecall, -t.fpAtHalfThreshold)))
+    val perR = pool.groupBy(_.rows).values
+      .map(_.minBy(t => (t.fpAtHalfThreshold, t.bands * t.rows))).toSeq
+    val candidates = perR.sortBy(t => (t.fpAtHalfThreshold, t.bands * t.rows))
+      .take(math.max(1, shortlist))
+    val measured = bandCostTable(sig, idCol,
+      candidates.map(t => (t.bands, t.rows)), maxBucket)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        BandCost(r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val costs = candidates.map(t => t -> measured((t.bands, t.rows)))
+    val (best, cost) = costs.minBy { case (t, c) =>
+      (c.truncationBites, c.candidatePairs, t.fpAtHalfThreshold, t.bands * t.rows)
+    }
+    MeasuredBandTuning(best, cost, costs, cost.truncationBites)
   }
 }

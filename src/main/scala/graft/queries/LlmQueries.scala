@@ -141,24 +141,30 @@ object LlmQueries extends QueryModule {
   /** CTE chain ending in `nd` = the MinHash near-dup pair table
     * (id_a, id_b, inter, size_a, size_b, jaccard) at `threshold` —
     * shared by the pairwise query and the clustering query built on it. */
+  /** The tokens→shingles→hashes→signatures CTE chain (t, sh, shx,
+    * sig) shared by the near-dup replay and the band-cost replay. */
+  private def minhashSigCtes(numHashes: Int): String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
+      .mkString(", ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+       |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+       |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
+       |sig AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id)""".stripMargin
+  }
+
   private def minhashNdCtes(
       threshold: Double,
       bands: Int = MinHash.Bands,
       rows: Int = MinHash.Rows): String = {
-    val mins = (0 until bands * rows)
-      .map(i => s"min((h * ${MinHash.A(i)} + ${MinHash.B(i)}) % $P) AS mh$i")
-      .mkString(", ")
     val bandCollide = (0 until bands).map { b =>
       (0 until rows)
         .map(r => s"a.mh${b * rows + r} = b.mh${b * rows + r}")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
-       |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
-       |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
-       |sig AS (SELECT doc_id, $mins FROM shx GROUP BY doc_id),
+    s"""${minhashSigCtes(bands * rows)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCollide)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
@@ -175,7 +181,43 @@ object LlmQueries extends QueryModule {
        |       WHERE $jac >= $threshold)""".stripMargin
   }
 
-  override def queries: Seq[GraftQuery] = Seq(
+  override def queries: Seq[GraftQuery] = baseQueries ++ clusteredTwins
+
+  /** Clustered-regime twins of the ANN eval queries: the same
+    * eight-variant recall matrix and nprobe curve, rerun on the
+    * deterministic mixture-of-Gaussians corpus ([[ClusteredCorpus]]).
+    * The oracle SQL is the PROVEN base replay retargeted at a `mog`
+    * CTE (every `embeddings` table reference substituted — the word
+    * never appears in any other role in these two replays), so the
+    * clustered rows are exactly as strongly verified as the
+    * clusterless ones. */
+  private def clusteredTwins: Seq[GraftQuery] = {
+    def mogOracle(base: String): Option[String] =
+      baseQueries.find(_.name == base)
+        .flatMap(_.oracle)
+        .map(sql =>
+          s"WITH mog AS (\n${ClusteredCorpus.sql("embeddings")}),\n" +
+            sql.stripPrefix("WITH ").replaceAll("\\bembeddings\\b", "mog"))
+    Seq(
+      GraftQuery(
+        "q_emb_ann_recall_clustered",
+        (s, d) => AnnEval.recallAtK(
+          ClusteredCorpus.mixtureOfGaussians(
+            Tables.embeddings(s, d), "vec_id", "embedding"),
+          "vec_id", "embedding", col("vec_id") < 16, k = 5, nCentroids = 8),
+        mogOracle("q_emb_ann_recall")),
+      GraftQuery(
+        "q_emb_probe_tuning_clustered",
+        (s, d) => {
+          val mog = ClusteredCorpus.mixtureOfGaussians(
+            Tables.embeddings(s, d), "vec_id", "embedding")
+          Similarity.probeRecallCurve(mog, mog.filter(col("vec_id") < 16),
+            "vec_id", "embedding", k = 5, nCentroids = 8, maxProbe = 3)
+        },
+        mogOracle("q_emb_probe_tuning")))
+  }
+
+  private lazy val baseQueries: Seq[GraftQuery] = Seq(
 
     // ----- text analysis: token counts, language ID, quality score -----
     GraftQuery(
@@ -709,6 +751,42 @@ object LlmQueries extends QueryModule {
         val t = graft.llm.MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
         s"""WITH ${minhashNdCtes(0.2, t.bands, t.rows)}
            |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd""".stripMargin
+      }),
+
+    // ----- band-config candidate-volume measurement -----
+    // The cost dimension tuneBands' closed form cannot see: measured
+    // Σ sz·(sz−1)/2 over (band, key) buckets — the exact-Jaccard work
+    // each config's LSH join emits — plus the volume a maxBucket guard
+    // would silently drop. Replayed for the tuned (11,1) pick next to
+    // the (4,3) default so the 16× volume gap and the r=1 truncation
+    // exposure are pinned cross-engine.
+    GraftQuery(
+      "q_doc_band_cost",
+      (s, d) => {
+        val t = graft.llm.MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
+        val sigs = MinHash.signatures(Tables.documents(s, d), "doc_id", "text")
+        MinHash.bandCostTable(sigs, "doc_id",
+          Seq((t.bands, t.rows), (MinHash.Bands, MinHash.Rows)), maxBucket = Some(4))
+      },
+      Some {
+        val t = graft.llm.MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
+        def cost(b: Int, r: Int): String = {
+          val bandSel = (0 until b).map { i =>
+            val keys = (0 until r).map(k => s"mh${i * r + k} AS k$k").mkString(", ")
+            s"SELECT $i AS band, $keys FROM sig"
+          }.mkString(" UNION ALL ")
+          val kcols = (0 until r).map(k => s"k$k").mkString(", ")
+          s"""SELECT $b AS n_bands, $r AS n_rows,
+             |  CAST(coalesce(sum((sz * (sz - 1)) // 2), 0) AS BIGINT) AS candidate_pairs,
+             |  CAST(coalesce(sum(CASE WHEN sz > 4 THEN (sz * (sz - 1)) // 2 ELSE 0 END), 0) AS BIGINT) AS capped_pairs,
+             |  CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket_sz
+             |FROM (SELECT band, $kcols, count(*) AS sz
+             |      FROM ($bandSel) bk GROUP BY ALL) z""".stripMargin
+        }
+        s"""WITH ${minhashSigCtes(MinHash.NumHashes)}
+           |${cost(t.bands, t.rows)}
+           |UNION ALL
+           |${cost(MinHash.Bands, MinHash.Rows)}""".stripMargin
       }),
 
     // ----- winnowing fingerprints (rolling k-gram hash, window minima) -----

@@ -1,0 +1,82 @@
+package graft.llm
+
+import graft.SparkTestSession
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The clustered-regime ANN eval tier: [[ClusteredCorpus]] turns the
+  * clusterless synthetic embeddings into a deterministic
+  * mixture-of-Gaussians, and the SAME eval machinery must show the
+  * FAISS-regime behavior — high IVF recall, shallow probe depths —
+  * next to the clusterless warnings. */
+class ClusteredCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+  private def mog = ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding")
+
+  test("drop-in schema: same columns, same float element type, same row count") {
+    val m = mog
+    assert(m.columns.toSeq === Seq("vec_id", "embedding"))
+    assert(m.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.FloatType)
+    assert(m.count() === emb.count())
+    assert(m.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(64))
+  }
+
+  test("md5 component assignment is balanced and deterministic") {
+    val comp = conv(substring(
+      md5(concat(lit(ClusteredCorpus.Salt + "|"), col("vec_id").cast("string"))),
+      1, 8), 16, 10).cast("long") % 8
+    val sizes = emb.select(comp.as("c")).groupBy("c").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (0L until 8L).toSet, "every component populated")
+    val n = emb.count()
+    // no component may hold more than half the corpus (md5 is uniform)
+    assert(sizes.values.forall(_ < n / 2), s"skewed components: $sizes")
+  }
+
+  test("clusters are real: within-component cosine far above cross-component") {
+    val comp = conv(substring(
+      md5(concat(lit(ClusteredCorpus.Salt + "|"), col("vec_id").cast("string"))),
+      1, 8), 16, 10).cast("long") % 8
+    val tagged = mog.withColumn("c", comp)
+    val a = tagged.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("c").as("ca"))
+    val b = tagged.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("c").as("cb"))
+    val stats = a.join(b, col("id_a") < col("id_b"))
+      .select((col("ca") === col("cb")).as("same"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .groupBy("same").agg(avg("cos").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(stats(true) > 0.8, s"within-cluster mean cosine ${stats(true)}")
+    assert(stats(false) < 0.3, s"cross-cluster mean cosine ${stats(false)}")
+    assert(stats(true) - stats(false) > 0.5)
+  }
+
+  test("the regime flip: IVF recall jumps from hopeless to FAISS-like on the MoG corpus") {
+    def ivfRecall(corpus: org.apache.spark.sql.DataFrame): Double =
+      AnnEval.recallAtK(corpus, "vec_id", "embedding", col("vec_id") < 16,
+        k = 5, nCentroids = 8)
+        .filter(col("method") === "ivf_p1")
+        .head.getAs[Double]("recall")
+    val clusterless = ivfRecall(emb)
+    val clustered = ivfRecall(mog)
+    assert(clustered > 0.7, s"clustered ivf_p1 recall $clustered")
+    assert(clustered > clusterless + 0.3,
+      s"no regime flip: clusterless $clusterless vs clustered $clustered")
+  }
+
+  test("tuneProbes picks a shallow depth on the clustered corpus") {
+    val m = mog
+    val picked = Similarity.tuneProbes(m, m.filter(col("vec_id") < 16),
+      "vec_id", "embedding", k = 5, nCentroids = 8,
+      targetRecall = 0.8, maxProbe = 4)
+    // on clustered data most queries' true neighbors share the
+    // query's own best cell — a couple of probes must suffice
+    assert(picked <= 2, s"tuneProbes picked $picked on the clustered corpus")
+  }
+}

@@ -78,6 +78,79 @@ class TuningSpec extends AnyFunSuite {
     assert(rTuned >= 0.8, s"tuned recall $rTuned should approach the 0.9 target")
   }
 
+  test("bandCostTable: the closed form's (11,1) pick carries a measured volume cost the default doesn't") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = MinHash.signatures(docs, "doc_id", "text")
+    val t = MinHash.tuneBands(threshold = 0.2, targetRecall = 0.9)
+    val rows = MinHash.bandCostTable(sigs, "doc_id",
+      Seq((t.bands, t.rows), (MinHash.Bands, MinHash.Rows)), maxBucket = Some(4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (tunedPairs, tunedCapped, tunedMax) = rows((t.bands, t.rows))
+    val (defPairs, defCapped, _) = rows((MinHash.Bands, MinHash.Rows))
+    // predicted vs measured: the S-curve prefers (11,1) on fp rate,
+    // but its single-raw-minhash band keys follow shingle popularity —
+    // the measured candidate volume must be well above the (4,3)
+    // default's (the cost term the closed form cannot see)
+    assert(tunedPairs > defPairs * 2,
+      s"(${t.bands},${t.rows}) pairs $tunedPairs vs default $defPairs — the r=1 skew should dominate")
+    assert(tunedMax >= 2, "popularity-skewed buckets expected at r=1")
+    // capped volume is counted against the guard that would drop it
+    assert(tunedCapped >= 0L && defCapped >= 0L)
+    // sanity: Σ sz·(sz−1)/2 bounds the distinct pair count from above
+    val distinctPairs = MinHash.candidatePairs(sigs, "doc_id",
+      bands = t.bands, rows = t.rows).count()
+    assert(tunedPairs >= distinctPairs,
+      s"bucket-sum volume $tunedPairs must bound distinct pairs $distinctPairs")
+  }
+
+  test("tuneBandsMeasured: keeps the only feasible split but attaches the truncation warning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = MinHash.signatures(docs, "doc_id", "text").persist()
+    try {
+      // at θ=0.2 only r=1 reaches 0.9 within 12 hashes, so the pick
+      // cannot move — the value of the measured pass is the attached
+      // cost row and, under a biting cap, the explicit warning
+      val m = MinHash.tuneBandsMeasured(sigs, "doc_id",
+        threshold = 0.2, targetRecall = 0.9, maxBucket = Some(1))
+      assert(m.choice.rows === 1, "only r=1 is feasible at θ=0.2")
+      assert(m.cost.bands === m.choice.bands && m.cost.rows === m.choice.rows)
+      assert(m.cost.candidatePairs > 0L)
+      // maxBucket=1 drops EVERY non-singleton bucket — truncation must
+      // be visible, not silent
+      assert(m.cost.cappedPairs === m.cost.candidatePairs)
+      assert(m.truncationWarning,
+        "a cap that drops candidate volume must surface as a warning")
+      // with no cap (or a generous one) the same pick is warning-free
+      val ok = MinHash.tuneBandsMeasured(sigs, "doc_id",
+        threshold = 0.2, targetRecall = 0.9,
+        maxBucket = Some(m.cost.maxBucketSize.toInt))
+      assert(!ok.truncationWarning)
+    } finally sigs.unpersist()
+  }
+
+  test("tuneBandsMeasured: prefers a truncation-free split over a cheaper-fp one that truncates") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = MinHash.signatures(docs, "doc_id", "text").persist()
+    try {
+      // at θ=0.6 both r=1 and r=2 splits are feasible; find a cap that
+      // bites r=1 (raw-minhash popularity buckets) but not r=2
+      val costs = MinHash.bandCostTable(sigs, "doc_id", Seq((3, 1), (6, 2)))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+      val r1Max = costs((3, 1))
+      val r2Max = costs((6, 2))
+      if (r2Max < r1Max) {
+        val cap = r2Max.toInt // drops r=1's biggest buckets, none of r=2's
+        val m = MinHash.tuneBandsMeasured(sigs, "doc_id",
+          threshold = 0.6, targetRecall = 0.9, maxBucket = Some(cap))
+        assert(m.choice.rows === 2,
+          s"expected the truncation-free r=2 split, got (${m.choice.bands},${m.choice.rows})")
+        assert(!m.truncationWarning)
+        assert(m.alternatives.size >= 2, "the measured shortlist must be visible")
+      } else cancel(s"corpus has no r=1 skew to demonstrate (max $r1Max vs $r2Max)")
+    } finally sigs.unpersist()
+  }
+
   test("probeRecallCurve: non-decreasing, exact at full probe depth") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 8)
