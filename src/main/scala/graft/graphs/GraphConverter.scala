@@ -317,11 +317,15 @@ object GraphConverter {
       settings, labelCol, graphIdCol)
   }
 
-  private[graft] def assembleGraphFrames(
+  /** The node half of the assembly: features + the ordered tensor
+    * aggregate → one row per frame with `x` / `object_ids` (plus the
+    * label/graph-id passthrough columns). Public within the package so
+    * [[graft.tools.GraphProfile]] can time the production sub-plan. */
+  private[graft] def nodeTensor(
       prepared: DataFrame,
       settings: GraphSettings,
-      labelCol: String,
-      graphIdCol: String,
+      labelCol: String = Label,
+      graphIdCol: String = GraphId,
       nativeAgg: Boolean = true): DataFrame = {
     val nodes = withNodeFeatures(prepared, settings)
     val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(prepared.columns.contains)
@@ -331,7 +335,7 @@ object GraphConverter {
     // rebuild; `nativeAgg = false` keeps the generic shape for the
     // honest A/B in graft.tools.BucketedSoak. Output is bit-identical
     // (q_graph_frames oracle hash unchanged).
-    val nodeAgg = if (nativeAgg)
+    if (nativeAgg)
       nodes
         .groupBy(frameKeys.map(col): _*)
         .agg(
@@ -351,8 +355,16 @@ object GraphConverter {
         .withColumn("x", transform(col("__nodes"), _.getField("x_features")))
         .withColumn("object_ids", transform(col("__nodes"), _.getField(ObjectId)))
         .drop("__nodes")
+  }
 
-    val pairAgg = if (nativeAgg)
+  /** The pair half of the assembly: the per-frame pair fan-out + the
+    * adjacency/edge tensor aggregate → one row per frame with `a` /
+    * `e`. */
+  private[graft] def pairTensor(
+      prepared: DataFrame,
+      settings: GraphSettings,
+      nativeAgg: Boolean = true): DataFrame = {
+    if (nativeAgg)
       pairs(prepared, settings)
         .groupBy(frameKeys.map(col): _*)
         .agg(graft.functions.OrderedTensorAgg.adjacencyEdges(
@@ -374,7 +386,14 @@ object GraphConverter {
             element_at(col("__a_cells"), (i * col("__n") + j + 1).cast("int")).getField("a"))))
         .withColumn("e", transform(col("__e_cells"), _.getField("e_features")))
         .drop("__a_cells", "__e_cells", "__n")
-
-    nodeAgg.join(pairAgg, frameKeys)
   }
+
+  private[graft] def assembleGraphFrames(
+      prepared: DataFrame,
+      settings: GraphSettings,
+      labelCol: String,
+      graphIdCol: String,
+      nativeAgg: Boolean = true): DataFrame =
+    nodeTensor(prepared, settings, labelCol, graphIdCol, nativeAgg)
+      .join(pairTensor(prepared, settings, nativeAgg), frameKeys)
 }
