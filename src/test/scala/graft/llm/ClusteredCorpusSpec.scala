@@ -70,6 +70,54 @@ class ClusteredCorpusSpec extends AnyFunSuite {
       s"no regime flip: clusterless $clusterless vs clustered $clustered")
   }
 
+  test("PQ on clustered data: codes find the cluster, only the refine stage ranks inside it") {
+    // the eval matrix's pq rows stay low in BOTH regimes — and the
+    // reason is structural, not a knob miss: quantized distances
+    // collapse WITHIN a cluster (every same-component vector sits at
+    // nearly the same ADC distance), so PQ can locate the right
+    // cluster but cannot rank its members. Measure the decomposition:
+    // more codes lift recall only modestly; a deeper exact-re-rank
+    // shortlist (the FAISS IndexRefineFlat stage) is what actually
+    // recovers the top-k, because ADC's job reduces to "surface the
+    // cluster" — which it does even at 8 codes.
+    val m = mog.persist()
+    try {
+      val q = m.filter(col("vec_id") < 16)
+      val wL2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__d").asc, col("neighbor_id").asc)
+      val truth = m.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__d", Pq.l2sq(col("__qv"), col("__cv")))
+        .withColumn("rank", row_number().over(wL2))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      val r8 = recallOf(Pq.topKAdc(m, q, "vec_id", "embedding",
+        kNeighbors = 5, dim = 64, m = 4, k = 8))
+      val r64 = recallOf(Pq.topKAdc(m, q, "vec_id", "embedding",
+        kNeighbors = 5, dim = 64, m = 4, k = 64))
+      val rRefined = recallOf(Pq.topKAdcRefined(m, q, "vec_id", "embedding",
+        kNeighbors = 5, dim = 64, m = 4, k = 8, refineFactor = 12))
+      // codes help, but far less than their bit budget suggests —
+      // the within-cluster collapse is the binding constraint
+      assert(r64 > r8, s"64 codes ($r64) should beat 8 ($r8)")
+      // the refine stage is the real remedy: a cluster-deep shortlist
+      // re-ranked exactly recovers most of the true top-k even at the
+      // 8-code codebook the matrix uses
+      assert(rRefined > r64 + 0.2,
+        s"refine ($rRefined) should clearly beat bare 64-code ADC ($r64)")
+      assert(rRefined >= 0.5,
+        s"cluster-deep refine should recover most of the top-k, got $rRefined")
+    } finally m.unpersist()
+  }
+
   test("tuneProbes picks a shallow depth on the clustered corpus") {
     val m = mog
     val picked = Similarity.tuneProbes(m, m.filter(col("vec_id") < 16),
