@@ -440,6 +440,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"a broadcast side degraded to SMJ:\n$p")
   }
 
+  test("clustered-corpus transform is shuffle-free: a stateless projection that fuses") {
+    val df = graft.llm.ClusteredCorpus.mixtureOfGaussians(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the MoG transform must fuse into the scan, not shuffle:\n$p")
+  }
+
+  test("bandCostTable: one (band,key) exchange per config, partial-agg combine") {
+    val sigs = MinHash.signatures(Tables.documents(spark, sf), "doc_id", "text")
+    val df = MinHash.bandCostTable(sigs, "doc_id", Seq((11, 1), (4, 3)),
+      maxBucket = Some(4))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // per config: the bucket groupBy shuffles on (band, key) — the SAME
+    // key the production join would — then a one-row final aggregate;
+    // nothing else may shuffle (the measurement costs candidate
+    // generation, not a join)
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("band"))
+    assert(hashEx >= 2, s"expected a (band,key) exchange per config:\n$p")
+    assert(p.contains("partial_"),
+      s"bucket counting lost its map-side combine:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
