@@ -185,14 +185,37 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: candidate pairs come from
     * LSH-bucket collisions only (never all-pairs), then exact cosine
     * verifies against the threshold — the embedding analog of
-    * [[MinHash.nearDuplicates]]. */
+    * [[MinHash.nearDuplicates]].
+    *
+    * `maxBucket` is the degenerate-bucket guard the clustered-regime
+    * tier showed this path needs: on a CLUSTERED corpus (the
+    * production case — [[ClusteredCorpus]]) the random-hyperplane
+    * buckets concentrate around the cluster count, so bucket sizes
+    * approach |corpus|/#clusters and the self-join goes quadratic per
+    * bucket. Unlike banded MinHash there is only ONE bucket per
+    * vector, so a capped bucket loses its pairs entirely — the cap is
+    * a blow-up bound, not a recall-free optimization; for clustered
+    * corpora the production dedup path is [[semDeDup]] with the
+    * [[cellsFor]] rule (cells sized to hold the quadratic term
+    * constant), and this guard keeps the LSH path from melting a
+    * cluster when pointed at the wrong geometry. */
   def nearDuplicates(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val b = withLshBucket(emb, vecCol)
+      threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val b0 = withLshBucket(emb, vecCol)
       .select(col(idCol), col(vecCol), col("bucket"))
+    // the bucket-size window shuffles on the same key the join needs —
+    // no extra exchange round (same shape as MinHash.candidatePairs)
+    val b = maxBucket match {
+      case Some(m) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+        b0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= m).drop("__bsz")
+      case None => b0
+    }
     val l = b.toDF("id_a", "__va", "bucket")
     val r = b.toDF("id_b", "__vb", "bucket")
     l.join(r, Seq("bucket"))

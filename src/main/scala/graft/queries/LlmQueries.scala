@@ -214,7 +214,33 @@ object LlmQueries extends QueryModule {
           Similarity.probeRecallCurve(mog, mog.filter(col("vec_id") < 16),
             "vec_id", "embedding", k = 5, nCentroids = 8, maxProbe = 3)
         },
-        mogOracle("q_emb_probe_tuning")))
+        mogOracle("q_emb_probe_tuning")),
+      // the degenerate-bucket guard exercised where it matters: on the
+      // clustered corpus the 8-plane buckets concentrate (measured max
+      // bucket 42 of 500 at sf0.01 vs 8 on the uniform corpus), and the
+      // cap drops exactly the over-cap buckets before the self-join —
+      // the oracle replays bucket sizing, the cap, and the verification
+      GraftQuery(
+        "q_emb_near_dup_clustered",
+        (s, d) => Similarity.nearDuplicates(
+          ClusteredCorpus.mixtureOfGaussians(
+            Tables.embeddings(s, d), "vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, maxBucket = Some(25)),
+        Some {
+          val cos = Similarity.cosineSql("a.va", "b.vb")
+          val bucket = Similarity.lshBucketSql("embedding")
+          s"""WITH mog AS (
+             |${ClusteredCorpus.sql("embeddings")}),
+             |bk0 AS (SELECT vec_id, embedding, $bucket AS bucket FROM mog),
+             |bsz AS (SELECT bucket, count(*) AS c FROM bk0 GROUP BY bucket),
+             |bk AS (SELECT bk0.vec_id, bk0.embedding, bk0.bucket
+             |       FROM bk0 JOIN bsz USING (bucket) WHERE c <= 25),
+             |a AS (SELECT vec_id AS id_a, embedding AS va, bucket FROM bk),
+             |b AS (SELECT vec_id AS id_b, embedding AS vb, bucket FROM bk)
+             |SELECT id_a, id_b, round($cos, 6) AS cos_sim
+             |FROM a JOIN b USING (bucket)
+             |WHERE id_a < id_b AND $cos >= 0.9""".stripMargin
+        }))
   }
 
   private lazy val baseQueries: Seq[GraftQuery] = Seq(

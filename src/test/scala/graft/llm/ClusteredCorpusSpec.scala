@@ -118,6 +118,43 @@ class ClusteredCorpusSpec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("embedding near-dup: clustered buckets concentrate and the maxBucket guard bounds the join") {
+    val m = mog.persist()
+    try {
+      // the hazard is real on this geometry: the biggest LSH bucket
+      // must be far above the uniform corpus's (measured 42 vs 8 of
+      // 500 at sf0.01)
+      def maxBucketOf(df: org.apache.spark.sql.DataFrame): Long =
+        Similarity.withLshBucket(df, "embedding")
+          .groupBy(col("bucket")).count().agg(max("count")).head.getLong(0)
+      val mogMax = maxBucketOf(m)
+      val uniMax = maxBucketOf(emb)
+      assert(mogMax > uniMax * 2,
+        s"clustered buckets should concentrate: mog $mogMax vs uniform $uniMax")
+      // cap semantics: capped output = uncapped output minus exactly
+      // the pairs of over-cap buckets (one bucket per vector — a
+      // capped bucket loses its pairs entirely, documented)
+      val cap = (mogMax / 2).toInt
+      def pairsOf(mb: Option[Int]) =
+        Similarity.nearDuplicates(m, "vec_id", "embedding",
+          threshold = 0.9, maxBucket = mb)
+          .select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairsOf(None)
+      val capped = pairsOf(Some(cap))
+      assert(capped.subsetOf(uncapped))
+      assert(capped.size < uncapped.size, "the cap must bite on this geometry")
+      val keptBuckets = Similarity.withLshBucket(m, "embedding")
+        .groupBy(col("bucket")).count().filter(col("count") <= cap)
+        .select("bucket").collect().map(_.getLong(0)).toSet
+      val expected = Similarity.withLshBucket(m, "embedding")
+        .filter(col("bucket").isin(keptBuckets.toSeq: _*))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      // every surviving pair lives in a kept bucket
+      assert(capped.forall { case (a, b) => expected.contains(a) && expected.contains(b) })
+    } finally m.unpersist()
+  }
+
   test("tuneProbes picks a shallow depth on the clustered corpus") {
     val m = mog
     val picked = Similarity.tuneProbes(m, m.filter(col("vec_id") < 16),
