@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bloom, Bm25, Bpe, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pca, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
+import graft.llm.{Bloom, Bm25, Bpe, ClusteredCorpus, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pca, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,25 @@ object CurationSoak {
       "semdedup_scaled" -> { () =>
         Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.4,
           nCells = scaledCells)
+      },
+      // the clustered-regime arms (r11): the MoG transform is a
+      // stateless fused projection (plan-audited), so these time the
+      // OPERATORS in the bucket/cell geometry production corpora
+      // actually have — concentrated buckets, dense cells
+      "neardup_mog_uncapped" -> { () =>
+        Similarity.nearDuplicates(
+          ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9)
+      },
+      "neardup_mog_capped" -> { () =>
+        Similarity.nearDuplicates(
+          ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, maxBucket = Some(500))
+      },
+      "semdedup_mog" -> { () =>
+        Similarity.semDeDup(
+          ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, nCells = scaledCells)
       },
       // bucketed LSH serving, single-probe vs Hamming-1 multi-probe —
       // the 9× query-side fan-out's measured cost next to its measured
