@@ -80,6 +80,11 @@ object AnnEval {
         nProbe = 2), cosTruth),
       ("lsh_bucketed", Similarity.topKCosineBucketed(emb, q, idCol, vecCol, k),
         cosTruth),
+      // SQ8: full scan over int8 codes — near-exact recall (per-dim
+      // resolution kept) at 4× scan-byte cut; no candidate pruning
+      ("sq", Sq.topKCosineSq(emb, q, idCol, vecCol, k), cosTruth),
+      ("sq_refine", Sq.topKCosineSqRefined(emb, q, idCol, vecCol, k,
+        refineFactor = 3), cosTruth),
       // the LSH remedy: probe the 8 Hamming-1 neighbor buckets too
       ("lsh_mp", Similarity.topKCosineBucketedMultiProbe(emb, q, idCol, vecCol, k,
         hamming = 1), cosTruth),

@@ -112,4 +112,140 @@ object QualityRules {
         (-col("__top.negcnt")).as("top_bigram_count"),
         (-col("__top.negcnt") * 2.0 / col("__top.__n")).as("top_bigram_frac"))
   }
+
+  /** Gopher's published repetition thresholds (Rae et al. 2021 Table
+    * A1): top n-gram character fraction for n = 2..4, duplicate n-gram
+    * character fraction for n = 5..10. */
+  val TopNgramThresholds: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNgramThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Gopher's FULL repetition-signal matrix (Rae et al. 2021 §A1.1,
+    * Table A1) — the companion to [[signals]]' structural rules:
+    *
+    *  - `dup_line_frac` / `dup_para_frac`: fraction of non-empty
+    *    lines/paragraphs belonging to a value that occurs 2+ times in
+    *    the document (ALL occurrences counted — a stricter reading than
+    *    [[signals]]' extra-occurrence `dup_line_frac`, kept distinct on
+    *    purpose);
+    *  - `dup_line_char_frac` / `dup_para_char_frac`: the same,
+    *    character-weighted;
+    *  - `top_{n}gram_char_frac` (n ∈ topNs): characters covered by the
+    *    most frequent token n-gram (count × its token characters) over
+    *    total token characters — ties break to the smallest n-gram;
+    *  - `dup_{n}gram_char_frac` (n ∈ dupNs): characters of token
+    *    POSITIONS covered by any n-gram occurring 2+ times — a true
+    *    position-set union, so overlapping duplicate occurrences are
+    *    never double-counted;
+    *  - `rep_pass`: all signals within the published thresholds
+    *    (line/para ≤ 0.30 count / 0.20 char; [[TopNgramThresholds]] /
+    *    [[DupNgramThresholds]] for the n-gram families — ns without a
+    *    published threshold don't gate).
+    *
+    * Documented deviation: "characters" are token characters
+    * (whitespace excluded) for the n-gram signals and raw line /
+    * trimmed paragraph lengths for the unit signals.
+    *
+    * Scale shape: one explode carries every requested n (the per-n
+    * shingle arrays are built in a single projection and flattened —
+    * the scan is read ONCE, not once per n); all groupBys/joins key on
+    * (doc, n, gram) or (doc, idx) — doc-local keys, partial-aggregable,
+    * never a per-document collect and never an all-pairs product. */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.nonEmpty && dupNs.nonEmpty, "topNs and dupNs must be non-empty")
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be >= 1")
+    val id = col(idCol)
+    val base = docs.select(id, col(textCol).as("__text"),
+        Shingles.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+
+    val totChars = base.select(id,
+      aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__tot"))
+
+    // ---- duplicate line / paragraph fractions (count + char weighted)
+    def unitAgg(units: Column, prefix: String): DataFrame =
+      base.select(id, explode(units).as("__u"))
+        .groupBy(id, col("__u")).agg(count(lit(1)).as("__c"))
+        .select(id, col("__c"), length(col("__u")).cast("long").as("__l"))
+        .groupBy(id)
+        .agg(
+          sum(col("__c")).as("__t"),
+          sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__d"),
+          sum(col("__c") * col("__l")).as("__tc"),
+          sum(when(col("__c") >= 2, col("__c") * col("__l")).otherwise(0L)).as("__dc"))
+        .select(id,
+          (col("__d").cast("double") / col("__t")).as(s"dup_${prefix}_frac"),
+          (col("__dc").cast("double") / col("__tc")).as(s"dup_${prefix}_char_frac"))
+    val lineAgg = unitAgg(
+      filter(split(col("__text"), "\n"), l => trim(l) =!= ""), "line")
+    val paraAgg = unitAgg(
+      filter(transform(split(col("__text"), "\n\n"), p => trim(p)), p => p =!= ""), "para")
+
+    // ---- one exploded (doc, n, pos, ngram) relation for every n ----
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val annotated = allNs.map { n =>
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => struct(lit(n).as("n"), i.as("pos"),
+            array_join(slice(col("__toks"), i + 1, lit(n)), " ").as("ng"))))
+        .otherwise(array().cast("array<struct<n:int,pos:int,ng:string>>"))
+    }
+    val ng = base.select(id, explode(flatten(array(annotated: _*))).as("__s"))
+      .select(id, col("__s.n").as("__n"), col("__s.pos").as("__pos"),
+        col("__s.ng").as("__ng"))
+    val ngc = ng.groupBy(id, col("__n"), col("__ng")).agg(count(lit(1)).as("__cnt"))
+
+    // ---- top n-gram char coverage: count × token chars of the top gram
+    val topChars = ngc.filter(col("__n").isin(topNs: _*))
+      .groupBy(id, col("__n"))
+      .agg(min(struct((-col("__cnt")).as("negcnt"), col("__ng").as("ng"))).as("__top"))
+      .select(id, col("__n"),
+        ((-col("__top.negcnt")) *
+          (length(col("__top.ng")) - (col("__n") - 1)).cast("long")).as("__chars"))
+    val topExprs = topNs.map(x =>
+      max(when(col("__n") === x, col("__chars"))).as(s"__top$x"))
+    val topAgg = topChars.groupBy(id).agg(topExprs.head, topExprs.tail: _*)
+
+    // ---- duplicate n-gram char coverage: position-set union ----
+    val dupStarts = ng.filter(col("__n").isin(dupNs: _*))
+      .join(ngc.filter(col("__cnt") >= 2).select(id, col("__n"), col("__ng")),
+        Seq(idCol, "__n", "__ng"))
+    val covered = dupStarts
+      .select(id, col("__n"),
+        explode(sequence(col("__pos"), col("__pos") + col("__n") - 1)).as("__idx"))
+      .distinct()
+    val tokLens = base
+      .select(id, posexplode(col("__toks")).as(Seq("__idx", "__tok")))
+      .select(id, col("__idx"), length(col("__tok")).cast("long").as("__l"))
+    val dupChars = covered.join(tokLens, Seq(idCol, "__idx"))
+      .groupBy(id, col("__n")).agg(sum(col("__l")).as("__chars"))
+    val dupExprs = dupNs.map(x =>
+      max(when(col("__n") === x, col("__chars"))).as(s"__dup$x"))
+    val dupAgg = dupChars.groupBy(id).agg(dupExprs.head, dupExprs.tail: _*)
+
+    def fr(c: Column) = coalesce(c.cast("double") / col("__tot"), lit(0.0))
+    val sig = totChars
+      .join(lineAgg, Seq(idCol), "left")
+      .join(paraAgg, Seq(idCol), "left")
+      .join(topAgg, Seq(idCol), "left")
+      .join(dupAgg, Seq(idCol), "left")
+      .select(id +: (Seq(
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac")) ++
+        topNs.map(x => fr(col(s"__top$x")).as(s"top_${x}gram_char_frac")) ++
+        dupNs.map(x => fr(col(s"__dup$x")).as(s"dup_${x}gram_char_frac"))): _*)
+    val gates =
+      Seq(col("dup_line_frac") <= 0.30, col("dup_para_frac") <= 0.30,
+        col("dup_line_char_frac") <= 0.20, col("dup_para_char_frac") <= 0.20) ++
+        topNs.flatMap(x => TopNgramThresholds.get(x)
+          .map(t => col(s"top_${x}gram_char_frac") <= t)) ++
+        dupNs.flatMap(x => DupNgramThresholds.get(x)
+          .map(t => col(s"dup_${x}gram_char_frac") <= t))
+    sig.withColumn("rep_pass", gates.reduce(_ && _))
+  }
 }

@@ -34,8 +34,8 @@ class AnnEvalSpec extends AnyFunSuite {
       k = 5, nCentroids = 4)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(out.keySet ===
-      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "lsh_mp", "pq_adc", "pq_adc_refine",
-        "ivfpq_adc", "ivfpq_refine"))
+      Set("ivf_p1", "ivf_p2", "lsh_bucketed", "lsh_mp", "sq", "sq_refine",
+        "pq_adc", "pq_adc_refine", "ivfpq_adc", "ivfpq_refine"))
     assert(out("ivfpq_refine") >= out("ivfpq_adc"))
     out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(out("ivf_p2") >= out("ivf_p1"))
@@ -45,6 +45,11 @@ class AnnEvalSpec extends AnyFunSuite {
     // the multi-probe guarantee: Hamming-1 probing searches a superset
     // of the single-bucket candidates
     assert(out("lsh_mp") >= out("lsh_bucketed"))
+    // SQ8 keeps per-dimension resolution: on this corpus the scan
+    // should sit at-or-near exact recall, and refine never hurts
+    assert(out("sq_refine") >= out("sq"))
+    assert(out("sq") >= out("pq_adc"),
+      "8-bit per-dim codes must beat 3-bit-per-subspace PQ on clusterless vectors")
   }
 
   test("multi-probe LSH: hamming=0 degenerates to single-bucket; candidates nest") {

@@ -99,4 +99,53 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(math.abs(m("rep").getAs[Double]("top_bigram_frac") - 6.0 / 7.0) < 1e-12)
     assert(m("tie").getAs[String]("top_bigram") === "x y")
   }
+
+  test("repetitionSignals: hand-computed fractions on a tiny corpus") {
+    // doc "r": 12 tokens of 2 chars (24 token chars), duplicated line,
+    // one paragraph. Bigrams: "ab cd" x4 ties "cd ab" x4 -> lexicographic
+    // winner "ab cd", chars 4*4=16. Duplicate trigrams "ab cd ab" (x4) and
+    // "cd ab cd" (x2) cover token positions {1-5, 8-12} = 10 of 12 -> 20 chars.
+    val r = "ab cd ab cd ab\nzz qq\nab cd ab cd ab"
+    // doc "c": 12 unique tokens, no repetition anywhere; top bigram
+    // count 1 -> 4/24 = 1/6 <= 0.20 threshold -> rep_pass.
+    val c = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val out = QualityRules.repetitionSignals(
+      Seq(("r", r), ("c", c), ("empty", "  \n ")).toDF("doc_id", "text"),
+      topNs = Seq(2), dupNs = Seq(3))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out.keySet === Set("r", "c")) // token-less doc drops
+
+    val d = out("r")
+    assert(math.abs(d.getAs[Double]("dup_line_frac") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(d.getAs[Double]("dup_line_char_frac") - 28.0 / 33.0) < 1e-12)
+    assert(d.getAs[Double]("dup_para_frac") === 0.0)
+    assert(d.getAs[Double]("dup_para_char_frac") === 0.0)
+    assert(math.abs(d.getAs[Double]("top_2gram_char_frac") - 16.0 / 24.0) < 1e-12)
+    assert(math.abs(d.getAs[Double]("dup_3gram_char_frac") - 20.0 / 24.0) < 1e-12)
+    assert(!d.getAs[Boolean]("rep_pass"))
+
+    val e = out("c")
+    assert(e.getAs[Double]("dup_line_frac") === 0.0)
+    assert(math.abs(e.getAs[Double]("top_2gram_char_frac") - 4.0 / 24.0) < 1e-12)
+    assert(e.getAs[Double]("dup_3gram_char_frac") === 0.0)
+    assert(e.getAs[Boolean]("rep_pass"))
+  }
+
+  test("repetitionSignals: default ns emit the full Gopher Table-A1 matrix") {
+    val doc = ("d", ("one two three four five six seven eight nine ten " * 3).trim)
+    val row = QualityRules.repetitionSignals(Seq(doc).toDF("doc_id", "text"))
+      .collect().head
+    val cols = row.schema.fieldNames.toSet
+    val expected = Set("doc_id", "dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac", "rep_pass") ++
+      Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    assert(cols === expected)
+    // the tripled body duplicates every n-gram family up to n=10
+    (5 to 10).foreach { n =>
+      assert(row.getAs[Double](s"dup_${n}gram_char_frac") > 0.5,
+        s"tripled text must have heavy dup-$n-gram coverage")
+    }
+    assert(!row.getAs[Boolean]("rep_pass"))
+  }
 }
