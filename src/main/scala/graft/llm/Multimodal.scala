@@ -219,6 +219,39 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic PNG with pid-keyed bright blocks — the
+    * perceptual-dedup fixture (see [[ImageDedup]] / `q_media_dhash`).
+    * Pixel (x, y): half-intensity gradient base
+    * `R=((7x+13y+pid)%256)/2` (G, B likewise with the [[syntheticPng]]
+    * coefficients) plus +128 on all channels when the pixel's
+    * NORMALIZED 4×4 cell `(4x/w) + 4·(4y/h)` satisfies
+    * `(cell·7 + pid) % 16 < 5`. The cell grid is resolution-relative,
+    * so re-rendering the same pid at other dimensions keeps the block
+    * layout (a perceptual near-duplicate), while different pids light
+    * different cells (perceptually far). No channel wraps (≤ 255), so
+    * the closed form replays exactly. */
+  def syntheticPngBlocks(pid: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (x * 4) / w + 4 * ((y * 4) / h)
+        val add = if ((cell * 7 + pid) % 16 < 5) 128 else 0
+        val r = ((7L * x + 13L * y + pid) % 256L).toInt / 2 + add
+        val g = ((3L * x + 5L * y + 2L * pid) % 256L).toInt / 2 + add
+        val b = ((11L * x + 17L * y + 3L * pid) % 256L).toInt / 2 + add
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batch feature extraction: partition-local, one decoder per
     * partition, no shuffle. */
   def extractFeatures(

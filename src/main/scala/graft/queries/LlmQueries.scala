@@ -29,6 +29,41 @@ object LlmQueries extends QueryModule {
   private val toksSql = Shingles.tokensSql("text")
   private def polySql(e: String) = TextHash.polyHashSql(e)
 
+  /** The dHash fixture corpus (see `q_media_dhash`): 24 block-keyed
+    * pixel patterns ([[graft.llm.Multimodal.syntheticPngBlocks]],
+    * pattern seed = id % 24), ids 0..47 two exact copies each, ids
+    * 48..95 the same patterns at id-derived dimensions — exact dups
+    * AND resolution-variant near-dups, with different patterns
+    * perceptually far (block layouts differ in many cells). */
+  private def dhashCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.range(96).map { id =>
+      val pid = (id % 24).toInt
+      val (w, h) =
+        if (id < 48) (8 + pid % 9, 8 + (pid * 3) % 7)
+        else (9 + (id % 8).toInt, 8 + (id % 6).toInt)
+      Multimodal.MediaRow(id, Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+    }
+  }
+
+  /** DuckDB twin of [[dhashCorpus]]'s dimension rule. */
+  private val dhashDimsSql: String =
+    """dims AS (
+      |  SELECT id AS media_id,
+      |    CASE WHEN id < 48 THEN 8 + ((id % 24) % 9) ELSE 9 + (id % 8) END AS w,
+      |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
+      |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
+
+  /** [[graft.llm.Multimodal.syntheticPngBlocks]]'s channel formulas at
+    * source pixel (sx, sy) with pattern seed media_id % 24: halved
+    * gradient base + 128 on the pid-keyed normalized bright cells. */
+  private val dhashAdd =
+    "CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + (media_id % 24)) % 16) < 5 " +
+      "THEN 128 ELSE 0 END"
+  private val dhashR = s"((7 * sx + 13 * sy + (media_id % 24)) % 256) // 2 + $dhashAdd"
+  private val dhashG = s"((3 * sx + 5 * sy + 2 * (media_id % 24)) % 256) // 2 + $dhashAdd"
+  private val dhashB = s"((11 * sx + 17 * sy + 3 * (media_id % 24)) % 256) // 2 + $dhashAdd"
+
   /** CTE chain replaying [[graft.llm.Unigram]] training + Viterbi
     * segmentation (topMulti=48, maxLen=4): frequency-initialized vocab
     * (`voc`/`vlp`), recursive-CTE Viterbi (DP score/backpointer lists
@@ -357,6 +392,119 @@ object LlmQueries extends QueryModule {
            |FROM r WHERE rn = 1""".stripMargin
       }),
 
+    // ----- Gopher's FULL repetition matrix (Rae et al. Table A1) -----
+    // The synthetic corpus has no newlines and no duplicate >=5-grams,
+    // so (q_doc_scrub-style) both engines derive the same repetition-
+    // rich input: text + "\n\n" + first-half + "\n\n" + text — three
+    // paragraphs (two duplicated), the same three as lines, and the
+    // doubled body makes every dup-n-gram family fire with doc-varying
+    // fractions. The oracle replays unit counting, top-gram selection,
+    // and the position-set-union coverage end-to-end.
+    GraftQuery(
+      "q_doc_gopher_rep",
+      (s, d) => {
+        val half = floor(length(col("text")) / 2).cast("int")
+        val derived = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("text").substr(lit(1), half),
+            col("text")).as("text"))
+        graft.llm.QualityRules.repetitionSignals(derived)
+      },
+      Some {
+        val topNs = Seq(2, 3, 4)
+        val dupNs = Seq(5, 6, 7, 8, 9, 10)
+        val taCols = topNs.map(x =>
+          s"max(CASE WHEN n = $x THEN chars END) AS t$x").mkString(",\n|       ")
+        val daCols = dupNs.map(x =>
+          s"max(CASE WHEN n = $x THEN chars END) AS d$x").mkString(",\n|       ")
+        val topFr = topNs.map(x =>
+          s"coalesce(CAST(ta.t$x AS DOUBLE) / tot.tot, 0.0) AS top_${x}gram_char_frac")
+          .mkString(",\n|  ")
+        val dupFr = dupNs.map(x =>
+          s"coalesce(CAST(da.d$x AS DOUBLE) / tot.tot, 0.0) AS dup_${x}gram_char_frac")
+          .mkString(",\n|  ")
+        val gates = (Seq(
+          "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
+          "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20") ++
+          topNs.map(x =>
+            s"top_${x}gram_char_frac <= ${graft.llm.QualityRules.TopNgramThresholds(x)}") ++
+          dupNs.map(x =>
+            s"dup_${x}gram_char_frac <= ${graft.llm.QualityRules.DupNgramThresholds(x)}"))
+          .mkString("\n|  AND ")
+        s"""WITH d2 AS (
+           |  SELECT doc_id,
+           |         concat_ws(chr(10)||chr(10), text,
+           |                   substr(text, 1, CAST(floor(length(text)/2) AS INT)),
+           |                   text) AS text
+           |  FROM documents),
+           |tb AS (SELECT doc_id, text, $toksSql AS toks FROM d2
+           |       WHERE len($toksSql) > 0),
+           |tot AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+           |        (a, x) -> a + x) AS tot FROM tb),
+           |lu AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+           |       l -> trim(l) <> '')) AS u FROM tb),
+           |luc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+           |la AS (SELECT doc_id,
+           |       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           |         / sum(c) AS dup_line_frac,
+           |       CAST(sum(CASE WHEN c >= 2 THEN c * CAST(length(u) AS BIGINT)
+           |                     ELSE 0 END) AS DOUBLE)
+           |         / sum(c * CAST(length(u) AS BIGINT)) AS dup_line_char_frac
+           |       FROM luc GROUP BY doc_id),
+           |pu AS (SELECT doc_id, unnest(list_filter(list_transform(
+           |       string_split(text, chr(10)||chr(10)), p -> trim(p)),
+           |       p -> p <> '')) AS u FROM tb),
+           |puc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+           |pa AS (SELECT doc_id,
+           |       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           |         / sum(c) AS dup_para_frac,
+           |       CAST(sum(CASE WHEN c >= 2 THEN c * CAST(length(u) AS BIGINT)
+           |                     ELSE 0 END) AS DOUBLE)
+           |         / sum(c * CAST(length(u) AS BIGINT)) AS dup_para_char_frac
+           |       FROM puc GROUP BY doc_id),
+           |nn AS (SELECT unnest([${(topNs ++ dupNs).mkString(",")}]) AS n),
+           |ngx AS (SELECT doc_id, n, unnest(generate_series(1, len(toks) - n + 1)) AS i,
+           |        toks FROM tb CROSS JOIN nn WHERE len(toks) >= n),
+           |ng AS (SELECT doc_id, n, i - 1 AS pos,
+           |       array_to_string(toks[i:i+n-1], ' ') AS ng FROM ngx),
+           |ngc AS (SELECT doc_id, n, ng, count(*) AS cnt FROM ng GROUP BY 1, 2, 3),
+           |topx AS (SELECT doc_id, n, cnt, ng,
+           |         row_number() OVER (PARTITION BY doc_id, n
+           |                            ORDER BY cnt DESC, ng ASC) AS rn
+           |         FROM ngc WHERE n IN (${topNs.mkString(", ")})),
+           |topc AS (SELECT doc_id, n,
+           |         cnt * CAST(length(ng) - (n - 1) AS BIGINT) AS chars
+           |         FROM topx WHERE rn = 1),
+           |ta AS (SELECT doc_id,
+           |       $taCols FROM topc GROUP BY doc_id),
+           |ds AS (SELECT g.doc_id, g.n, g.pos FROM ng g
+           |       JOIN ngc c USING (doc_id, n, ng)
+           |       WHERE c.cnt >= 2 AND g.n IN (${dupNs.mkString(", ")})),
+           |cov0 AS (SELECT doc_id, n, unnest(generate_series(pos, pos + n - 1)) AS idx
+           |         FROM ds),
+           |cov AS (SELECT DISTINCT doc_id, n, idx FROM cov0),
+           |tl0 AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+           |        FROM tb),
+           |tl AS (SELECT doc_id, i - 1 AS idx, CAST(length(toks[i]) AS BIGINT) AS l
+           |       FROM tl0),
+           |dc AS (SELECT cov.doc_id, cov.n, sum(tl.l) AS chars
+           |       FROM cov JOIN tl USING (doc_id, idx) GROUP BY 1, 2),
+           |da AS (SELECT doc_id,
+           |       $daCols FROM dc GROUP BY doc_id),
+           |f AS (SELECT tb.doc_id,
+           |  la.dup_line_frac, la.dup_line_char_frac,
+           |  pa.dup_para_frac, pa.dup_para_char_frac,
+           |  $topFr,
+           |  $dupFr
+           |FROM tb JOIN tot USING (doc_id) JOIN la USING (doc_id)
+           |        JOIN pa USING (doc_id)
+           |        LEFT JOIN ta ON ta.doc_id = tb.doc_id
+           |        LEFT JOIN da ON da.doc_id = tb.doc_id)
+           |SELECT *,
+           |  $gates AS rep_pass
+           |FROM f""".stripMargin
+      }),
+
     // ----- PII/URL scrubbing (masked text + telemetry counts). The
     // synthetic corpus has no identifiers, so each doc is salted with
     // a URL / e-mail / IP prefix in BOTH engines — every row exercises
@@ -599,6 +747,66 @@ object LlmQueries extends QueryModule {
            |         row_number() OVER (PARTITION BY query_id
            |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
            |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- SQ8 asymmetric scan: full-precision query vs int8 codes -----
+    // The FAISS IndexScalarQuantizer rung: per-dimension resolution is
+    // kept (cosine is invariant to the per-vector amax scale, so the
+    // scan ranks by cos(q, codes) with no dequantization), trading a 4×
+    // scan-byte cut for near-exact recall — the contrast arm to PQ-ADC,
+    // which collapses on clusterless corpora. The oracle replays the
+    // int8 encoding and the asymmetric ranking end-to-end.
+    GraftQuery(
+      "q_emb_sq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Sq.topKCosineSq(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3)
+      },
+      Some {
+        val cos = Similarity.cosineSql("q.qv", "c.cv")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 16),
+           |c AS (SELECT vec_id AS neighbor_id, ${Sq.codesSql("embedding")} AS cv
+           |      FROM embeddings),
+           |sc AS (SELECT q.query_id, c.neighbor_id, $cos AS cosv
+           |       FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS sq_sim FROM (
+           |  SELECT query_id, neighbor_id, cosv,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosv DESC, neighbor_id ASC) AS rank
+           |  FROM sc) r WHERE rank <= 3""".stripMargin
+      }),
+
+    // ----- SQ8 + exact refine (IndexRefineFlat over the SQ scan) -----
+    GraftQuery(
+      "q_emb_sq_refine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Sq.topKCosineSqRefined(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, refineFactor = 3)
+      },
+      Some {
+        val cosSq = Similarity.cosineSql("q.qv", "c.cv")
+        val cosEx = Similarity.cosineSql("q.qv", "c.cv")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 16),
+           |sqd AS (SELECT vec_id AS neighbor_id, ${Sq.codesSql("embedding")} AS cv
+           |        FROM embeddings),
+           |shortl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosSq DESC, c.neighbor_id ASC) AS rank
+           |  FROM q CROSS JOIN sqd c WHERE q.query_id <> c.neighbor_id) r
+           |  WHERE rank <= 9),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+           |SELECT query_id, neighbor_id, rank, round(cosv, 6) AS cos_sim FROM (
+           |  SELECT sh.query_id, sh.neighbor_id, $cosEx AS cosv,
+           |         row_number() OVER (PARTITION BY sh.query_id
+           |                            ORDER BY $cosEx DESC, sh.neighbor_id ASC) AS rank
+           |  FROM shortl sh JOIN q ON q.query_id = sh.query_id
+           |                 JOIN c ON c.neighbor_id = sh.neighbor_id) r
+           |WHERE rank <= 3""".stripMargin
       }),
 
     // ----- embedding-cosine near-duplicates via bucket collisions -----
@@ -958,6 +1166,21 @@ object LlmQueries extends QueryModule {
            |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
            |  FROM qbm q JOIN cb c USING (bucket) WHERE q.query_id <> c.neighbor_id) r
            |  WHERE rank <= 5),
+           |sqd AS (SELECT vec_id AS neighbor_id, ${Sq.codesSql("embedding")} AS cv
+           |        FROM embeddings),
+           |sqrk AS (SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosQC DESC, c.neighbor_id ASC) AS rank
+           |  FROM q CROSS JOIN sqd c WHERE q.query_id <> c.neighbor_id) r),
+           |sq5 AS (SELECT query_id, neighbor_id FROM sqrk WHERE rank <= 5),
+           |sqr AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, p.neighbor_id,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $cosQC DESC, p.neighbor_id ASC) AS rrank
+           |  FROM sqrk p JOIN q ON q.query_id = p.query_id
+           |              JOIN c ON c.neighbor_id = p.neighbor_id
+           |  WHERE p.rank <= 15) r WHERE rrank <= 5),
            |exl2 AS (SELECT query_id, neighbor_id FROM (
            |  SELECT q.query_id, c.neighbor_id,
            |         row_number() OVER (PARTITION BY q.query_id
@@ -1059,6 +1282,16 @@ object LlmQueries extends QueryModule {
            |         CAST(count(ex.query_id) AS BIGINT),
            |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
            |  FROM lb LEFT JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'sq', CAST(count(*) AS BIGINT),
+           |         CAST(count(ex.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
+           |  FROM sq5 LEFT JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'sq_refine', CAST(count(*) AS BIGINT),
+           |         CAST(count(ex.query_id) AS BIGINT),
+           |         (SELECT CAST(count(*) AS BIGINT) FROM ex)
+           |  FROM sqr LEFT JOIN ex USING (query_id, neighbor_id)
            |  UNION ALL
            |  SELECT 'lsh_mp', CAST(count(*) AS BIGINT),
            |         CAST(count(ex.query_id) AS BIGINT),
@@ -2185,6 +2418,57 @@ object LlmQueries extends QueryModule {
              |  CAST(min((r * 299 + g * 587 + b * 114) // 1000) AS BIGINT) AS min_luma,
              |  CAST(max((r * 299 + g * 587 + b * 114) // 1000) AS BIGINT) AS max_luma
              |FROM px GROUP BY 1, 2""".stripMargin)),
+
+    // ----- multimodal: perceptual dHash over REAL PNG decodes. 96
+    // synthetic PNGs carry 24 closed-form pixel patterns (pattern =
+    // id % 24): ids 0..47 are two bit-identical copies of each
+    // pattern, ids 48..95 re-render the same patterns at id-derived
+    // dimensions (the "same image at another resolution" duplicate a
+    // perceptual hash exists to catch). The hash — pinned floor
+    // resample to a 9×8 luma grid, 64 horizontal-gradient bits packed
+    // into 4×16-bit bands — is integer-exact over the lossless PNG
+    // round-trip, so DuckDB replays it from the pixel formula with no
+    // image library. -----
+    GraftQuery(
+      "q_media_dhash",
+      (s, _) => {
+        import s.implicits._
+        ImageDedup.dHash(dhashCorpus(s))
+          .select(col("media_id"), col("b0").cast("long"), col("b1").cast("long"),
+            col("b2").cast("long"), col("b3").cast("long"))
+      },
+      Some(
+        s"""WITH $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT media_id, CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+           |       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+           |FROM hx""".stripMargin)),
+
+    // ----- multimodal: dHash near-duplicate pairs via banded Hamming
+    // LSH (4×16-bit bands; EXACT for maxHamming <= 3 by pigeonhole —
+    // see [[graft.llm.ImageDedup]]). The oracle checks the exactness
+    // guarantee itself: it pairs ALL images brute-force and keeps
+    // Hamming <= 3, so a banding bug that loses a qualifying pair (or
+    // the join inventing one) hash-mismatches. -----
+    GraftQuery(
+      "q_media_dhash_neardup",
+      (s, _) => {
+        import s.implicits._
+        ImageDedup.nearDuplicates(ImageDedup.dHash(dhashCorpus(s)), maxHamming = 3)
+      },
+      Some(
+        s"""WITH $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM hx a JOIN hx b ON a.media_id < b.media_id
+           |WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
 
     // ----- ExactSubstr-style repeated-span regions: any 13-token
     // span shared verbatim across ≥2 docs, adjacent flags merged into

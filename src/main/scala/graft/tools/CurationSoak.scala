@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.llm.{Bloom, Bm25, Bpe, ClusteredCorpus, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pca, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Unigram}
+import graft.llm.{Bloom, Bm25, Bpe, ClusteredCorpus, Decontaminate, Dsir, KMeansLite, Mixer, NgramLm, Packer, Pca, Pq, Quantize, Sharder, Shingles, Similarity, SpanDedup, Sq, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,8 +32,23 @@ object CurationSoak {
     def docs = Tables.documents(spark, sfDir)
     def emb = Tables.embeddings(spark, sfDir)
     val scaledCells = Similarity.cellsFor(emb.count())
+    val nDocs = docs.count() // sizes the synthetic image corpus, once
+
+    // SQ8 index BUILD (once, outside the timed thunks — the serving
+    // shape is build-once / serve-every-batch): the at-rest arm scans
+    // this 4×-narrower parquet instead of the float corpus
+    val sqIndexDir = "/tmp/graft_sq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    Sq.buildIndex(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(sqIndexDir)
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      // Gopher's full repetition matrix — the widest single-scan
+      // explode in the quality family (9 n-gram sizes + lines + paras
+      // from ONE pass over the text); the number to watch is that it
+      // stays linear in corpus size (all keys doc-local)
+      "gopher_rep" -> { () =>
+        graft.llm.QualityRules.repetitionSignals(docs)
+      },
       "decontaminate" -> { () =>
         val bench = docs.filter(col("doc_id") % 17 === 0)
           .select(col("doc_id").as("bench_id"),
@@ -102,6 +117,41 @@ object CurationSoak {
       "lsh_ann_mp" -> { () =>
         Similarity.topKCosineBucketedMultiProbe(emb, emb.filter(col("vec_id") < 16),
           "vec_id", "embedding", k = 3, hamming = 1)
+      },
+      // SQ8 serving, three ways: the exact float scan it competes
+      // with, the inline-quantized scan (encode fused into the same
+      // corpus pass — pays the encode, saves nothing at rest), and
+      // the at-rest index scan (pre-built codes parquet — the real
+      // residency story: same ranking, 4× fewer scan bytes)
+      "exact_ann" -> { () =>
+        Similarity.topKCosine(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3)
+      },
+      "sq_ann_inline" -> { () =>
+        Sq.topKCosineSq(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3)
+      },
+      "sq_ann_at_rest" -> { () =>
+        Sq.topKCosineCoded(spark.read.parquet(sqIndexDir),
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3)
+      },
+      // perceptual image dedup at corpus scale: one synthetic PNG per
+      // document (pattern count = corpus/4, so ~4 renders per pattern
+      // keep the dup structure constant as sf grows), REAL encode +
+      // decode on the executors, banded-Hamming pair join — the
+      // number to watch is linearity: decode is partition-local, the
+      // only shuffle keys on (band, key16)
+      "image_dhash_neardup" -> { () =>
+        import spark.implicits._
+        val nPatterns = math.max(1L, nDocs / 4)
+        val media = spark.range(nDocs).map { id =>
+          val pid = id % nPatterns
+          val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+          graft.llm.Multimodal.MediaRow(
+            id, graft.llm.Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+        }
+        graft.llm.ImageDedup.nearDuplicates(
+          graft.llm.ImageDedup.dHash(media), maxHamming = 3, maxBucket = 2000)
       },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",

@@ -466,6 +466,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket counting lost its map-side combine:\n$p")
   }
 
+  test("sq8 scan: queries broadcast against the coded corpus, one window shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.llm.Sq.topKCosineSq(emb, emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus is scanned where it lives; the |Q|-sized query set is
+    // the broadcast side of the non-equi (q != c) join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the SQ scan must never shuffle the corpus for the join:\n$p")
+    assert(p.contains("Window"), s"per-query top-k window missing:\n$p")
+  }
+
+  test("repetition signals: every exchange is doc-keyed, nothing single-partition") {
+    val df = graft.llm.QualityRules.repetitionSignals(
+      Tables.documents(spark, sf).filter(col("doc_id") < 50))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global (non-doc-local) aggregate crept into the matrix:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the n-gram joins must stay equi-keyed:\n$p")
+    val exLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty && exLines.forall(_.contains("doc_id")),
+      s"an exchange lost the doc_id key (no longer doc-local):\n$p")
+  }
+
+  test("image dhash near-dup: the candidate join shuffles on (band, key) only") {
+    import spark.implicits._
+    val media = spark.range(64).map { id =>
+      graft.llm.Multimodal.MediaRow(id,
+        graft.llm.Multimodal.syntheticPngBlocks(id % 16, 9, 8), "image/png", 9, 8)
+    }
+    val df = graft.llm.ImageDedup.nearDuplicates(
+      graft.llm.ImageDedup.dHash(media), maxHamming = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing degraded to all-pairs:\n$p")
+    val bandEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("band") && l.contains("key"))
+    assert(bandEx >= 1, s"no (band, key) exchange — candidate join lost its key:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the perceptual-hash image dedup that the
+  * hash oracle cannot express: brightness invariance of dHash, the
+  * banded join's exactness vs a brute-force Hamming scan, and the
+  * guard behaviors. */
+class ImageDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The q_media_dhash fixture: 24 patterns × (2 exact copies + 2
+    * resolution variants). */
+  private def corpus = spark.range(96).map { id =>
+    val pid = (id % 24).toInt
+    val (w, h) =
+      if (id < 48) (8 + pid % 9, 8 + (pid * 3) % 7)
+      else (9 + (id % 8).toInt, 8 + (id % 6).toInt)
+    Multimodal.MediaRow(id, Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+  }
+
+  test("the fixture discriminates: same-pattern pairs dominate the near-dup set") {
+    val pairs = ImageDedup.nearDuplicates(ImageDedup.dHash(corpus), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val samePattern = pairs.count { case (a, b) => a % 24 == b % 24 }
+    assert(samePattern * 2 > pairs.size,
+      s"expected same-pattern majority, got $samePattern of ${pairs.size}")
+    // and the near-dup set is a small fraction of all 96*95/2 pairs
+    assert(pairs.size < 500)
+  }
+
+  test("exact copies hash identically and surface as Hamming-0 pairs") {
+    val pairs = ImageDedup.nearDuplicates(ImageDedup.dHash(corpus), maxHamming = 3)
+      .filter(col("hamming") === 0)
+      .select("media_id_a", "media_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 0..23 and 24..47 are bit-identical renders of the same pattern
+    (0L until 24L).foreach(id => assert(pairs.contains((id, id + 24)),
+      s"exact duplicate pair ($id, ${id + 24}) must be found at Hamming 0"))
+  }
+
+  test("banded LSH equals the brute-force Hamming scan (exactness guarantee)") {
+    val hashes = ImageDedup.dHash(corpus)
+    val got = ImageDedup.nearDuplicates(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val brute = (for {
+      (ia, ba) <- h; (ib, bb) <- h if ia < ib
+      d = ba.zip(bb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("dHash is invariant to a uniform (non-wrapping) brightness shift") {
+    def flatPng(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 12) {
+        val v = math.min(10 * x + 3 * y + shift, 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, flatPng(0), "image/png", 12, 10),
+      Multimodal.MediaRow(1L, flatPng(50), "image/png", 12, 10)))
+    val rows = ImageDedup.dHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(rows(0L) === rows(1L), "gradient bits must ignore uniform brightness")
+  }
+
+  test("undecodable payloads are dropped, not hashed") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, Multimodal.syntheticPng(7, 9, 9), "image/png", 9, 9),
+      Multimodal.MediaRow(8L, Array[Byte](1, 2, 3), "image/png", 9, 9)))
+    assert(ImageDedup.dHash(media).select("media_id").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("maxHamming beyond the 4-band guarantee is refused") {
+    val hashes = ImageDedup.dHash(corpus)
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.nearDuplicates(hashes, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("exactness guarantee"))
+  }
+
+  test("maxBucket drops saturated band buckets (and reports fewer pairs)") {
+    val hashes = ImageDedup.dHash(corpus)
+    val full = ImageDedup.nearDuplicates(hashes, maxHamming = 0).count()
+    // every exact-dup pair collides in all 4 bands; capping buckets at 2
+    // keeps pairs only where a band bucket holds exactly the duplicates
+    val capped = ImageDedup.nearDuplicates(hashes, maxHamming = 0, maxBucket = 2).count()
+    assert(capped <= full)
+  }
+}
