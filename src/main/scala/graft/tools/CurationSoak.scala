@@ -33,6 +33,8 @@ object CurationSoak {
     def emb = Tables.embeddings(spark, sfDir)
     val scaledCells = Similarity.cellsFor(emb.count())
     val nDocs = docs.count() // sizes the synthetic image corpus, once
+    // optional comma-separated name filter for single-op reruns
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
 
     // SQ8 index BUILD (once, outside the timed thunks — the serving
     // shape is build-once / serve-every-batch): the at-rest arm scans
@@ -40,6 +42,21 @@ object CurationSoak {
     val sqIndexDir = "/tmp/graft_sq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     Sq.buildIndex(emb, "vec_id", "embedding")
       .write.mode("overwrite").parquet(sqIndexDir)
+
+    // image fixture corpus (once, outside the timed thunks — the PNG
+    // encode is fixture manufacturing; the dedup operator's production
+    // input is image bytes at rest)
+    val mediaDir = "/tmp/graft_media_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("image_dhash_neardup"))) {
+      import spark.implicits._
+      val nPatterns = math.max(1L, nDocs / 4)
+      spark.range(nDocs).map { id =>
+        val pid = id % nPatterns
+        val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+        graft.llm.Multimodal.MediaRow(
+          id, graft.llm.Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+      }.write.mode("overwrite").parquet(mediaDir)
+    }
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
       // Gopher's full repetition matrix — the widest single-scan
@@ -137,19 +154,17 @@ object CurationSoak {
       },
       // perceptual image dedup at corpus scale: one synthetic PNG per
       // document (pattern count = corpus/4, so ~4 renders per pattern
-      // keep the dup structure constant as sf grows), REAL encode +
-      // decode on the executors, banded-Hamming pair join — the
-      // number to watch is linearity: decode is partition-local, the
-      // only shuffle keys on (band, key16)
+      // keep the dup structure constant as sf grows), REAL decode on
+      // the executors, banded-Hamming pair join — the number to watch
+      // is linearity: decode is partition-local, the only shuffle keys
+      // on (band, key16). The PNG ENCODE is fixture manufacturing,
+      // not operator cost, so the corpus is materialized once above
+      // (mediaDir) and the timed run starts from bytes at rest — the
+      // production shape.
       "image_dhash_neardup" -> { () =>
         import spark.implicits._
-        val nPatterns = math.max(1L, nDocs / 4)
-        val media = spark.range(nDocs).map { id =>
-          val pid = id % nPatterns
-          val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
-          graft.llm.Multimodal.MediaRow(
-            id, graft.llm.Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
-        }
+        val media = spark.read.parquet(mediaDir)
+          .as[graft.llm.Multimodal.MediaRow]
         graft.llm.ImageDedup.nearDuplicates(
           graft.llm.ImageDedup.dHash(media), maxHamming = 3, maxBucket = 2000)
       },
@@ -291,8 +306,6 @@ object CurationSoak {
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    // optional comma-separated name filter for single-op reruns
-    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
     // The timed sink must CONSUME every output column: under a bare
     // count(), Catalyst prunes projections whose values don't affect
     // the row count (quantize/jl/abtt read as scan-speed), drops a
