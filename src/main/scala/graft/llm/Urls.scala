@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host-level corpus shaping — the
+  * CommonCrawl-side steps of a web-scale curation pipeline (C4/CCNet
+  * lineage): the same page is crawled under scheme/case/port/tracking
+  * variants, and a handful of giant hosts can dominate a naive crawl,
+  * so pipelines canonicalize URLs, dedup on the canonical form, and
+  * cap documents per host for domain diversity.
+  *
+  * The canonical form is pinned (documented deviation-free rules so
+  * the DuckDB oracle replays them verbatim):
+  *   1. scheme and host lowercased; path/query case preserved;
+  *   2. a leading `www.` and a trailing `.` dropped from the host;
+  *   3. default ports stripped (`:80` for http, `:443` for https);
+  *   4. the fragment (`#…`) dropped;
+  *   5. tracking params removed — any `utm_*`, `gclid`, `fbclid`,
+  *      `ref` — preserving the order of the survivors; an emptied
+  *      query drops its `?`.
+  * Inputs that don't parse as `scheme://authority…` pass through
+  * with a null host (kept, not dropped — classification is the
+  * caller's policy decision).
+  *
+  * Scale shape: canonicalization is a shuffle-free projection (regex
+  * + array ops inside codegen — at 100 TB it rides the scan). Dedup
+  * shuffles once on the canonical URL, the cap once on the host —
+  * the natural keys. Honest skew note: hosts are Zipfian, so the
+  * per-host rank window concentrates the biggest host in one task;
+  * [[hostCap]] therefore pre-aggregates per-host counts (partial-agg,
+  * skew-immune) and only ranks within hosts that EXCEED the cap —
+  * under-cap hosts (the overwhelming majority of a web corpus) never
+  * enter the window.
+  */
+object Urls {
+
+  private val UrlRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^#]*).*$"
+
+  private def isTracking(p: Column): Column =
+    p.startsWith("utm_") || p.startsWith("gclid=") || p.startsWith("fbclid=") ||
+      p.startsWith("ref=") || p === "gclid" || p === "fbclid" || p === "ref"
+
+  /** Adds `canonical_url` and `host` (null host when the value does
+    * not parse as a URL; `canonical_url` then falls back to the raw
+    * trimmed input). */
+  def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val raw = trim(col(urlCol))
+    val scheme = lower(regexp_extract(raw, UrlRe, 1))
+    val auth = lower(regexp_extract(raw, UrlRe, 2))
+    val tail = regexp_extract(raw, UrlRe, 3) // path + query, no fragment
+    // host:port split (the port is digits after the last ':')
+    val port = regexp_extract(auth, "^.*:([0-9]+)$", 1)
+    val hostRaw = regexp_replace(auth, ":[0-9]+$", "")
+    val host = regexp_replace(regexp_replace(hostRaw, "\\.$", ""), "^www\\.", "")
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val path = regexp_extract(tail, "^([^?]*).*$", 1)
+    val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p => !isTracking(p) && p =!= "")
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query =!= "" && size(kept) > 0,
+        concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+    df.withColumn("host", when(scheme =!= "" && auth =!= "", host))
+      .withColumn("canonical_url",
+        when(scheme =!= "" && auth =!= "", canon).otherwise(raw))
+  }
+
+  /** One row per canonical URL: the survivor with the smallest
+    * `idCol` (deterministic first-crawl-wins). One shuffle, keyed on
+    * the canonical URL. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val c = canonicalize(df, urlCol)
+    val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
+    c.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keeps at most `maxPerHost` documents per host (smallest-id
+    * survivors); null-host rows pass through untouched. Skew-aware:
+    * per-host counts are a partial-aggregable groupBy, and only the
+    * hosts ABOVE the cap — at web scale a tiny, Zipf-head set — go
+    * through the rank window; everything else is a broadcast-semi-join
+    * pass-through. Returns the capped table. */
+  def hostCap(df: DataFrame, idCol: String, urlCol: String, maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val c = canonicalize(df, urlCol)
+    val over = c.filter(col("host").isNotNull)
+      .groupBy(col("host")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerHost)
+      .select(col("host"))
+    val flagged = c.join(broadcast(over), Seq("host"), "left_semi")
+    val under = c.join(broadcast(over), Seq("host"), "left_anti")
+    val w = Window.partitionBy(col("host")).orderBy(col(idCol).asc)
+    val capped = flagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerHost).drop("__rn")
+    under.unionByName(capped)
+  }
+
+  /** Per-host diversity telemetry: document count, docs kept under
+    * `maxPerHost`, and the host's corpus share — the report a crawl
+    * operator reads before choosing the cap. Pure partial-aggregable
+    * groupBys. */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String, maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val c = canonicalize(df, urlCol).filter(col("host").isNotNull)
+    val perHost = c.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    val total = perHost.agg(sum(col("n_docs")).as("__total")) // 1 row → broadcasts
+    perHost.crossJoin(broadcast(total))
+      .select(col("host"), col("n_docs"),
+        least(col("n_docs"), lit(maxPerHost.toLong)).as("n_kept"),
+        round((col("n_docs") / col("__total").cast("double")).cast("decimal(20,9)"), 6)
+          .cast("double").as("corpus_share"))
+  }
+}

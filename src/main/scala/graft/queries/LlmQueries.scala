@@ -54,6 +54,50 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** Synthetic URL per document (the corpus has no URL column, so —
+    * q_doc_scrub-style — both engines derive the same one): exercises
+    * every canonicalization rule: scheme/host case, www + trailing-dot
+    * host noise, default vs real ports, tracking params (including an
+    * all-tracking query), fragments, and unparseable rows (%11). Host
+    * ids below 10 collapse onto host 0 — the Zipf head for the cap. */
+  private def syntheticUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hostNum = when(id % 40 < 10, lit(0L)).otherwise(id % 40).cast("string")
+    when(id % 11 === 0, concat(lit("doc "), id.cast("string"), lit(" has no scheme")))
+      .otherwise(concat(
+        when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(id % 7 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Host"), hostNum, lit(".Example.COM"),
+        when(id % 13 === 0, lit(".")).otherwise(lit("")),
+        when(id % 2 === 0, lit(":80")).when(id % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/Path/"), (id % 25).cast("string"),
+        when(id % 12 === 9, lit("?utm_source=only&gclid=g"))
+          .when(id % 3 === 0,
+            concat(lit("?utm_source=x&id="), (id % 6).cast("string"), lit("&fbclid=z")))
+          .when(id % 3 === 1,
+            concat(lit("?id="), (id % 6).cast("string"), lit("&utm_medium=m")))
+          .otherwise(lit("")),
+        when(id % 4 === 0, lit("#frag")).otherwise(lit(""))))
+  }
+
+  /** DuckDB twins: the EXPECTED canonical form / host, derived from
+    * the generation parameters directly (an independent derivation,
+    * not a replay of the Scala regex chain). */
+  private val urlCanonSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'doc ' || doc_id || ' has no scheme'
+      |ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://host' ||
+      |  (CASE WHEN doc_id % 40 < 10 THEN 0 ELSE doc_id % 40 END) || '.example.com' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ''
+      |        WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+      |  '/Path/' || (doc_id % 25) ||
+      |  (CASE WHEN doc_id % 12 = 9 THEN ''
+      |        WHEN doc_id % 3 IN (0, 1) THEN '?id=' || (doc_id % 6)
+      |        ELSE '' END)
+      |END""".stripMargin
+  private val urlHostSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN NULL
+      |ELSE 'host' || (CASE WHEN doc_id % 40 < 10 THEN 0 ELSE doc_id % 40 END) ||
+      |  '.example.com' END""".stripMargin
+
   /** [[graft.llm.Multimodal.syntheticPngBlocks]]'s channel formulas at
     * source pixel (sx, sy) with pattern seed media_id % 24: halved
     * gradient base + 128 on the pid-keyed normalized bright cells. */
@@ -2469,6 +2513,76 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
+
+    // ----- URL canonicalization (C4/CCNet crawl hygiene). The Spark
+    // side runs the real regex/array canonicalizer over the salted
+    // URLs; the oracle derives the expected canonical form from the
+    // generation parameters DIRECTLY — an independent derivation, so
+    // a rule implemented wrong on either side mismatches. -----
+    GraftQuery(
+      "q_doc_url_canon",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d)
+          .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.canonicalize(withUrl, "url")
+          .select(col("doc_id"), col("host"), col("canonical_url"))
+      },
+      Some(
+        s"""SELECT doc_id, $urlHostSql AS host, $urlCanonSql AS canonical_url
+           |FROM documents""".stripMargin)),
+
+    // ----- canonical-URL dedup: first-crawl-wins survivor per URL -----
+    GraftQuery(
+      "q_doc_url_dedup",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d)
+          .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.dedupByUrl(withUrl, "doc_id", "url")
+          .select(col("doc_id"), col("canonical_url"))
+      },
+      Some(
+        s"""WITH u AS (SELECT doc_id, $urlCanonSql AS canonical_url FROM documents)
+           |SELECT min(doc_id) AS doc_id, canonical_url
+           |FROM u GROUP BY canonical_url""".stripMargin)),
+
+    // ----- per-host document cap (domain diversity). Skew-aware on
+    // the Spark side (only over-cap hosts enter the rank window);
+    // the oracle ranks everything brute-force — same answer. -----
+    GraftQuery(
+      "q_doc_host_cap",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d)
+          .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.hostCap(withUrl, "doc_id", "url", maxPerHost = 60)
+          .select(col("doc_id"), col("host"), col("canonical_url"))
+      },
+      Some(
+        s"""WITH u AS (SELECT doc_id, $urlHostSql AS host,
+           |                  $urlCanonSql AS canonical_url FROM documents),
+           |r AS (SELECT doc_id, host, canonical_url,
+           |      row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+           |      FROM u)
+           |SELECT doc_id, host, canonical_url FROM r
+           |WHERE host IS NULL OR rn <= 60""".stripMargin)),
+
+    // ----- per-host diversity telemetry -----
+    GraftQuery(
+      "q_doc_host_stats",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d)
+          .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.hostStats(withUrl, "doc_id", "url", maxPerHost = 60)
+      },
+      Some(
+        s"""WITH u AS (SELECT doc_id, $urlHostSql AS host FROM documents
+           |           WHERE doc_id % 11 <> 0),
+           |c AS (SELECT host, count(*) AS n_docs FROM u GROUP BY host),
+           |t AS (SELECT sum(n_docs) AS total FROM c)
+           |SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(least(n_docs, 60) AS BIGINT) AS n_kept,
+           |       CAST(round(CAST(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)
+           |                       AS DECIMAL(20,9)), 6) AS DOUBLE) + 0.0 AS corpus_share
+           |FROM c CROSS JOIN t""".stripMargin)),
 
     // ----- ExactSubstr-style repeated-span regions: any 13-token
     // span shared verbatim across ≥2 docs, adjacent flags merged into

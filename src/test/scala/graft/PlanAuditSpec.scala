@@ -512,6 +512,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bandEx >= 1, s"no (band, key) exchange — candidate join lost its key:\n$p")
   }
 
+  test("url canonicalization is a shuffle-free scan-stage projection") {
+    import spark.implicits._
+    val df = graft.llm.Urls.canonicalize(
+      spark.range(100).select(col("id"),
+        concat(lit("http://h"), (col("id") % 7).cast("string"),
+          lit(".com/p?utm_source=x&a=1#f")).as("url")), "url")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"canonicalization must ride the scan, not shuffle:\n$p")
+  }
+
+  test("host cap: under-cap hosts bypass the rank window via broadcast joins") {
+    import spark.implicits._
+    val df = graft.llm.Urls.hostCap(
+      spark.range(200).select(col("id"),
+        concat(lit("http://h"), (col("id") % 5).cast("string"),
+          lit(".com/"), col("id").cast("string")).as("url")),
+      "id", "url", maxPerHost = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the over-cap host set must broadcast into semi/anti joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the Zipf-head host list degraded to a shuffle join:\n$p")
+    assert(p.contains("Window"), s"per-host rank window missing:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
