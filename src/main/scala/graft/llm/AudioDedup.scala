@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual near-duplicate detection for audio columns — the audio
+  * analog of [[ImageDedup]], closing the multimodal dedup family
+  * (text → [[MinHash]], embeddings → [[Similarity]], images →
+  * [[ImageDedup]], audio → here). The same recording re-encoded,
+  * re-trimmed or re-leveled is the duplicate class a web-scale audio
+  * corpus carries.
+  *
+  * The fingerprint is an energy-envelope hash (the dHash idea on the
+  * time axis): decode → 65 LENGTH-relative windows (sample i belongs
+  * to window `(i·65)/n`, integer division — the same pinned floor
+  * mapping family as [[ImageDedup]]) → per-window absolute-amplitude
+  * sum (integer) → bit j is `e(j) < e(j+1)`. Every step is
+  * integer-exact over lossless PCM, so the hash of a synthetic WAV is
+  * closed-form replayable in DuckDB from the sample formula — no
+  * audio library. Envelope GRADIENTS are invariant to uniform gain
+  * (scaling all samples scales every window sum) and, by the
+  * length-relative windows, robust to resampling.
+  *
+  * Pairing reuses [[BandedHamming]]: 4×16-bit bands, exact for
+  * Hamming ≤ 3, `maxBucket` guard, the only shuffle on (band, key16).
+  * Decode is partition-local — payload bytes never shuffle.
+  */
+object AudioDedup {
+
+  /** 65 windows → 64 comparison bits, like the image grid. */
+  val Windows = 65
+
+  /** Per-clip envelope hash as four 16-bit band values
+    * `(media_id, b0, b1, b2, b3)` — band k packs bits `j ∈ [16k,
+    * 16k+16)` with weight `2^(j mod 16)`. Clips that fail to decode
+    * as 16-bit PCM WAV, or are shorter than [[Windows]] samples (too
+    * short for every window to own a sample), are dropped. */
+  def envelopeHash(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samples = decodePcm(r.payload)
+        if (samples == null || samples.length < Windows) Iterator.empty
+        else {
+          val n = samples.length
+          val e = new Array[Long](Windows)
+          var i = 0
+          while (i < n) {
+            e(((i.toLong * Windows) / n).toInt) += math.abs(samples(i).toLong)
+            i += 1
+          }
+          val bands = new Array[Int](4)
+          var j = 0
+          while (j < Windows - 1) {
+            if (e(j) < e(j + 1)) bands(j / 16) |= 1 << (j % 16)
+            j += 1
+          }
+          Iterator((r.media_id, bands(0), bands(1), bands(2), bands(3)))
+        }
+      }
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-duplicate pairs over an [[envelopeHash]] table — see
+    * [[BandedHamming.nearDuplicates]]. */
+  def nearDuplicates(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicates(hashes, maxHamming, maxBucket)
+
+  /** 16-bit signed PCM samples of a WAV payload, or null when the
+    * container/encoding is anything else (same decode path as
+    * [[Multimodal.WavDecoder]], kept raw instead of reduced). */
+  private def decodePcm(payload: Array[Byte]): Array[Short] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (f.isBigEndian)
+                ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+              else
+                ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          out
+        }
+      } finally ais.close()
+    } catch {
+      case _: java.io.IOException => null
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+    }
+
+  // ----- DuckDB mirror fragment (used by the oracle SQL) -----
+
+  /** The envelope-hash band values recomputed from a closed-form
+    * sample formula: given a relation `(media_id, n)` named `dims`
+    * and a SQL expression for the integer sample value at index `i`
+    * of clip `media_id` (`n` also in scope), emits CTEs ending in
+    * `hx(media_id, b0, b1, b2, b3)` — the same window mapping, energy
+    * sum, bit order and band packing as [[envelopeHash]]. */
+  def hashSql(sampleExpr: String): String =
+    s"""sm AS (
+       |  SELECT d.media_id, d.n, s.i, ($sampleExpr) AS v
+       |  FROM dims d
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(n) FROM dims) - 1)) AS i) s
+       |    ON s.i < d.n),
+       |env AS (
+       |  SELECT media_id, (i * $Windows) // n AS w, sum(abs(v)) AS e
+       |  FROM sm GROUP BY media_id, (i * $Windows) // n),
+       |bits AS (
+       |  SELECT a.media_id, a.w AS j,
+       |         CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+       |  FROM env a JOIN env b ON a.media_id = b.media_id AND b.w = a.w + 1
+       |  WHERE a.w < ${Windows - 1}),
+       |hx AS (
+       |  SELECT media_id,
+       |         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,
+       |         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b1,
+       |         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
+       |         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
+       |  FROM bits GROUP BY media_id)""".stripMargin
+}

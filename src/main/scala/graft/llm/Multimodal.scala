@@ -219,6 +219,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV with pid-keyed loud segments — the
+    * audio-dedup fixture (see [[AudioDedup]] / `q_media_ahash`).
+    * Sample i of a clip with pattern seed `pid`:
+    * `((31·i + 17·pid) mod 2001) + (4000 when segment m = (i·16)/n is
+    * loud: (m·7 + pid) mod 16 < 5)`. The 16 segments are
+    * LENGTH-relative, so re-rendering the same pid at another length
+    * keeps the loudness envelope (the "same clip resampled" duplicate
+    * an envelope fingerprint exists to catch), while different pids
+    * light different segments. Non-negative and ≤ 6000, so 16-bit PCM
+    * never clips and the closed form replays exactly. Written through
+    * the real RIFF/WAVE encoder (mono, 8 kHz, 16-bit LE). */
+  def syntheticWavBlocks(pid: Long, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val m = (i.toLong * 16L) / nSamples
+      val loud = if ((m * 7L + pid) % 16L < 5L) 4000 else 0
+      val v = (((31L * i + 17L * pid) % 2001L) + loud).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG with pid-keyed bright blocks — the
     * perceptual-dedup fixture (see [[ImageDedup]] / `q_media_dhash`).
     * Pixel (x, y): half-intensity gradient base

@@ -54,6 +54,33 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** The envelope-hash fixture corpus (see `q_media_ahash`): 24
+    * loud-segment patterns ([[graft.llm.Multimodal.syntheticWavBlocks]],
+    * pattern seed = id % 24), ids 0..47 two exact copies each, ids
+    * 48..95 the same patterns at id-derived lengths. */
+  private def ahashCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.range(96).map { id =>
+      val pid = (id % 24).toInt
+      val n = if (id < 48) 160 + 16 * (pid % 10) else 130 + 13 * (id % 10).toInt
+      Multimodal.MediaRow(id, Multimodal.syntheticWavBlocks(pid, n), "audio/wav", n, 1)
+    }
+  }
+
+  /** DuckDB twin of [[ahashCorpus]]'s length rule. */
+  private val ahashDimsSql: String =
+    """dims AS (
+      |  SELECT id AS media_id,
+      |    CASE WHEN id < 48 THEN 160 + 16 * ((id % 24) % 10)
+      |         ELSE 130 + 13 * (id % 10) END AS n
+      |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
+
+  /** [[graft.llm.Multimodal.syntheticWavBlocks]]'s sample formula at
+    * index i of clip media_id (pattern seed media_id % 24). */
+  private val ahashSampleSql: String =
+    "((31 * i + 17 * (media_id % 24)) % 2001) + " +
+      "CASE WHEN ((((i * 16) // n) * 7 + (media_id % 24)) % 16) < 5 THEN 4000 ELSE 0 END"
+
   /** Synthetic URL per document (the corpus has no URL column, so —
     * q_doc_scrub-style — both engines derive the same one): exercises
     * every canonicalization rule: scheme/host case, www + trailing-dot
@@ -2503,6 +2530,50 @@ object LlmQueries extends QueryModule {
       Some(
         s"""WITH $dhashDimsSql,
            |${ImageDedup.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM hx a JOIN hx b ON a.media_id < b.media_id
+           |WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
+
+    // ----- multimodal: audio envelope hash over REAL WAV decodes —
+    // the audio analog of q_media_dhash. 96 synthetic clips carry 24
+    // loud-segment patterns (seed = id % 24): ids 0..47 two
+    // bit-identical copies each, ids 48..95 the same envelope at
+    // id-derived lengths. Integer-exact over lossless PCM, so DuckDB
+    // replays window mapping, energy sums and bit packing from the
+    // sample formula with no audio library. -----
+    GraftQuery(
+      "q_media_ahash",
+      (s, _) => {
+        import s.implicits._
+        AudioDedup.envelopeHash(ahashCorpus(s))
+          .select(col("media_id"), col("b0").cast("long"), col("b1").cast("long"),
+            col("b2").cast("long"), col("b3").cast("long"))
+      },
+      Some(
+        s"""WITH $ahashDimsSql,
+           |${AudioDedup.hashSql(ahashSampleSql)}
+           |SELECT media_id, CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+           |       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+           |FROM hx""".stripMargin)),
+
+    // ----- audio near-duplicate pairs; the oracle brute-forces all
+    // pairs, checking the banded join's exactness guarantee too -----
+    GraftQuery(
+      "q_media_ahash_neardup",
+      (s, _) => {
+        import s.implicits._
+        AudioDedup.nearDuplicates(AudioDedup.envelopeHash(ahashCorpus(s)), maxHamming = 3)
+      },
+      Some(
+        s"""WITH $ahashDimsSql,
+           |${AudioDedup.hashSql(ahashSampleSql)}
            |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
            |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
            |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +

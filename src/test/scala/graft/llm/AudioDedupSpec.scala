@@ -1,0 +1,79 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the audio envelope-hash dedup that the hash
+  * oracle cannot express: gain invariance, banded-vs-brute equality,
+  * and the drop rules. */
+class AudioDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The q_media_ahash fixture. */
+  private def corpus = spark.range(96).map { id =>
+    val pid = (id % 24).toInt
+    val n = if (id < 48) 160 + 16 * (pid % 10) else 130 + 13 * (id % 10).toInt
+    Multimodal.MediaRow(id, Multimodal.syntheticWavBlocks(pid, n), "audio/wav", n, 1)
+  }
+
+  test("exact copies hash identically and surface as Hamming-0 pairs") {
+    val pairs = AudioDedup.nearDuplicates(AudioDedup.envelopeHash(corpus))
+      .filter(col("hamming") === 0)
+      .select("media_id_a", "media_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 24L).foreach(id => assert(pairs.contains((id, id + 24)),
+      s"exact duplicate pair ($id, ${id + 24}) must be found at Hamming 0"))
+  }
+
+  test("banded LSH equals the brute-force Hamming scan") {
+    val hashes = AudioDedup.envelopeHash(corpus)
+    val got = AudioDedup.nearDuplicates(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val brute = (for {
+      (ia, ba) <- h; (ib, bb) <- h if ia < ib
+      d = ba.zip(bb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("envelope hash is invariant to uniform gain") {
+    def wav(gain: Int): Array[Byte] = {
+      val n = 200
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (((31 * i) % 2001) / 2 + (if ((i * 16 / n) % 3 == 0) 3000 else 0)) * gain
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, wav(1), "audio/wav", 200, 1),
+      Multimodal.MediaRow(1L, wav(2), "audio/wav", 200, 1)))
+    val rows = AudioDedup.envelopeHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(rows(0L) === rows(1L), "envelope gradients must ignore uniform gain")
+  }
+
+  test("too-short and undecodable clips are dropped, not hashed") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticWavBlocks(1, 130), "audio/wav", 130, 1),
+      Multimodal.MediaRow(2L, Multimodal.syntheticWavBlocks(2, 64), "audio/wav", 64, 1),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "audio/wav", 3, 1)))
+    assert(AudioDedup.envelopeHash(media).select("media_id").as[Long].collect().toSeq
+      === Seq(1L))
+  }
+}
