@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * realizes the engine brief's curation requirements end-to-end):
   *
   *  0. Optional pre-passes, each independently oracle-verified:
+  *     [[urlHygiene]] (canonical-URL dedup + per-host caps — the
+  *     crawl-side cut that runs before any text is even read),
   *     [[graft.llm.Scrub.scrub]] (URL/e-mail/IP masking),
   *     [[graft.llm.LineDedup.dedupLines]] (corpus-level boilerplate
   *     line removal), [[gopherGate]] (Gopher rule filter),
-  *     [[graft.llm.SpanDedup.stats]] (ExactSubstr-style repeated-span
-  *     pressure — drop or trim docs that are mostly copied text).
+  *     [[repetitionGate]] (the full Rae et al. Table-A1 repetition
+  *     matrix), [[graft.llm.SpanDedup.stats]] (ExactSubstr-style
+  *     repeated-span pressure — drop or trim docs that are mostly
+  *     copied text). Multimodal corpora run the same journey with
+  *     [[graft.llm.ImageDedup]] / [[graft.llm.AudioDedup]] standing in
+  *     for stage 3-4 on their binary columns.
   *  1. [[score]] — row-local text stats: token counts, language ID,
   *     quality score (no shuffle).
   *  2. [[gate]] — quality/language filters (predicate-pushdown
@@ -73,6 +79,30 @@ object CurationPipeline {
     docs.join(
       QualityRules.signals(docs, idCol, textCol)
         .filter(col("gopher_pass")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Stage 0a: crawl-side URL hygiene — canonical-URL first-crawl-wins
+    * dedup, then a per-host document cap (see [[graft.llm.Urls]]; the
+    * cap's rank window only ever sees over-cap Zipf-head hosts). Runs
+    * before any text stage because it prunes on metadata alone. */
+  def urlHygiene(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      maxPerHost: Int = 10000): DataFrame =
+    Urls.hostCap(
+      Urls.dedupByUrl(docs, idCol, urlCol).drop("host", "canonical_url"),
+      idCol, urlCol, maxPerHost)
+
+  /** Stage 2c (optional, composable with [[gate]]/[[gopherGate]]): the
+    * full Gopher Table-A1 repetition gate — keep only documents whose
+    * [[QualityRules.repetitionSignals]] pass every published
+    * threshold. One left-semi join on the doc id; the signals' keys
+    * are all doc-local. */
+  def repetitionGate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      QualityRules.repetitionSignals(docs, idCol, textCol)
+        .filter(col("rep_pass")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
   /** Stage 3: MinHash near-dup candidate pairs with exact Jaccard

@@ -55,6 +55,30 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(hits.subsetOf(Set(1L, 2L, 3L)) && hits.size === 2)
   }
 
+  test("urlHygiene dedups canonical URLs then caps hosts") {
+    val rows = Seq(
+      (1L, "a " * 20, "http://big.com/page?utm_source=s"),
+      (2L, "b " * 20, "HTTP://big.com:80/page"), // same canonical as 1
+      (3L, "c " * 20, "http://big.com/other1"),
+      (4L, "d " * 20, "http://big.com/other2"),
+      (5L, "e " * 20, "https://small.com/x"))
+      .toDF("doc_id", "text", "url")
+    val kept = CurationPipeline.urlHygiene(rows, maxPerHost = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 loses the URL dedup to doc 1; the cap then keeps the 2
+    // smallest-ids on big.com (1, 3) and small.com survives whole
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
+  test("repetitionGate drops the doc that fails the Table-A1 thresholds") {
+    val rep = (("ab cd " * 30).trim + "\n" + ("ab cd " * 30).trim)
+    val ok = (1 to 60).map(i => s"w$i").mkString(" ")
+    val kept = CurationPipeline.repetitionGate(
+      Seq((1L, rep), (2L, ok)).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("run end-to-end emits chunks only for surviving docs") {
     val out = CurationPipeline.run(docs, minQuality = 0.5, dupThreshold = 0.5,
       chunkSize = 16, chunkStride = 12)
