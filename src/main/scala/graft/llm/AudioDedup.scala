@@ -70,6 +70,11 @@ object AudioDedup {
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicates(hashes, maxHamming, maxBucket)
 
+  /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
+    * [[ImageDedup.keepTable]] (same clustering machinery). */
+  def keepTable(hashes: DataFrame, pairs: DataFrame): DataFrame =
+    DedupClusters.keepTable(hashes, pairs, "media_id", "media_id_a", "media_id_b")
+
   /** 16-bit signed PCM samples of a WAV payload, or null when the
     * container/encoding is anything else (same decode path as
     * [[Multimodal.WavDecoder]], kept raw instead of reduced). */

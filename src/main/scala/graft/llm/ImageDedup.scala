@@ -113,6 +113,16 @@ object ImageDedup {
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicates(hashes, maxHamming, maxBucket)
 
+  /** Keep/drop decision per image: connected components over the
+    * [[nearDuplicates]] pairs (transitive closure — A≈B≈C is ONE
+    * duplicate class even when A and C's hashes differ by more than
+    * the threshold), smallest id per cluster kept. Same
+    * [[DedupClusters.keepTable]] machinery as the text dedup journey;
+    * the id universe is the [[dHash]] table, so undecodable images
+    * (which have no perceptual identity) get no row. */
+  def keepTable(hashes: DataFrame, pairs: DataFrame): DataFrame =
+    DedupClusters.keepTable(hashes, pairs, "media_id", "media_id_a", "media_id_b")
+
   // ----- DuckDB mirror fragments (used by the oracle SQL) -----
 
   /** The dHash band values recomputed from a closed-form pixel

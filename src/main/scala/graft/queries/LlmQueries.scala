@@ -2541,6 +2541,41 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
 
+    // ----- image dedup journey tail: pairs → connected components →
+    // keep/drop per image (transitive duplicate classes, smallest id
+    // kept). The oracle replays the whole chain: pixel formula → hash
+    // → brute pairs → RECURSIVE reachability → per-cluster min. -----
+    GraftQuery(
+      "q_media_dhash_keep",
+      (s, _) => {
+        import s.implicits._
+        val hashes = ImageDedup.dHash(dhashCorpus(s))
+        ImageDedup.keepTable(hashes,
+          ImageDedup.nearDuplicates(hashes, maxHamming = 3))
+      },
+      Some(
+        s"""WITH RECURSIVE $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)},
+           |nd AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM hx a JOIN hx b ON a.media_id < b.media_id
+           |  WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+           |          UNION SELECT id_b, id_a FROM nd),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS media_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u)
+           |SELECT h.media_id,
+           |       coalesce(c.component, h.media_id) AS cluster_id,
+           |       coalesce(c.component, h.media_id) = h.media_id AS keep
+           |FROM hx h LEFT JOIN comp c USING (media_id)""".stripMargin)),
+
     // ----- multimodal: audio envelope hash over REAL WAV decodes —
     // the audio analog of q_media_dhash. 96 synthetic clips carry 24
     // loud-segment patterns (seed = id % 24): ids 0..47 two

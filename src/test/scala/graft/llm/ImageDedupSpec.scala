@@ -78,6 +78,23 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(rows(0L) === rows(1L), "gradient bits must ignore uniform brightness")
   }
 
+  test("keepTable keeps one representative per duplicate class") {
+    val hashes = ImageDedup.dHash(corpus)
+    val keep = ImageDedup.keepTable(hashes,
+      ImageDedup.nearDuplicates(hashes, maxHamming = 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(keep.size === 96)
+    // the exact copy of pattern p (id p+24) always loses to id p
+    (0L until 24L).foreach { id =>
+      assert(!keep(id + 24)._2, s"exact copy ${id + 24} must be dropped")
+      assert(keep(id + 24)._1 === keep(id)._1, "copies share a cluster")
+    }
+    // cluster representatives are kept, exactly one per cluster id
+    val reps = keep.values.filter(_._2).map(_._1).toSeq
+    assert(reps.distinct.size === reps.size)
+    assert(reps.toSet === keep.values.map(_._1).toSet)
+  }
+
   test("undecodable payloads are dropped, not hashed") {
     val media = spark.createDataset(Seq(
       Multimodal.MediaRow(7L, Multimodal.syntheticPng(7, 9, 9), "image/png", 9, 9),
