@@ -65,37 +65,44 @@ object ImageDedup {
           catch { case _: java.io.IOException => null }
         if (img == null) Iterator.empty
         else {
-          val w = img.getWidth.toLong
-          val h = img.getHeight.toLong
-          // luma grid, (GridW+1) × GridH, pinned floor resample
-          val luma = Array.ofDim[Long](GridH, GridW + 1)
-          var gy = 0
-          while (gy < GridH) {
-            val sy = ((gy * h) / GridH).toInt
-            var gx = 0
-            while (gx <= GridW) {
-              val sx = ((gx * w) / (GridW + 1)).toInt
-              val rgb = img.getRGB(sx, sy)
-              val rr = (rgb >> 16) & 0xff
-              val gg = (rgb >> 8) & 0xff
-              val bb = rgb & 0xff
-              luma(gy)(gx) = (rr * 299L + gg * 587L + bb * 114L) / 1000L
-              gx += 1
-            }
-            gy += 1
-          }
-          val bands = new Array[Int](4)
-          var j = 0
-          while (j < GridW * GridH) {
-            val x = j % GridW
-            val y = j / GridW
-            if (luma(y)(x) < luma(y)(x + 1)) bands(j / 16) |= 1 << (j % 16)
-            j += 1
-          }
+          val bands = dHashBands(img)
           Iterator((r.media_id, bands(0), bands(1), bands(2), bands(3)))
         }
       }
     }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The per-image hash kernel (shared with [[VideoDedup]]'s per-frame
+    * hashing): pinned floor resample to the (GridW+1)×GridH luma grid,
+    * 64 gradient bits packed as 4×16-bit band values. */
+  private[llm] def dHashBands(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth.toLong
+    val h = img.getHeight.toLong
+    val luma = Array.ofDim[Long](GridH, GridW + 1)
+    var gy = 0
+    while (gy < GridH) {
+      val sy = ((gy * h) / GridH).toInt
+      var gx = 0
+      while (gx <= GridW) {
+        val sx = ((gx * w) / (GridW + 1)).toInt
+        val rgb = img.getRGB(sx, sy)
+        val rr = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val bb = rgb & 0xff
+        luma(gy)(gx) = (rr * 299L + gg * 587L + bb * 114L) / 1000L
+        gx += 1
+      }
+      gy += 1
+    }
+    val bands = new Array[Int](4)
+    var j = 0
+    while (j < GridW * GridH) {
+      val x = j % GridW
+      val y = j / GridW
+      if (luma(y)(x) < luma(y)(x + 1)) bands(j / 16) |= 1 << (j % 16)
+      j += 1
+    }
+    bands
   }
 
   /** Near-duplicate pairs `(media_id_a, media_id_b, hamming)` with

@@ -578,6 +578,36 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic AVI with pid-keyed bright blocks — the
+    * video-dedup fixture (see [[VideoDedup]] / `q_media_vhash`): the
+    * [[syntheticPngBlocks]] pattern per frame, with the bright-cell
+    * selection rotated by the frame index (`(cell·7 + pid + f) mod 16
+    * < 5`) so the clip has real temporal structure. Lossless DIB
+    * frames, so every pixel replays from the closed form. */
+  def syntheticAviBlocks(pid: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val imgs = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = (x * 4) / w + 4 * ((y * 4) / h)
+          val add = if ((cell * 7 + pid + f) % 16 < 5) 128 else 0
+          val r = ((7L * x + 13L * y + 5L * f + pid) % 256L).toInt / 2 + add
+          val g = ((3L * x + 5L * y + 7L * f + 2L * pid) % 256L).toInt / 2 + add
+          val b = ((11L * x + 17L * y + 19L * f + 3L * pid) % 256L).toInt / 2 + add
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    AviCodec.write(imgs.map(AviCodec.dibFrame), w, h, "DIB ",
+      Array(0, 0, 0, 0), compressed = false)
+  }
+
   final case class VideoFrameStats(
       media_id: Long,
       frame_no: Int,

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual near-duplicate detection for video columns — the last
+  * modality of the dedup family (text → [[MinHash]], embeddings →
+  * [[Similarity]], images → [[ImageDedup]], audio → [[AudioDedup]]).
+  * A clip is fingerprinted as the SEQUENCE of its frames' dHashes
+  * ([[ImageDedup.dHashBands]], one 64-bit hash per frame), and two
+  * clips are near-duplicates when they have the same frame count and
+  * EVERY aligned frame pair is within `maxPerFrameHamming` — the
+  * re-encoded/re-scaled-same-cut duplicate class.
+  *
+  * Exactness carries over from the single-image guarantee: a
+  * qualifying pair has, in EVERY frame, at least one of the 4 bands
+  * untouched (per-frame Hamming ≤ 3 < 4 bands), so candidate
+  * generation on (frame_no, band, key16) — which only needs SOME
+  * frame to collide — finds a superset; the exact per-frame verify
+  * then keeps precisely the qualifying pairs. Never an all-pairs
+  * product.
+  *
+  * Scale shape: frame decode is partition-local (the AVI payload
+  * never shuffles; one container walk per clip); candidate
+  * generation shuffles on (frame_no, band, key16) — the frame axis
+  * widens the keyspace 4·nFrames× over the single-image join, which
+  * DELAYS the 16-bit band-saturation bound [[ImageDedup]] documents;
+  * the `maxBucket` guard still bounds any single hot key. The verify
+  * joins the two clips' frame-hash rows on frame_no — per-pair work
+  * is O(nFrames), never O(pixels).
+  */
+object VideoDedup {
+
+  /** Per-frame dHash table `(media_id, frame_no, b0, b1, b2, b3)` via
+    * the REAL RIFF/AVI walk ([[Multimodal.AviCodec.readFrames]]: DIB
+    * frames decode losslessly; MJPEG frames through javax.imageio).
+    * Unparseable payloads and clips with no decodable frames are
+    * dropped. Partition-local — no shuffle. */
+  def frameHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.AviCodec.readFrames(r.payload).iterator.map { case (f, img) =>
+          val b = ImageDedup.dHashBands(img)
+          (r.media_id, f, b(0), b(1), b(2), b(3))
+        }
+      }
+    }.toDF("media_id", "frame_no", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-duplicate clip pairs
+    * `(media_id_a, media_id_b, n_frames, max_frame_hamming)` with
+    * `media_id_a < media_id_b`: same frame count, every aligned frame
+    * within `maxPerFrameHamming`. EXACT for thresholds ≤ 3 (see
+    * object doc); `maxBucket` caps any hot (frame, band, key) bucket
+    * before pairing. */
+  def nearDuplicates(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= 3,
+      s"maxPerFrameHamming must be in 0..3 for the 4-band exactness guarantee, " +
+        s"got $maxPerFrameHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val h = frames.select(col("media_id") +: col("frame_no") +: bandCols.map(col): _*)
+    val counts = h.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    val keyed = h.select(col("media_id"), col("frame_no"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("frame_no"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val guarded = keyed
+      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("frame_no"), col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val cand = guarded.as("l")
+      .join(guarded.as("r"),
+        col("l.frame_no") === col("r.frame_no") && col("l.band") === col("r.band") &&
+          col("l.key") === col("r.key") && col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"))
+      .distinct()
+    val ham = bandCols.map(c =>
+      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
+    val perFrame = cand
+      .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
+      .join(h.as("hb"),
+        col("media_id_b") === col("hb.media_id") &&
+          col("ha.frame_no") === col("hb.frame_no"))
+      .select(col("media_id_a"), col("media_id_b"), ham.cast("long").as("__fh"))
+    perFrame.groupBy(col("media_id_a"), col("media_id_b"))
+      .agg(count(lit(1)).as("__common"), max(col("__fh")).as("max_frame_hamming"))
+      .join(counts.select(col("media_id").as("media_id_a"), col("__nf").as("__na")),
+        Seq("media_id_a"))
+      .join(counts.select(col("media_id").as("media_id_b"), col("__nf").as("__nb")),
+        Seq("media_id_b"))
+      .filter(col("__common") === col("__na") && col("__common") === col("__nb") &&
+        col("max_frame_hamming") <= maxPerFrameHamming)
+      .select(col("media_id_a"), col("media_id_b"),
+        col("__common").as("n_frames"), col("max_frame_hamming"))
+  }
+
+  /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
+    * [[ImageDedup.keepTable]] (same clustering machinery; the id
+    * universe is the distinct clip set of the frame-hash table). */
+  def keepTable(frames: DataFrame, pairs: DataFrame): DataFrame =
+    DedupClusters.keepTable(frames.select(col("media_id")).distinct(), pairs,
+      "media_id", "media_id_a", "media_id_b")
+
+  // ----- DuckDB mirror fragment (used by the oracle SQL) -----
+
+  /** Per-frame dHash bands recomputed from a closed-form pixel
+    * formula: given a relation `(media_id, w, h)` named `dims`, a
+    * frame count, and channel expressions over (sx, sy, f, media_id,
+    * w, h), emits CTEs ending in `fhx(media_id, f, b0, b1, b2, b3)`. */
+  def hashSql(nFrames: Int, rExpr: String, gExpr: String, bExpr: String): String =
+    s"""g AS (
+       |  SELECT d.media_id, d.w, d.h, fr.f, gs.gx, gs2.gy,
+       |         CAST((gs.gx * d.w) // ${ImageDedup.GridW + 1} AS BIGINT) AS sx,
+       |         CAST((gs2.gy * d.h) // ${ImageDedup.GridH} AS BIGINT) AS sy
+       |  FROM dims d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${nFrames - 1})) AS f) fr
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${ImageDedup.GridW})) AS gx) gs
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${ImageDedup.GridH - 1})) AS gy) gs2),
+       |lum AS (
+       |  SELECT media_id, f, gx, gy,
+       |         (($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000 AS l
+       |  FROM g),
+       |bits AS (
+       |  SELECT a.media_id, a.f, a.gy * ${ImageDedup.GridW} + a.gx AS j,
+       |         CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+       |  FROM lum a JOIN lum b
+       |    ON a.media_id = b.media_id AND a.f = b.f AND a.gy = b.gy
+       |       AND b.gx = a.gx + 1
+       |  WHERE a.gx < ${ImageDedup.GridW}),
+       |fhx AS (
+       |  SELECT media_id, f,
+       |         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,
+       |         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b1,
+       |         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
+       |         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
+       |  FROM bits GROUP BY media_id, f)""".stripMargin
+}

@@ -54,6 +54,42 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** The video frame-hash fixture corpus (see `q_media_vhash`): 12
+    * block-rotating patterns ([[graft.llm.Multimodal.syntheticAviBlocks]],
+    * pattern seed = id % 12, 5 DIB frames), ids 0..23 two exact copies
+    * each, ids 24..47 the same patterns at id-derived dimensions. */
+  private def vhashCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.range(48).map { id =>
+      val pid = (id % 12).toInt
+      val (w, h) =
+        if (id < 24) (8 + pid % 9, 8 + (pid * 3) % 7)
+        else (9 + (id % 8).toInt, 8 + (id % 6).toInt)
+      Multimodal.MediaRow(id,
+        Multimodal.syntheticAviBlocks(pid, nFrames = 5, w, h), "video/avi", w, h)
+    }
+  }
+
+  /** DuckDB twin of [[vhashCorpus]]'s dimension rule. */
+  private val vhashDimsSql: String =
+    """dims AS (
+      |  SELECT id AS media_id,
+      |    CASE WHEN id < 24 THEN 8 + ((id % 12) % 9) ELSE 9 + (id % 8) END AS w,
+      |    CASE WHEN id < 24 THEN 8 + (((id % 12) * 3) % 7) ELSE 8 + (id % 6) END AS h
+      |  FROM (SELECT unnest(generate_series(0, 47)) AS id))""".stripMargin
+
+  /** [[graft.llm.Multimodal.syntheticAviBlocks]]'s channel formulas at
+    * source pixel (sx, sy) of frame f, pattern seed media_id % 12. */
+  private val vhashAdd =
+    "CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + (media_id % 12) + f) % 16) < 5 " +
+      "THEN 128 ELSE 0 END"
+  private val vhashR =
+    s"((7 * sx + 13 * sy + 5 * f + (media_id % 12)) % 256) // 2 + $vhashAdd"
+  private val vhashG =
+    s"((3 * sx + 5 * sy + 7 * f + 2 * (media_id % 12)) % 256) // 2 + $vhashAdd"
+  private val vhashB =
+    s"((11 * sx + 17 * sy + 19 * f + 3 * (media_id % 12)) % 256) // 2 + $vhashAdd"
+
   /** The envelope-hash fixture corpus (see `q_media_ahash`): 24
     * loud-segment patterns ([[graft.llm.Multimodal.syntheticWavBlocks]],
     * pattern seed = id % 24), ids 0..47 two exact copies each, ids
@@ -2575,6 +2611,56 @@ object LlmQueries extends QueryModule {
            |       coalesce(c.component, h.media_id) AS cluster_id,
            |       coalesce(c.component, h.media_id) = h.media_id AS keep
            |FROM hx h LEFT JOIN comp c USING (media_id)""".stripMargin)),
+
+    // ----- multimodal: per-frame video dHash over REAL AVI walks —
+    // the video analog of q_media_dhash: 48 clips × 5 lossless DIB
+    // frames, 12 block-rotating patterns (seed = id % 12), exact
+    // copies + resolution variants. DuckDB replays container → frame
+    // pixels → resample → luma → bits from the formula alone. -----
+    GraftQuery(
+      "q_media_vhash",
+      (s, _) => {
+        import s.implicits._
+        VideoDedup.frameHashes(vhashCorpus(s))
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            col("b0").cast("long"), col("b1").cast("long"),
+            col("b2").cast("long"), col("b3").cast("long"))
+      },
+      Some(
+        s"""WITH $vhashDimsSql,
+           |${VideoDedup.hashSql(5, vhashR, vhashG, vhashB)}
+           |SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+           |       CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+           |       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+           |FROM fhx""".stripMargin)),
+
+    // ----- video near-duplicate pairs: same frame count, EVERY
+    // aligned frame within Hamming 3. The oracle brute-forces all
+    // clip pairs frame-by-frame — a banded-candidate bug that loses a
+    // qualifying pair (or a verify bug inventing one) mismatches. -----
+    GraftQuery(
+      "q_media_vhash_neardup",
+      (s, _) => {
+        import s.implicits._
+        VideoDedup.nearDuplicates(VideoDedup.frameHashes(vhashCorpus(s)),
+          maxPerFrameHamming = 3)
+      },
+      Some(
+        s"""WITH $vhashDimsSql,
+           |${VideoDedup.hashSql(5, vhashR, vhashG, vhashB)},
+           |ph AS (
+           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |         bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS fh
+           |  FROM fhx a JOIN fhx b
+           |    ON a.media_id < b.media_id AND a.f = b.f)
+           |SELECT media_id_a, media_id_b,
+           |       CAST(count(*) AS BIGINT) AS n_frames,
+           |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
+           |FROM ph GROUP BY media_id_a, media_id_b
+           |HAVING max(fh) <= 3""".stripMargin)),
 
     // ----- multimodal: audio envelope hash over REAL WAV decodes —
     // the audio analog of q_media_dhash. 96 synthetic clips carry 24

@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the video frame-hash dedup: banded-vs-brute
+  * equality, the equal-frame-count rule, and the drop rules. */
+class VideoDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The q_media_vhash fixture. */
+  private def corpus = spark.range(48).map { id =>
+    val pid = (id % 12).toInt
+    val (w, h) =
+      if (id < 24) (8 + pid % 9, 8 + (pid * 3) % 7)
+      else (9 + (id % 8).toInt, 8 + (id % 6).toInt)
+    Multimodal.MediaRow(id,
+      Multimodal.syntheticAviBlocks(pid, nFrames = 5, w, h), "video/avi", w, h)
+  }
+
+  test("exact copies surface with max_frame_hamming 0 across all frames") {
+    val pairs = VideoDedup.nearDuplicates(VideoDedup.frameHashes(corpus))
+      .filter(col("max_frame_hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    (0L until 12L).foreach(id => assert(pairs.contains((id, id + 12, 5L)),
+      s"exact duplicate clip pair ($id, ${id + 12}) must be found with 5 frames"))
+  }
+
+  test("banded candidates + verify equal the brute-force frame-aligned scan") {
+    val fh = VideoDedup.frameHashes(corpus)
+    val got = VideoDedup.nearDuplicates(fh, maxPerFrameHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    val ids = h.keys.map(_._1).toSeq.distinct.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      fhs = (0 until 5).map(f => h((a, f)).zip(h((b, f)))
+        .map { case (x, y) => Integer.bitCount(x ^ y) }.sum)
+      if fhs.max <= 3
+    } yield (a, b, 5L, fhs.max.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("clips with different frame counts never pair, even when frames match") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, Multimodal.syntheticAviBlocks(3, 5, 10, 9), "video/avi", 10, 9),
+      Multimodal.MediaRow(1L, Multimodal.syntheticAviBlocks(3, 4, 10, 9), "video/avi", 10, 9)))
+    // the 4 shared frames are bit-identical, but the cut differs
+    assert(VideoDedup.nearDuplicates(VideoDedup.frameHashes(media)).count() === 0L)
+  }
+
+  test("unparseable payloads are dropped; keepTable drops the exact copies") {
+    val withJunk = corpus.union(spark.createDataset(Seq(
+      Multimodal.MediaRow(99L, Array[Byte](1, 2, 3, 4), "video/avi", 8, 8))))
+    val fh = VideoDedup.frameHashes(withJunk)
+    assert(fh.select("media_id").distinct().count() === 48L)
+    val keep = VideoDedup.keepTable(fh, VideoDedup.nearDuplicates(fh))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0L until 12L).foreach(id => assert(!keep(id + 12), s"copy ${id + 12} must drop"))
+  }
+}
