@@ -9,17 +9,23 @@ import org.apache.spark.sql.functions._
   * pipeline has no image dedup; this extends the curation family the
   * same way the text dedup operators do).
   *
-  * The hash is dHash (difference hash): decode → nearest-neighbor
-  * resample to a (gw+1)×gh grid with the SAME pinned floor mapping as
-  * [[Multimodal.ImageIoResizer]] (`src(x) = x·w / (gw+1)`, integer
-  * division) → integer luma `(299R + 587G + 114B) / 1000` → bit
-  * `j = y·gw + x` is `luma(x, y) < luma(x+1, y)`. Every step is
+  * The hash is dHash (difference hash) with AREA-AVERAGED cells:
+  * decode → assign every source pixel to a (gw+1)×gh grid cell
+  * (`cell(x) = x·(gw+1) / w`, integer division — the inverse of
+  * [[Multimodal.ImageIoResizer]]'s floor mapping) → per-cell integer
+  * luma SUM + pixel COUNT → bit `j = y·gw + x` compares adjacent cell
+  * MEANS division-free by cross-multiplication
+  * (`S(x,y)·N(x+1,y) < S(x+1,y)·N(x,y)`). Every step is
   * integer-exact, so the hash of a losslessly-coded (PNG) image is
   * closed-form replayable from its pixel values — `q_media_dhash`
   * recomputes it in DuckDB with no image library. dHash is gradient-
-  * based: invariant to uniform brightness shifts and (by the resample)
-  * to resolution changes, which is exactly what survives the re-encode
-  * /rescale transformations that produce web-corpus duplicates.
+  * based: invariant to uniform brightness shifts (+c adds c·N to S,
+  * which cancels in the cross-multiplied compare) and, by the
+  * area-averaged cells, robust to resolution changes AND lossy
+  * re-encodes (a point-sampled variant measured ~20 flipped bits per
+  * frame under MJPEG; averaging absorbs the artifacts — see
+  * VideoDedupSpec) — exactly the transformations that produce
+  * web-corpus duplicates.
   *
   * Candidate generation is banded Hamming LSH over the 64-bit hash
   * split into 4 × 16-bit bands: pairs collide if ANY band matches
@@ -48,8 +54,9 @@ object ImageDedup {
 
   /** Per-image dHash as four 16-bit band values
     * `(media_id, b0, b1, b2, b3)` — band k packs bits `j ∈ [16k, 16k+16)`
-    * with weight `2^(j mod 16)` (bit j = y·8+x set iff
-    * `luma(x,y) < luma(x+1,y)` on the 9×8 resampled grid). Keeping the
+    * with weight `2^(j mod 16)` (bit j = y·8+x set iff the mean luma of
+    * cell (x,y) is below cell (x+1,y) on the 9×8 area-averaged grid,
+    * compared by cross-multiplication). Keeping the
     * hash as 4 positive ints (not one signed long) makes the band keys
     * directly joinable and the oracle replay sign-free. Undecodable
     * payloads are dropped (a corrupt image has no perceptual identity;
@@ -73,33 +80,47 @@ object ImageDedup {
   }
 
   /** The per-image hash kernel (shared with [[VideoDedup]]'s per-frame
-    * hashing): pinned floor resample to the (GridW+1)×GridH luma grid,
-    * 64 gradient bits packed as 4×16-bit band values. */
+    * hashing): AREA-AVERAGED cell luma on the (GridW+1)×GridH grid —
+    * source pixel (x, y) belongs to cell `((x·9)/w, (y·8)/h)` (integer
+    * division), each cell carries its luma SUM and pixel COUNT, and
+    * bit j compares adjacent cell MEANS by cross-multiplication
+    * (`S₁·N₂ < S₂·N₁` — division-free, so the hash stays
+    * integer-exact and DuckDB-replayable). Averaging over the whole
+    * cell, rather than point-sampling one pixel per cell, is what
+    * production perceptual hashes do — it is what absorbs JPEG
+    * artifacts and resampling noise (VideoDedupSpec measures an MJPEG
+    * re-encode staying within the near-dup threshold; the
+    * point-sampled variant drifted ~20 bits/frame). Uniform
+    * brightness +c shifts S by c·N, which cancels in the
+    * cross-multiplied compare, so brightness invariance is preserved
+    * exactly. */
   private[llm] def dHashBands(img: java.awt.image.BufferedImage): Array[Int] = {
-    val w = img.getWidth.toLong
-    val h = img.getHeight.toLong
-    val luma = Array.ofDim[Long](GridH, GridW + 1)
-    var gy = 0
-    while (gy < GridH) {
-      val sy = ((gy * h) / GridH).toInt
-      var gx = 0
-      while (gx <= GridW) {
-        val sx = ((gx * w) / (GridW + 1)).toInt
-        val rgb = img.getRGB(sx, sy)
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = Array.ofDim[Long](GridH, GridW + 1)
+    val n = Array.ofDim[Long](GridH, GridW + 1)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * GridH / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * (GridW + 1) / w).toInt
+        val rgb = img.getRGB(x, y)
         val rr = (rgb >> 16) & 0xff
         val gg = (rgb >> 8) & 0xff
         val bb = rgb & 0xff
-        luma(gy)(gx) = (rr * 299L + gg * 587L + bb * 114L) / 1000L
-        gx += 1
+        s(cy)(cx) += (rr * 299L + gg * 587L + bb * 114L) / 1000L
+        n(cy)(cx) += 1L
+        x += 1
       }
-      gy += 1
+      y += 1
     }
     val bands = new Array[Int](4)
     var j = 0
     while (j < GridW * GridH) {
       val x = j % GridW
-      val y = j / GridW
-      if (luma(y)(x) < luma(y)(x + 1)) bands(j / 16) |= 1 << (j % 16)
+      val y2 = j / GridW
+      if (s(y2)(x) * n(y2)(x + 1) < s(y2)(x + 1) * n(y2)(x)) bands(j / 16) |= 1 << (j % 16)
       j += 1
     }
     bands
@@ -136,26 +157,30 @@ object ImageDedup {
     * formula: given a relation `(media_id, w, h)` named `dims` and SQL
     * expressions for the integer channel values at source pixel
     * (sx, sy) of image `media_id` (w/h also in scope), emits CTEs
-    * ending in `hx(media_id, b0, b1, b2, b3)` — the same pinned
-    * resample, luma, bit order and band packing as [[dHash]]. */
+    * ending in `hx(media_id, b0, b1, b2, b3)` — the same cell
+    * assignment, luma sums, cross-multiplied mean compare, bit order
+    * and band packing as [[dHash]]. Walks EVERY source pixel (the
+    * area average needs them all). */
   def hashSql(rExpr: String, gExpr: String, bExpr: String): String =
     s"""g AS (
-       |  SELECT d.media_id, d.w, d.h, gs.gx, gs2.gy,
-       |         CAST((gs.gx * d.w) // ${GridW + 1} AS BIGINT) AS sx,
-       |         CAST((gs2.gy * d.h) // $GridH AS BIGINT) AS sy
+       |  SELECT d.media_id, d.w, d.h,
+       |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
        |  FROM dims d
-       |  CROSS JOIN (SELECT unnest(generate_series(0, $GridW)) AS gx) gs
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${GridH - 1})) AS gy) gs2),
-       |lum AS (
-       |  SELECT media_id, gx, gy,
-       |         (($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000 AS l
-       |  FROM g),
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(w) FROM dims) - 1)) AS sx) xs
+       |    ON xs.sx < d.w
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(h) FROM dims) - 1)) AS sy) ys
+       |    ON ys.sy < d.h),
+       |cells AS (
+       |  SELECT media_id, (sx * ${GridW + 1}) // w AS cx, (sy * $GridH) // h AS cy,
+       |         sum((($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000) AS s,
+       |         count(*) AS n
+       |  FROM g GROUP BY media_id, (sx * ${GridW + 1}) // w, (sy * $GridH) // h),
        |bits AS (
-       |  SELECT a.media_id, a.gy * $GridW + a.gx AS j,
-       |         CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
-       |  FROM lum a JOIN lum b
-       |    ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
-       |  WHERE a.gx < $GridW),
+       |  SELECT a.media_id, a.cy * $GridW + a.cx AS j,
+       |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < $GridW),
        |hx AS (
        |  SELECT media_id,
        |         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,

@@ -115,27 +115,33 @@ object VideoDedup {
   /** Per-frame dHash bands recomputed from a closed-form pixel
     * formula: given a relation `(media_id, w, h)` named `dims`, a
     * frame count, and channel expressions over (sx, sy, f, media_id,
-    * w, h), emits CTEs ending in `fhx(media_id, f, b0, b1, b2, b3)`. */
+    * w, h), emits CTEs ending in `fhx(media_id, f, b0, b1, b2, b3)` —
+    * the same area-averaged cells and cross-multiplied mean compares
+    * as [[ImageDedup.dHashBands]], per frame. */
   def hashSql(nFrames: Int, rExpr: String, gExpr: String, bExpr: String): String =
     s"""g AS (
-       |  SELECT d.media_id, d.w, d.h, fr.f, gs.gx, gs2.gy,
-       |         CAST((gs.gx * d.w) // ${ImageDedup.GridW + 1} AS BIGINT) AS sx,
-       |         CAST((gs2.gy * d.h) // ${ImageDedup.GridH} AS BIGINT) AS sy
+       |  SELECT d.media_id, d.w, d.h, fr.f,
+       |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
        |  FROM dims d
        |  CROSS JOIN (SELECT unnest(generate_series(0, ${nFrames - 1})) AS f) fr
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${ImageDedup.GridW})) AS gx) gs
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${ImageDedup.GridH - 1})) AS gy) gs2),
-       |lum AS (
-       |  SELECT media_id, f, gx, gy,
-       |         (($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000 AS l
-       |  FROM g),
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(w) FROM dims) - 1)) AS sx) xs
+       |    ON xs.sx < d.w
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(h) FROM dims) - 1)) AS sy) ys
+       |    ON ys.sy < d.h),
+       |cells AS (
+       |  SELECT media_id, f,
+       |         (sx * ${ImageDedup.GridW + 1}) // w AS cx, (sy * ${ImageDedup.GridH}) // h AS cy,
+       |         sum((($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000) AS s,
+       |         count(*) AS n
+       |  FROM g GROUP BY media_id, f,
+       |           (sx * ${ImageDedup.GridW + 1}) // w, (sy * ${ImageDedup.GridH}) // h),
        |bits AS (
-       |  SELECT a.media_id, a.f, a.gy * ${ImageDedup.GridW} + a.gx AS j,
-       |         CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
-       |  FROM lum a JOIN lum b
-       |    ON a.media_id = b.media_id AND a.f = b.f AND a.gy = b.gy
-       |       AND b.gx = a.gx + 1
-       |  WHERE a.gx < ${ImageDedup.GridW}),
+       |  SELECT a.media_id, a.f, a.cy * ${ImageDedup.GridW} + a.cx AS j,
+       |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id AND a.f = b.f AND a.cy = b.cy
+       |       AND b.cx = a.cx + 1
+       |  WHERE a.cx < ${ImageDedup.GridW}),
        |fhx AS (
        |  SELECT media_id, f,
        |         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,

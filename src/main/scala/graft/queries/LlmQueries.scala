@@ -2531,8 +2531,8 @@ object LlmQueries extends QueryModule {
     // id % 24): ids 0..47 are two bit-identical copies of each
     // pattern, ids 48..95 re-render the same patterns at id-derived
     // dimensions (the "same image at another resolution" duplicate a
-    // perceptual hash exists to catch). The hash — pinned floor
-    // resample to a 9×8 luma grid, 64 horizontal-gradient bits packed
+    // perceptual hash exists to catch). The hash — area-averaged 9×8
+    // cell-luma grid, 64 cross-multiplied mean-compare bits packed
     // into 4×16-bit bands — is integer-exact over the lossless PNG
     // round-trip, so DuckDB replays it from the pixel formula with no
     // image library. -----

@@ -54,6 +54,39 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(VideoDedup.nearDuplicates(VideoDedup.frameHashes(media)).count() === 0L)
   }
 
+  test("an MJPEG re-encode of the same cut reads as a near-duplicate") {
+    // the real-world duplicate class the operator exists for: same
+    // frames, lossy re-encode. At realistic frame sizes the 9x8 cells
+    // average ~40 pixels each, absorbing the JPEG artifacts (at tiny
+    // 14x12 frames there is ~1 pixel per cell to average and the
+    // drift measured ~19 bits — size matters, which is itself part of
+    // the operator's documented contract). Assert closeness well
+    // under the cross-pattern floor (~9 on the tiny fixture, higher
+    // here), not bit equality.
+    def mjpegOf(pid: Int, w: Int, h: Int): Array[Byte] = {
+      val frames = Multimodal.AviCodec.readFrames(
+        Multimodal.syntheticAviBlocks(pid, nFrames = 5, w, h)).map { case (_, img) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      Multimodal.AviCodec.write(frames, w, h, "MJPG",
+        "MJPG".getBytes("US-ASCII"), compressed = true)
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, Multimodal.syntheticAviBlocks(7, 5, 64, 48), "video/avi", 64, 48),
+      Multimodal.MediaRow(1L, mjpegOf(7, 64, 48), "video/avi", 64, 48)))
+    val fh = VideoDedup.frameHashes(media)
+    assert(fh.count() === 10L, "both containers must decode all 5 frames")
+    val h = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    val perFrame = (0 until 5).map(f => h((0L, f)).zip(h((1L, f)))
+      .map { case (x, y) => Integer.bitCount(x ^ y) }.sum)
+    assert(perFrame.max <= 3,
+      s"lossy re-encode drifted too far from the original: $perFrame")
+  }
+
   test("unparseable payloads are dropped; keepTable drops the exact copies") {
     val withJunk = corpus.union(spark.createDataset(Seq(
       Multimodal.MediaRow(99L, Array[Byte](1, 2, 3, 4), "video/avi", 8, 8))))
