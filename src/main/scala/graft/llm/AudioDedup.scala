@@ -40,26 +40,33 @@ object AudioDedup {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val samples = decodePcm(r.payload)
-        if (samples == null || samples.length < Windows) Iterator.empty
-        else {
-          val n = samples.length
-          val e = new Array[Long](Windows)
-          var i = 0
-          while (i < n) {
-            e(((i.toLong * Windows) / n).toInt) += math.abs(samples(i).toLong)
-            i += 1
-          }
-          val bands = new Array[Int](4)
-          var j = 0
-          while (j < Windows - 1) {
-            if (e(j) < e(j + 1)) bands(j / 16) |= 1 << (j % 16)
-            j += 1
-          }
-          Iterator((r.media_id, bands(0), bands(1), bands(2), bands(3)))
-        }
+        envelopeBandsOf(r.payload).map(b => (r.media_id, b(0), b(1), b(2), b(3)))
       }
     }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The per-clip hash kernel (shared with
+    * [[graft.streaming.StreamingMediaDedup]]): None for non-PCM-WAV
+    * payloads or clips shorter than [[Windows]] samples. */
+  private[graft] def envelopeBandsOf(payload: Array[Byte]): Option[Array[Int]] = {
+    val samples = decodePcm(payload)
+    if (samples == null || samples.length < Windows) None
+    else {
+      val n = samples.length
+      val e = new Array[Long](Windows)
+      var i = 0
+      while (i < n) {
+        e(((i.toLong * Windows) / n).toInt) += math.abs(samples(i).toLong)
+        i += 1
+      }
+      val bands = new Array[Int](4)
+      var j = 0
+      while (j < Windows - 1) {
+        if (e(j) < e(j + 1)) bands(j / 16) |= 1 << (j % 16)
+        j += 1
+      }
+      Some(bands)
+    }
   }
 
   /** Near-duplicate pairs over an [[envelopeHash]] table — see

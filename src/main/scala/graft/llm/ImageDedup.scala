@@ -94,7 +94,7 @@ object ImageDedup {
     * brightness +c shifts S by c·N, which cancels in the
     * cross-multiplied compare, so brightness invariance is preserved
     * exactly. */
-  private[llm] def dHashBands(img: java.awt.image.BufferedImage): Array[Int] = {
+  private[graft] def dHashBands(img: java.awt.image.BufferedImage): Array[Int] = {
     val w = img.getWidth
     val h = img.getHeight
     val s = Array.ofDim[Long](GridH, GridW + 1)
