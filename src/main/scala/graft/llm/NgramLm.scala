@@ -68,4 +68,27 @@ object NgramLm {
         round(((-col("s")).cast("double") / col("n_pairs"))
           .cast("decimal(20,9)"), 6).cast("double").as("avg_nll"))
   }
+
+  /** CCNet's signature selection move: bucket every document into
+    * `head` / `middle` / `tail` by its [[scored]] avg_nll terciles
+    * (head = most-fluent third; CCNet trains on head+middle and drops
+    * the tail). Scale shape: the two cut points come from ONE exact
+    * `percentile` aggregate (a 1-row, 2-value relation that
+    * broadcasts — never a global sort or a single-partition rank
+    * window over the corpus), and bucket assignment is then a plain
+    * scan-stage CASE. At 100 TB CCNet itself computes the thresholds
+    * on a sample; swap the aggregate input for `.sample(...)` to match
+    * — the assignment side is unchanged. Output: doc_id, n_pairs,
+    * avg_nll, ppl_bucket. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = scored(docs, idCol, textCol)
+    val th = s.agg(expr(
+      "percentile(avg_nll, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0))")
+      .as("__th"))
+    s.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_pairs"), col("avg_nll"),
+        when(col("avg_nll") <= element_at(col("__th"), 1), "head")
+          .when(col("avg_nll") <= element_at(col("__th"), 2), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

@@ -54,6 +54,29 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** CTE chain retraining the add-one bigram LM and scoring every doc
+    * (mirrors [[graft.llm.NgramLm.scored]]); ends in
+    * `ppl(doc_id, n_pairs, avg_nll)` — shared by the LM-perplexity
+    * query and the CCNet bucket query built on it. */
+  private val lmPplCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |uni AS (SELECT w, count(*) AS c1 FROM tk GROUP BY w),
+       |v AS (SELECT count(DISTINCT w) AS vs FROM tk),
+       |bg AS (SELECT doc_id, unnest(${Shingles.shinglesSql("toks", 2)}) AS b
+       |       FROM t WHERE len(toks) >= 2),
+       |bc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+       |lp AS (SELECT g.doc_id,
+       |  CAST(round(ln((bc.c12 + CAST(1.0 AS DOUBLE)) / (u.c1 + v.vs)), 6)
+       |       AS DECIMAL(20,9)) AS l
+       |  FROM bg g JOIN bc ON bc.b = g.b
+       |  JOIN uni u ON u.w = string_split(g.b, ' ')[1]
+       |  CROSS JOIN v),
+       |ppl AS (SELECT doc_id, count(*) AS n_pairs,
+       |  CAST(round(CAST(CAST(-sum(l) AS DOUBLE) / count(*)
+       |    AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_nll
+       |FROM lp GROUP BY doc_id)""".stripMargin
+
   /** The video frame-hash fixture corpus (see `q_media_vhash`): 12
     * block-rotating patterns ([[graft.llm.Multimodal.syntheticAviBlocks]],
     * pattern seed = id % 12, 5 DIB frames), ids 0..23 two exact copies
@@ -2911,24 +2934,26 @@ object LlmQueries extends QueryModule {
     GraftQuery(
       "q_doc_lm_ppl",
       (s, d) => NgramLm.scored(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"WITH $lmPplCtes\nSELECT doc_id, n_pairs, avg_nll FROM ppl")),
+
+    // ----- CCNet's tercile bucketing over the LM score: head/middle/
+    // tail by exact interpolated percentiles (both engines use the
+    // standard lower+(upper-lower)·frac definition over the SAME
+    // 6-decimal-rounded avg_nll inputs, so the cut points agree
+    // bit-for-bit), assignment as a plain CASE. -----
+    GraftQuery(
+      "q_doc_ppl_buckets",
+      (s, d) => NgramLm.ccnetBuckets(Tables.documents(s, d), "doc_id", "text"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
-           |uni AS (SELECT w, count(*) AS c1 FROM tk GROUP BY w),
-           |v AS (SELECT count(DISTINCT w) AS vs FROM tk),
-           |bg AS (SELECT doc_id, unnest(${Shingles.shinglesSql("toks", 2)}) AS b
-           |       FROM t WHERE len(toks) >= 2),
-           |bc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
-           |lp AS (SELECT g.doc_id,
-           |  CAST(round(ln((bc.c12 + CAST(1.0 AS DOUBLE)) / (u.c1 + v.vs)), 6)
-           |       AS DECIMAL(20,9)) AS l
-           |  FROM bg g JOIN bc ON bc.b = g.b
-           |  JOIN uni u ON u.w = string_split(g.b, ' ')[1]
-           |  CROSS JOIN v)
-           |SELECT doc_id, count(*) AS n_pairs,
-           |  CAST(round(CAST(CAST(-sum(l) AS DOUBLE) / count(*)
-           |    AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_nll
-           |FROM lp GROUP BY doc_id""".stripMargin)),
+        s"""WITH $lmPplCtes,
+           |th AS (SELECT quantile_cont(avg_nll,
+           |         [CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0]) AS q
+           |       FROM ppl)
+           |SELECT doc_id, n_pairs, avg_nll,
+           |  CASE WHEN avg_nll <= th.q[1] THEN 'head'
+           |       WHEN avg_nll <= th.q[2] THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM ppl CROSS JOIN th""".stripMargin)),
 
     // ----- BM25 keyword retrieval: top-25 docs for a fixed probe
     // query (see [[graft.llm.Bm25]]); every constant is a parsed

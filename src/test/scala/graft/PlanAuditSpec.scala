@@ -540,6 +540,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"per-host rank window missing:\n$p")
   }
 
+  test("ccnet buckets: threshold aggregate broadcasts, no global sort or rank window") {
+    val df = graft.llm.NgramLm.ccnetBuckets(Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row tercile thresholds must broadcast into the scan:\n$p")
+    assert(!p.contains("Window"),
+      s"bucket assignment must be a CASE, never a corpus-wide rank window:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))

@@ -391,6 +391,20 @@ class LlmSpec extends AnyFunSuite {
     assert(r(10L)._2 > r(20L)._2)
   }
 
+  test("ccnet buckets: terciles ordered head < middle < tail, roughly equal sizes") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = NgramLm.ccnetBuckets(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Double]("avg_nll") -> r.getAs[String]("ppl_bucket"))
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // every head score <= every middle score <= every tail score
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // terciles: sizes within one of each other modulo ties at the cuts
+    val sizes = byBucket.view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 2, s"bucket sizes too skewed: $byBucket")
+  }
+
   test("bm25: term-heavy doc ranks first; scores replay the formula") {
     val corpus = Seq(
       (1L, "spark spark spark join"),
