@@ -81,6 +81,15 @@ object CurationPipeline {
         .filter(col("gopher_pass")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Stage -1: HTML → text ([[graft.llm.HtmlExtract]]) — the
+    * extraction every web crawl runs before any text operator sees a
+    * byte: drop head/script/style/comments, keep block structure as
+    * newlines, decode entities, surface the title and the
+    * link-density boilerplate signal. A pure shuffle-free projection;
+    * gate on `link_density` alongside the quality rules. */
+  def extractHtml(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    HtmlExtract.extract(docs, htmlCol)
+
   /** Stage 0a: crawl-side URL hygiene — canonical-URL first-crawl-wins
     * dedup, then a per-host document cap (see [[graft.llm.Urls]]; the
     * cap's rank window only ever sees over-cap Zipf-head hosts). Runs

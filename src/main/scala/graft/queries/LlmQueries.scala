@@ -2729,6 +2729,54 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
 
+    // ----- HTML → text extraction. Each document is wrapped in a
+    // deterministic page template (head/title/style/script, block
+    // structure, a comment, entities, an anchor) in BOTH engines; the
+    // Spark side runs the real rule extractor, and the oracle derives
+    // the EXPECTED title/text/link-density from the template
+    // parameters directly — an independent derivation, so any rule
+    // (head drop, block newlines, tag strip, entity order, whitespace
+    // normalization, anchor accounting) implemented wrong
+    // mismatches. -----
+    GraftQuery(
+      "q_doc_html_extract",
+      (s, d) => {
+        val id = col("doc_id")
+        val half = floor(length(col("text")) / 2).cast("int")
+        val html = concat(
+          lit("<HTML><head><title>Doc &amp; Title "), (id % 9).cast("string"),
+          lit("</title><style type=\"text/css\">body { color: red; }</style>"),
+          lit("<script>var x = 1; if (x < 2) { x = 2; }</script></head>"),
+          lit("<body><div class=\"main\"><h1>Heading "), (id % 7).cast("string"),
+          lit("</h1><p>"), col("text").substr(lit(1), half),
+          lit("</p><!-- hidden note --><P>"), col("text").substr(half + 1, length(col("text"))),
+          lit(" &amp; tail</P><ul><li>item "), (id % 3).cast("string"),
+          lit("</li><li><a href=\"/x"), (id % 5).cast("string"),
+          lit("\">go to page "), (id % 5).cast("string"),
+          lit("</a></li></ul><br/>footer text</div></body></html>"))
+        graft.llm.HtmlExtract.extract(
+          Tables.documents(s, d).select(id, html.as("html")), "html")
+          .select(col("doc_id"), col("title"), col("text"), col("link_density"))
+      },
+      Some(
+        """WITH d2 AS (
+          |  SELECT doc_id,
+          |    trim(substr(text, 1, CAST(floor(length(text)/2) AS INT))) AS h1,
+          |    trim(substr(text, CAST(floor(length(text)/2) AS INT) + 1)) AS h2
+          |  FROM documents),
+          |e AS (
+          |  SELECT doc_id,
+          |    'Doc & Title ' || (doc_id % 9) AS title,
+          |    'Heading ' || (doc_id % 7) || chr(10) || h1 || chr(10) ||
+          |      h2 || ' & tail' || chr(10) || 'item ' || (doc_id % 3) || chr(10) ||
+          |      'go to page ' || (doc_id % 5) || chr(10) || 'footer text' AS text
+          |  FROM d2)
+          |SELECT doc_id, title, text,
+          |  CAST(round(CAST(CAST(length('go to page ' || (doc_id % 5)) AS DOUBLE)
+          |    / greatest(length(text), 1) AS DECIMAL(20,9)), 6) AS DOUBLE)
+          |    AS link_density
+          |FROM e""".stripMargin)),
+
     // ----- URL canonicalization (C4/CCNet crawl hygiene). The Spark
     // side runs the real regex/array canonicalizer over the salted
     // URLs; the oracle derives the expected canonical form from the

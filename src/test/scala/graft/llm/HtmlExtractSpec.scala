@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rule-by-rule checks of the pinned HTML extractor on hand-written
+  * pages (the oracle exercises the composed template; these pin each
+  * rule in isolation). */
+class HtmlExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(html: String): (String, String, Double) = {
+    val r = HtmlExtract.extract(Seq((1L, html)).toDF("id", "html"), "html")
+      .select("title", "text", "link_density").collect().head
+    (r.getString(0), r.getString(1), r.getDouble(2))
+  }
+
+  test("script/style in the body are dropped; block tags break lines") {
+    val (_, text, _) = run(
+      "<body><p>one</p><script>var a = '<p>not text</p>';</script>" +
+        "<style>.x { color: red }</style><h2>two</h2><div>three</div></body>")
+    assert(text === "one\ntwo\nthree")
+  }
+
+  test("head block (and its title) never leaks into the text; title is its own column") {
+    val (title, text, _) = run(
+      "<html><head><title>My &quot;Page&quot;</title></head><body>hello</body></html>")
+    assert(title === "My \"Page\"")
+    assert(text === "hello")
+  }
+
+  test("entity order: &amp;lt; decodes to the literal string '&lt;'") {
+    val (_, text, _) = run("<body>a &amp;lt; b &lt; c &amp; d &nbsp;e</body>")
+    assert(text === "a &lt; b < c & d e")
+  }
+
+  test("br variants and blank-line collapse") {
+    val (_, text, _) = run("<body>x<br>y<BR/>z<br  />   <p>  </p>w</body>")
+    assert(text === "x\ny\nz\nw")
+  }
+
+  test("link density counts anchor text (inner tags stripped) over total") {
+    val (_, text, ld) = run(
+      "<body><a href='/'><b>Home</b> page</a> and some other words here</body>")
+    // anchor text: "Home page" = 9 chars (link_density is rounded to 6dp)
+    assert(math.abs(ld - 9.0 / text.length) < 1e-6)
+    assert(ld > 0.0 && ld < 1.0)
+  }
+
+  test("a page with no title and no anchors: empty title, zero density") {
+    val (title, text, ld) = run("<body><p>just text</p></body>")
+    assert(title === "" && text === "just text" && ld === 0.0)
+  }
+}
