@@ -57,6 +57,28 @@ object CurationSoak {
           id, graft.llm.Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
       }.write.mode("overwrite").parquet(mediaDir)
     }
+    val audioDir = "/tmp/graft_audio_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("audio_ahash_neardup"))) {
+      import spark.implicits._
+      val nPatterns = math.max(1L, nDocs / 4)
+      spark.range(nDocs).map { id =>
+        val pid = id % nPatterns
+        val n = 130 + 13 * (id % 10).toInt
+        graft.llm.Multimodal.MediaRow(
+          id, graft.llm.Multimodal.syntheticWavBlocks(pid, n), "audio/wav", n, 1)
+      }.write.mode("overwrite").parquet(audioDir)
+    }
+    val videoDir = "/tmp/graft_video_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("video_vhash_neardup"))) {
+      import spark.implicits._
+      val nPatterns = math.max(1L, nDocs / 4)
+      spark.range(nDocs).map { id =>
+        val pid = id % nPatterns
+        val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+        graft.llm.Multimodal.MediaRow(id,
+          graft.llm.Multimodal.syntheticAviBlocks(pid, 5, w, h), "video/avi", w, h)
+      }.write.mode("overwrite").parquet(videoDir)
+    }
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
       // Gopher's full repetition matrix — the widest single-scan
@@ -167,6 +189,25 @@ object CurationSoak {
           .as[graft.llm.Multimodal.MediaRow]
         graft.llm.ImageDedup.nearDuplicates(
           graft.llm.ImageDedup.dHash(media), maxHamming = 3, maxBucket = 2000)
+      },
+      // the audio/video analogs of the image arm — same banded join
+      // core (BandedHamming), so the number these add is the decode
+      // cost: WAV PCM walk per clip, RIFF/AVI container walk + 5 DIB
+      // frame decodes per video
+      "audio_ahash_neardup" -> { () =>
+        import spark.implicits._
+        val media = spark.read.parquet(audioDir)
+          .as[graft.llm.Multimodal.MediaRow]
+        graft.llm.AudioDedup.nearDuplicates(
+          graft.llm.AudioDedup.envelopeHash(media), maxHamming = 3, maxBucket = 2000)
+      },
+      "video_vhash_neardup" -> { () =>
+        import spark.implicits._
+        val media = spark.read.parquet(videoDir)
+          .as[graft.llm.Multimodal.MediaRow]
+        graft.llm.VideoDedup.nearDuplicates(
+          graft.llm.VideoDedup.frameHashes(media), maxPerFrameHamming = 3,
+          maxBucket = 2000)
       },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
