@@ -103,6 +103,14 @@ object CurationPipeline {
       Urls.dedupByUrl(docs, idCol, urlCol).drop("host", "canonical_url"),
       idCol, urlCol, maxPerHost)
 
+  /** Stage 0c: C4's line-and-document cleaning
+    * ([[QualityRules.c4Clean]] — the Raffel et al. recipe): line-level
+    * boilerplate drops (terminal punctuation, min words, javascript)
+    * and whole-document blocklist/min-lines gates, emitting the
+    * CLEANED text the later stages consume. Shuffle-free. */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    QualityRules.c4Clean(docs, idCol, textCol)
+
   /** Stage 2c (optional, composable with [[gate]]/[[gopherGate]]): the
     * full Gopher Table-A1 repetition gate — keep only documents whose
     * [[QualityRules.repetitionSignals]] pass every published

@@ -87,6 +87,56 @@ object QualityRules {
         col("dup_line_frac") <= 0.3)
   }
 
+  /** C4's document blocklist terms (Raffel et al. 2020 §2.2): a doc
+    * containing any of these is dropped whole. The curly brace is
+    * C4's code heuristic; "lorem ipsum" is placeholder text; the
+    * badword entries stand in for C4's full blocklist (the real list
+    * is a deployment artifact — swap it in via the parameter). */
+  val C4DocBlocklist: Seq[String] = Seq("{", "lorem ipsum", "badword")
+
+  /** C4's line-and-document cleaning (Raffel et al. 2020 §2.2) —
+    * THE reference recipe this family descends from. Line rules (a
+    * line survives iff ALL hold):
+    *   - ends in terminal punctuation: `. ! ? "`;
+    *   - has at least `minLineWords` (5) whitespace words;
+    *   - does not contain `javascript` (case-insensitive).
+    * Document rules (after line cleaning; the doc survives iff ALL
+    * hold):
+    *   - at least `minLines` (3) retained lines (C4's "3 sentences",
+    *     with lines standing in for sentences — documented deviation);
+    *   - contains none of [[C4DocBlocklist]] (case-insensitive).
+    * Output: one row per SURVIVING document — doc id, the cleaned
+    * `text` (retained lines joined by newlines), `n_lines_kept`,
+    * `n_lines_dropped`.
+    *
+    * Scale shape: pure row-local array algebra (split → filter →
+    * join) — NO shuffle; the whole pass rides the scan like
+    * [[signals]]. The `__lines` array is materialized once and every
+    * lambda consumes the bound column (the interpreted-HOF rule). */
+  def c4Clean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineWords: Int = 5,
+      minLines: Int = 3,
+      blocklist: Seq[String] = C4DocBlocklist): DataFrame = {
+    require(minLineWords >= 1 && minLines >= 1, "thresholds must be >= 1")
+    val base = docs.select(col(idCol), lower(col(textCol)).as("__lower"),
+      transform(split(col(textCol), "\n"), l => trim(l)).as("__lines"))
+    val kept = filter(col("__lines"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val blocked = blocklist.map(t => col("__lower").contains(t.toLowerCase))
+      .reduce(_ || _)
+    base.select(col(idCol), kept.as("__kept"),
+        (size(col("__lines")) - size(kept)).as("n_lines_dropped"), blocked.as("__b"))
+      .filter(size(col("__kept")) >= minLines && !col("__b"))
+      .select(col(idCol), array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        col("n_lines_dropped").cast("long").as("n_lines_dropped"))
+  }
+
   /** Repetition signal: the most frequent token bigram per document and
     * the fraction of the document's tokens it covers (2·count/n_words
     * — the token-count analogue of Gopher's top-2-gram character

@@ -2729,6 +2729,66 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
 
+    // ----- C4's line-and-document cleaning (Raffel et al. §2.2).
+    // The corpus has no newlines, so both engines derive the same
+    // 7-line page per doc, exercising every rule: short lines, a
+    // javascript line, a no-punctuation line, and id-keyed blocklist
+    // hits (%7 → badword, %11 → curly brace) that drop whole docs.
+    // The oracle replays line trimming, the three line rules, the
+    // blocklist scan and the min-lines gate. -----
+    GraftQuery(
+      "q_doc_c4_clean",
+      (s, d) => {
+        val id = col("doc_id")
+        val half = floor(length(col("text")) / 2).cast("int")
+        val l6 = when(id % 7 === 0, lit("this document has a badword inside it."))
+          .when(id % 11 === 0, lit("code sample with { braces } in it okay."))
+          .otherwise(lit("plain filler line with no ending punct"))
+        val derived = Tables.documents(s, d).select(id,
+          concat_ws("\n",
+            concat(col("text").substr(lit(1), half), lit(" and so it goes.")),
+            lit("short one."),
+            lit("you must enable javascript to view this page today."),
+            concat(col("text").substr(half + 1, length(col("text"))),
+              lit(" is that not so?")),
+            lit("no terminal punctuation in this line at all"),
+            l6,
+            lit("one more good line with plenty of words here.")).as("text"))
+        graft.llm.QualityRules.c4Clean(derived)
+      },
+      Some(
+        """WITH d2 AS (
+          |  SELECT doc_id,
+          |    concat_ws(chr(10),
+          |      substr(text, 1, CAST(floor(length(text)/2) AS INT)) || ' and so it goes.',
+          |      'short one.',
+          |      'you must enable javascript to view this page today.',
+          |      substr(text, CAST(floor(length(text)/2) AS INT) + 1) || ' is that not so?',
+          |      'no terminal punctuation in this line at all',
+          |      CASE WHEN doc_id % 7 = 0 THEN 'this document has a badword inside it.'
+          |           WHEN doc_id % 11 = 0 THEN 'code sample with { braces } in it okay.'
+          |           ELSE 'plain filler line with no ending punct' END,
+          |      'one more good line with plenty of words here.') AS text
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, lower(text) AS lw,
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+          |  FROM d2),
+          |k AS (
+          |  SELECT doc_id, lw, len(lines) AS n_all,
+          |    list_filter(lines, l ->
+          |      regexp_matches(l, '[.!?"]$') AND
+          |      len(string_split_regex(l, '\s+')) >= 5 AND
+          |      NOT contains(lower(l), 'javascript')) AS kept
+          |  FROM r)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+          |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+          |  CAST(n_all - len(kept) AS BIGINT) AS n_lines_dropped
+          |FROM k
+          |WHERE len(kept) >= 3
+          |  AND NOT contains(lw, '{') AND NOT contains(lw, 'lorem ipsum')
+          |  AND NOT contains(lw, 'badword')""".stripMargin)),
+
     // ----- HTML → text extraction. Each document is wrapped in a
     // deterministic page template (head/title/style/script, block
     // structure, a comment, entities, an anchor) in BOTH engines; the

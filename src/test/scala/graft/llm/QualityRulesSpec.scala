@@ -131,6 +131,29 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(e.getAs[Boolean]("rep_pass"))
   }
 
+  test("c4Clean: line rules, blocklist docs, and the min-lines gate") {
+    val good = Seq(
+      "here is a first proper sentence today.",
+      "tiny.", // < 5 words
+      "please enable JavaScript to continue browsing now.", // javascript
+      "does this second question have enough words?",
+      "line with no terminal punctuation at all",
+      "and a third full sentence closes the page.").mkString("\n")
+    val blocked = good + "\nplus some Lorem Ipsum filler here."
+    val thin = "only one good sentence lives in here.\nshort.\nnope"
+    val out = QualityRules.c4Clean(Seq(
+      (1L, good), (2L, blocked), (3L, thin)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(1L)) // 2 blocklisted, 3 under min lines
+    val (text, kept, dropped) = out(1L)
+    assert(kept === 3L && dropped === 3L)
+    assert(text === Seq(
+      "here is a first proper sentence today.",
+      "does this second question have enough words?",
+      "and a third full sentence closes the page.").mkString("\n"))
+  }
+
   test("repetitionSignals: default ns emit the full Gopher Table-A1 matrix") {
     val doc = ("d", ("one two three four five six seven eight nine ten " * 3).trim)
     val row = QualityRules.repetitionSignals(Seq(doc).toDF("doc_id", "text"))
