@@ -550,6 +550,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket assignment must be a CASE, never a corpus-wide rank window:\n$p")
   }
 
+  test("html extraction and c4 cleaning are shuffle-free scan projections") {
+    import spark.implicits._
+    val pages = spark.range(100).select(col("id"),
+      concat(lit("<html><head><title>t</title></head><body><p>body text of "),
+        col("id").cast("string"),
+        lit(" with plenty of words here.</p><a href='/'>x</a></body></html>"))
+        .as("html"))
+    val extracted = graft.llm.HtmlExtract.extract(pages, "html")
+    extracted.collect()
+    val p1 = extracted.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"HTML extraction must ride the scan:\n$p1")
+    val cleaned = graft.llm.QualityRules.c4Clean(
+      extracted.select(col("id").as("doc_id"), col("text")))
+    cleaned.collect()
+    val p2 = cleaned.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"c4 cleaning must ride the scan:\n$p2")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
