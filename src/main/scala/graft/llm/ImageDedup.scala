@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions._
   * only shuffle keys on (band, key16). Honest 100 TB caveat: a 16-bit
   * band keyspace saturates at web scale — 1B images put ~15k images in
   * every bucket, so candidate pairs go quadratic no matter how good
-  * the hash is. The [[nearDuplicates]] `maxBucket` guard (same pattern
-  * as [[MinHash.candidatePairs]] / the embedding near-dup) bounds that
-  * blowup and reports truncation; past ~10M images, widen the hash
-  * (pHash-256) or prefilter by exact content hash before the banded
-  * join.
+  * the hash is. The [[nearDuplicates]] `maxBucket` guard bounds that
+  * blowup by dropping over-cap buckets — SILENTLY, like any per-row
+  * filter: audit a production cap with [[bucketCost]] (the
+  * [[MinHash.bandCostTable]] pattern) before trusting the exactness
+  * statement, because qualifying pairs whose every matching band sits
+  * in a dropped bucket simply vanish. Past ~10M images, widen the hash
+  * ([[dHashWide]], 256-bit / 32-bit band keys) or prefilter by exact
+  * content hash before the banded join.
   */
 object ImageDedup {
 
@@ -134,12 +137,21 @@ object ImageDedup {
     * refuses rather than silently under-reporting. `maxBucket` drops
     * band buckets larger than the cap before pairing (the quadratic-
     * blowup guard; at the default the corpus sizes this library is
-    * soak-tested at never truncate). */
+    * soak-tested at never truncate) — the drop is silent; audit the
+    * cap with [[bucketCost]]. */
   def nearDuplicates(
       hashes: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicates(hashes, maxHamming, maxBucket)
+
+  /** Truncation telemetry for a [[nearDuplicates]] cap on a [[dHash]]
+    * table — see [[BandedHamming.bucketCost]]: one row of
+    * (candidate_pairs, capped_pairs, capped_buckets, max_bucket_sz);
+    * `capped_pairs > 0` means the cap is deleting candidate pairs and
+    * the Hamming-≤3 exactness guarantee no longer holds in full. */
+  def bucketCost(hashes: DataFrame, maxBucket: Int): DataFrame =
+    BandedHamming.bucketCost(hashes, maxBucket)
 
   /** Keep/drop decision per image: connected components over the
     * [[nearDuplicates]] pairs (transitive closure — A≈B≈C is ONE

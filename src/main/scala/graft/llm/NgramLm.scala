@@ -76,19 +76,44 @@ object NgramLm {
     * `percentile` aggregate (a 1-row, 2-value relation that
     * broadcasts — never a global sort or a single-partition rank
     * window over the corpus), and bucket assignment is then a plain
-    * scan-stage CASE. At 100 TB CCNet itself computes the thresholds
-    * on a sample; swap the aggregate input for `.sample(...)` to match
-    * — the assignment side is unchanged. Output: doc_id, n_pairs,
-    * avg_nll, ppl_bucket. */
-  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * scan-stage CASE. The [[scored]] relation feeds BOTH the
+    * threshold aggregate and the assignment side, and its lineage is
+    * the full corpus-wide bigram-LM retrain — so it is persisted here
+    * (one doc-score row per document, far smaller than the corpus)
+    * rather than recomputed twice. At 100 TB CCNet itself computes
+    * the thresholds on a sample; swap the aggregate input for
+    * `.sample(...)` to match — the assignment side is unchanged.
+    *
+    * Cache lifetime: the score table stays persisted after the
+    * caller's action (the relation is lazy, so this method cannot
+    * release it) — in a one-shot job LRU reclaim is fine; long-lived
+    * drivers should use [[ccnetBucketsScoped]], which unpersists
+    * after use. Output: doc_id, n_pairs, avg_nll, ppl_bucket. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ccnetBucketsInternal(docs, idCol, textCol)._1
+
+  /** [[ccnetBuckets]] with deterministic cache release: runs `use` on
+    * the bucketed relation (e.g. write/collect) and unpersists the
+    * internal score cache afterwards. */
+  def ccnetBucketsScoped[T](docs: DataFrame, idCol: String, textCol: String)(
+      use: DataFrame => T): T = {
+    val (df, caches) = ccnetBucketsInternal(docs, idCol, textCol)
+    try use(df)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def ccnetBucketsInternal(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, Seq[DataFrame]) = {
     val s = scored(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = s.agg(expr(
       "percentile(avg_nll, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0))")
       .as("__th"))
-    s.crossJoin(broadcast(th))
+    val out = s.crossJoin(broadcast(th))
       .select(col("doc_id"), col("n_pairs"), col("avg_nll"),
         when(col("avg_nll") <= element_at(col("__th"), 1), "head")
           .when(col("avg_nll") <= element_at(col("__th"), 2), "middle")
           .otherwise("tail").as("ppl_bucket"))
+    (out, Seq(s))
   }
 }

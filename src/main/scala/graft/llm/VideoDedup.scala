@@ -110,6 +110,33 @@ object VideoDedup {
     DedupClusters.keepTable(frames.select(col("media_id")).distinct(), pairs,
       "media_id", "media_id_a", "media_id_b")
 
+  /** Truncation telemetry for a [[nearDuplicates]] cap on a
+    * [[frameHashes]] table — the video analog of
+    * [[BandedHamming.bucketCost]], keyed on (frame_no, band, key) like
+    * the production join: one row of (candidate_pairs, capped_pairs,
+    * capped_buckets, max_bucket_sz). The guard's drop is silent;
+    * `capped_pairs > 0` voids the per-frame exactness statement for
+    * pairs living only in dropped buckets. */
+  def bucketCost(frames: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    frames.select(col("media_id"), col("frame_no"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("frame_no"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy(col("frame_no"), col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        coalesce(sum(expr("(sz * (sz - 1)) div 2")), lit(0L)).as("candidate_pairs"),
+        coalesce(sum(when(col("sz") > maxBucket, expr("(sz * (sz - 1)) div 2"))
+          .otherwise(lit(0L))), lit(0L)).as("capped_pairs"),
+        coalesce(sum(when(col("sz") > maxBucket, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("capped_buckets"),
+        coalesce(max(col("sz")), lit(0L)).as("max_bucket_sz"))
+  }
+
   // ----- DuckDB mirror fragment (used by the oracle SQL) -----
 
   /** Per-frame dHash bands recomputed from a closed-form pixel

@@ -2635,6 +2635,38 @@ object LlmQueries extends QueryModule {
            |       coalesce(c.component, h.media_id) = h.media_id AS keep
            |FROM hx h LEFT JOIN comp c USING (media_id)""".stripMargin)),
 
+    // ----- banded-Hamming truncation telemetry: the maxBucket guard
+    // in the perceptual dedup joins drops over-cap (band, key) buckets
+    // SILENTLY, so the exactness statement needs this audit row — the
+    // candidate volume the production join emits and the share a given
+    // cap would delete (MinHash.bandCostTable's pattern for the media
+    // family). Cap 3 on the fixture truncates for real: every pattern
+    // renders ≥ 4 times, so its shared bands land in over-cap buckets
+    // and capped_pairs is non-zero — the telemetry's alarm path is
+    // what the oracle replays, not just the quiet case. -----
+    GraftQuery(
+      "q_media_band_cost",
+      (s, _) => {
+        import s.implicits._
+        ImageDedup.bucketCost(ImageDedup.dHash(dhashCorpus(s)), maxBucket = 3)
+      },
+      Some(
+        s"""WITH $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)},
+           |keys AS (
+           |  SELECT media_id, 0 AS band, b0 AS bkey FROM hx
+           |  UNION ALL SELECT media_id, 1, b1 FROM hx
+           |  UNION ALL SELECT media_id, 2, b2 FROM hx
+           |  UNION ALL SELECT media_id, 3, b3 FROM hx),
+           |sz AS (SELECT band, bkey, count(*) AS sz FROM keys GROUP BY band, bkey)
+           |SELECT CAST(coalesce(sum((sz * (sz - 1)) // 2), 0) AS BIGINT) AS candidate_pairs,
+           |       CAST(coalesce(sum(CASE WHEN sz > 3 THEN (sz * (sz - 1)) // 2
+           |                              ELSE 0 END), 0) AS BIGINT) AS capped_pairs,
+           |       CAST(coalesce(sum(CASE WHEN sz > 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |         AS capped_buckets,
+           |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket_sz
+           |FROM sz""".stripMargin)),
+
     // ----- multimodal: per-frame video dHash over REAL AVI walks —
     // the video analog of q_media_dhash: 48 clips × 5 lossless DIB
     // frames, 12 block-rotating patterns (seed = id % 12), exact
@@ -2791,13 +2823,17 @@ object LlmQueries extends QueryModule {
 
     // ----- HTML → text extraction. Each document is wrapped in a
     // deterministic page template (head/title/style/script, block
-    // structure, a comment, entities, an anchor) in BOTH engines; the
-    // Spark side runs the real rule extractor, and the oracle derives
-    // the EXPECTED title/text/link-density from the template
-    // parameters directly — an independent derivation, so any rule
-    // (head drop, block newlines, tag strip, entity order, whitespace
-    // normalization, anchor accounting) implemented wrong
-    // mismatches. -----
+    // structure, a comment, entities — named, numeric dec/hex,
+    // out-of-range, unterminated — an anchor, and an anchor-SHAPED
+    // string inside the script) in BOTH engines; the Spark side runs
+    // the real rule extractor, and the oracle derives the EXPECTED
+    // title/text/link-density from the template parameters directly —
+    // an independent derivation, so any rule (head drop, block
+    // newlines, tag strip, entity order, the 32..255 numeric window,
+    // whitespace normalization, stripped-intermediate anchor
+    // accounting) implemented wrong mismatches. The script's fake
+    // anchor pins the link_density numerator to the stripped
+    // intermediate: counting it would shift every density. -----
     GraftQuery(
       "q_doc_html_extract",
       (s, d) => {
@@ -2806,14 +2842,16 @@ object LlmQueries extends QueryModule {
         val html = concat(
           lit("<HTML><head><title>Doc &amp; Title "), (id % 9).cast("string"),
           lit("</title><style type=\"text/css\">body { color: red; }</style>"),
-          lit("<script>var x = 1; if (x < 2) { x = 2; }</script></head>"),
+          lit("<script>var x = 1; if (x < 2) { x = 2; } " +
+            "var s = \"<a href='/fake'>CLICK HERE NOW</a>\";</script></head>"),
           lit("<body><div class=\"main\"><h1>Heading "), (id % 7).cast("string"),
           lit("</h1><p>"), col("text").substr(lit(1), half),
           lit("</p><!-- hidden note --><P>"), col("text").substr(half + 1, length(col("text"))),
           lit(" &amp; tail</P><ul><li>item "), (id % 3).cast("string"),
           lit("</li><li><a href=\"/x"), (id % 5).cast("string"),
           lit("\">go to page "), (id % 5).cast("string"),
-          lit("</a></li></ul><br/>footer text</div></body></html>"))
+          lit("</a></li></ul><p>Price &#163;"), (id % 4).cast("string"),
+          lit(" caf&#233; &#x41; &#1000000; raw&#60x</p><br/>footer text</div></body></html>"))
         graft.llm.HtmlExtract.extract(
           Tables.documents(s, d).select(id, html.as("html")), "html")
           .select(col("doc_id"), col("title"), col("text"), col("link_density"))
@@ -2829,7 +2867,9 @@ object LlmQueries extends QueryModule {
           |    'Doc & Title ' || (doc_id % 9) AS title,
           |    'Heading ' || (doc_id % 7) || chr(10) || h1 || chr(10) ||
           |      h2 || ' & tail' || chr(10) || 'item ' || (doc_id % 3) || chr(10) ||
-          |      'go to page ' || (doc_id % 5) || chr(10) || 'footer text' AS text
+          |      'go to page ' || (doc_id % 5) || chr(10) ||
+          |      'Price ' || chr(163) || (doc_id % 4) || ' caf' || chr(233) ||
+          |      ' A &#1000000; raw&#60x' || chr(10) || 'footer text' AS text
           |  FROM d2)
           |SELECT doc_id, title, text,
           |  CAST(round(CAST(CAST(length('go to page ' || (doc_id % 5)) AS DOUBLE)

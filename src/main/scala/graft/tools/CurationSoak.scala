@@ -40,8 +40,10 @@ object CurationSoak {
     // shape is build-once / serve-every-batch): the at-rest arm scans
     // this 4×-narrower parquet instead of the float corpus
     val sqIndexDir = "/tmp/graft_sq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    Sq.buildIndex(emb, "vec_id", "embedding")
-      .write.mode("overwrite").parquet(sqIndexDir)
+    if (only.forall(_.contains("sq_ann_at_rest"))) {
+      Sq.buildIndex(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(sqIndexDir)
+    }
 
     // image fixture corpus (once, outside the timed thunks — the PNG
     // encode is fixture manufacturing; the dedup operator's production

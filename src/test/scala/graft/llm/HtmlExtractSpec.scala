@@ -52,4 +52,52 @@ class HtmlExtractSpec extends AnyFunSuite {
     val (title, text, ld) = run("<body><p>just text</p></body>")
     assert(title === "" && text === "just text" && ld === 0.0)
   }
+
+  test("numeric entities decode in the 32..255 window, dec and hex") {
+    val (_, text, _) = run("<body>caf&#233; A=&#65; lt=&#x3C; pound=&#xa3;</body>")
+    assert(text === "café A=A lt=< pound=£")
+  }
+
+  test("numeric entities outside 32..255 (or malformed) stay verbatim") {
+    val (_, text, _) = run(
+      "<body>big &#1000000; ctrl &#7; nosemi &#60x emoji &#x1F600; ok &#60;</body>")
+    assert(text === "big &#1000000; ctrl &#7; nosemi &#60x emoji &#x1F600; ok <")
+  }
+
+  test("entity order: &amp;#60; decodes to the literal string '&#60;'") {
+    val (_, text, _) = run("<body>a &amp;#60; b &#38;c</body>")
+    // &#38; (the numeric ampersand) decodes in the numeric pass; the
+    // &amp; pass runs LAST and single-pass, so no re-decoding cascade
+    assert(text === "a &#60; b &c")
+  }
+
+  test("numeric entities decode inside titles and anchor accounting") {
+    val (title, _, ld) = run(
+      "<html><head><title>caf&#233;</title></head>" +
+        "<body><a href='/'>go&#233;s</a> plus other text</body></html>")
+    assert(title === "café")
+    // anchor text "goés" = 4 chars after decode (5 undecoded would differ)
+    val (_, text2, _) = run(
+      "<html><head><title>x</title></head>" +
+        "<body><a href='/'>go&#233;s</a> plus other text</body></html>")
+    assert(math.abs(ld - 4.0 / text2.length) < 1e-6)
+  }
+
+  test("anchor-shaped strings inside dropped blocks don't count as link chars") {
+    val (_, text, ld) = run(
+      "<body><script>var s = \"<a href='/x'>CLICK HERE NOW</a>\";</script>" +
+        "<p>real words only</p></body>")
+    assert(text === "real words only")
+    assert(ld === 0.0)
+  }
+
+  test("link density is clamped to 1.0 on all-anchor markup") {
+    val (_, _, ld) = run("<body><a href='/'>one</a> <a href='/'>two</a></body>")
+    assert(ld <= 1.0)
+  }
+
+  test("sentinel codepoints U+0002/U+0003 are stripped, never forgeable") {
+    val (_, text, _) = run("<body>a\u0002#65;\u0003b &#65;</body>")
+    assert(text === "a#65;b A")
+  }
 }

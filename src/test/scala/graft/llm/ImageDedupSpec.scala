@@ -118,4 +118,24 @@ class ImageDedupSpec extends AnyFunSuite {
     val capped = ImageDedup.nearDuplicates(hashes, maxHamming = 0, maxBucket = 2).count()
     assert(capped <= full)
   }
+
+  test("bucketCost telemetry agrees with the guard's silent drop") {
+    val hashes = ImageDedup.dHash(corpus)
+    // a generous cap truncates nothing: telemetry says so, and the
+    // guarded join equals the unguarded one
+    val quiet = BandedHamming.truncationReport(hashes, maxBucket = 10000)
+    assert(!quiet.truncates && quiet.cappedPairs === 0L && quiet.cappedBuckets === 0L)
+    assert(quiet.candidatePairs > 0L)
+    assert(quiet.maxBucketSize <= 10000L)
+    // a tight cap truncates: telemetry flags it, and the guarded join
+    // really returns fewer pairs — the silent loss the report prices
+    val tightCap = 3
+    val loud = BandedHamming.truncationReport(hashes, maxBucket = tightCap)
+    assert(loud.truncates && loud.cappedPairs > 0L && loud.cappedBuckets > 0L)
+    assert(loud.maxBucketSize === quiet.maxBucketSize) // cap-independent
+    val full = ImageDedup.nearDuplicates(hashes, maxHamming = 3).count()
+    val capped = ImageDedup.nearDuplicates(hashes, maxHamming = 3, maxBucket = tightCap).count()
+    assert(capped < full,
+      s"telemetry reported truncation but the guarded join kept all $full pairs")
+  }
 }

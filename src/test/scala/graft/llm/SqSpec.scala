@@ -28,8 +28,11 @@ class SqSpec extends AnyFunSuite {
         transform(col("codes"),
           c => (c.cast("double") * col("amax") / lit(127.0)).cast("float"))
           .as("embedding"))
+    // the query side stays the EXACT float vectors (q, not its codes):
+    // the identity under test is cos(q, codes) == cos(q, v̂) — querying
+    // with quantized vectors would test a different (symmetric) scan
     val viaRecon = Similarity.topKCosine(
-      recon, recon.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      recon, q, "vec_id", "embedding", k = 5)
     assert(pairs(sq) === pairs(viaRecon))
   }
 
