@@ -54,6 +54,20 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Exact top-k cosine neighbors of each query vector.
+    *
+    * Ranking shape: by default the per-query top-k is a k-BOUNDED
+    * partial aggregation ([[graft.functions.BoundedTopK]]) — each map
+    * task keeps at most k (score, id) entries per query, so the
+    * shuffle carries ≤ |Q|·k·partitions rows and NO task ever holds a
+    * |corpus|-sized sort (the `row_number` window shape put every
+    * query's FULL scored corpus scan on one task — the last
+    * corpus-rows-in-one-task shape in the serving ladder). Output is
+    * bit-identical to the window arm: same exact unrounded doubles
+    * compared, same (score DESC, id ASC) total order, rounding on
+    * output. `nativeTopK = false` keeps the generic window arm (the
+    * A/B and the fallback for non-integral id columns, which the
+    * bounded aggregate's BIGINT keep-list cannot carry).
+    *
     * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
     * @param queries (idCol, vecCol) table — must be broadcast-small */
   def topKCosine(
@@ -61,19 +75,40 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 6).as("cos_sim"))
+    val idType = corpus.schema(idCol).dataType
+    if (nativeTopK && isIntegralId(idType)) {
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.BoundedTopK
+          .topKByScore(k, col("__cos"), col("neighbor_id").cast("long")).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"),
+          col("__e.id").cast(idType).as("neighbor_id"),
+          (col("__pos") + 1).as("rank"),
+          round(col("__e.s"), 6).as("cos_sim"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__cos"), 6).as("cos_sim"))
+    }
   }
+
+  private[llm] def isIntegralId(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   /** Plane constants for [[withLshBucket]]: plane p weights dimension d
     * with ((Ap(p)*d + Bp(p)) mod 97)/97 - 0.5 — fixed, engine-neutral. */

@@ -59,25 +59,43 @@ object Sq {
       .filter(exists(col("codes"), x => x =!= 0.0f))
 
   /** The index-SERVE half: asymmetric scan of a [[buildIndex]] table
-    * (idCol, codes). Same output contract as [[topKCosineSq]]. */
+    * (idCol, codes). Same output contract as [[topKCosineSq]]. The
+    * per-query top-k is the same k-bounded partial aggregation as
+    * [[Similarity.topKCosine]]'s (map-side ≤ k entries per query — no
+    * |corpus|-rows-in-one-task window sort); `nativeTopK = false`
+    * keeps the generic window arm for the A/B and non-integral ids. */
   def topKCosineCoded(
       codedCorpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
     val c = codedCorpus.select(col(idCol).as("neighbor_id"), col("codes").as("__cc"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .filter(exists(col("__qv"), x => x =!= 0.0f))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__s").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("__s", Similarity.cosine(col("__qv"), col("__cc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("__s"), 6).as("sq_sim"))
+    val idType = codedCorpus.schema(idCol).dataType
+    if (nativeTopK && Similarity.isIntegralId(idType)) {
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.BoundedTopK
+          .topKByScore(k, col("__s"), col("neighbor_id").cast("long")).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"),
+          col("__e.id").cast(idType).as("neighbor_id"),
+          (col("__pos") + 1).cast("long").as("rank"),
+          round(col("__e.s"), 6).as("sq_sim"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__s").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("__s"), 6).as("sq_sim"))
+    }
   }
 
   /** SQ8 + exact refine (FAISS `IndexRefineFlat` over the SQ scan):

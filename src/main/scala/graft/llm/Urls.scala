@@ -27,12 +27,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: canonicalization is a shuffle-free projection (regex
   * + array ops inside codegen — at 100 TB it rides the scan). Dedup
   * shuffles once on the canonical URL, the cap once on the host —
-  * the natural keys. Honest skew note: hosts are Zipfian, so the
+  * the natural keys. Honest skew note: hosts are Zipfian, so any
   * per-host rank window concentrates the biggest host in one task;
   * [[hostCap]] therefore pre-aggregates per-host counts (partial-agg,
-  * skew-immune) and only ranks within hosts that EXCEED the cap —
-  * under-cap hosts (the overwhelming majority of a web corpus) never
-  * enter the window.
+  * skew-immune), only considers hosts that EXCEED the cap — under-cap
+  * hosts (the overwhelming majority of a web corpus) pass straight
+  * through — and picks each over-cap host's survivors with a
+  * k-BOUNDED partial aggregation instead of a window, so even the
+  * head host's shuffle volume is capped at maxPerHost ids per map
+  * partition.
   */
 object Urls {
 
@@ -80,24 +83,70 @@ object Urls {
   }
 
   /** Keeps at most `maxPerHost` documents per host (smallest-id
-    * survivors); null-host rows pass through untouched. Skew-aware:
-    * per-host counts are a partial-aggregable groupBy, and only the
-    * hosts ABOVE the cap — at web scale a tiny, Zipf-head set — go
-    * through the rank window; everything else is a broadcast-semi-join
-    * pass-through. Returns the capped table. */
-  def hostCap(df: DataFrame, idCol: String, urlCol: String, maxPerHost: Int): DataFrame = {
+    * survivors); null-host rows pass through untouched. Skew-SAFE,
+    * not just skew-aware: per-host counts are a partial-aggregable
+    * groupBy that ALSO carries each host's `maxPerHost` smallest ids
+    * in a k-bounded buffer ([[graft.functions.BoundedTopK]]): each map
+    * task keeps at most cap ids per host, so the Zipf-head host
+    * shuffles ≤ cap·partitions id rows instead of landing ALL its rows
+    * on one rank-window task — the single-task cliff a
+    * 10%-of-the-crawl host used to be. The resulting keep-list is
+    * cap-BOUNDED (≤ maxPerHost rows per over-cap host — a Zipf-head
+    * set, megabytes at crawl scale), so survivors come back via a
+    * BROADCAST (host, id) semi-join and the crawl-sized side never
+    * shuffles at all.
+    *
+    * Contract: `idCol` must be integral (it rides the keep-list as
+    * BIGINT), non-null, and unique per host — the same
+    * deterministic-survivor premise [[dedupByUrl]] rests on.
+    * `nativeCap = false` keeps the per-host rank-window arm (the A/B
+    * shape the Zipf-head soak measures against — the single-task
+    * cliff). Returns the capped table. */
+  def hostCap(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxPerHost: Int,
+      nativeCap: Boolean = true): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+      .contains(idType.simpleString),
+      s"hostCap needs an integral id column, got $idCol: ${idType.simpleString}")
     val c = canonicalize(df, urlCol)
-    val over = c.filter(col("host").isNotNull)
-      .groupBy(col("host")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxPerHost)
-      .select(col("host"))
-    val flagged = c.join(broadcast(over), Seq("host"), "left_semi")
-    val under = c.join(broadcast(over), Seq("host"), "left_anti")
-    val w = Window.partitionBy(col("host")).orderBy(col(idCol).asc)
-    val capped = flagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxPerHost).drop("__rn")
-    under.unionByName(capped)
+    if (nativeCap) {
+      // ONE partial-aggregable groupBy computes both the over-cap
+      // filter and each over-cap host's survivor ids (map-side state ≤
+      // cap ids per host per partition). The keep-list is then
+      // cap-bounded — ≤ maxPerHost rows PER over-cap host, a tiny
+      // Zipf-head set — so the survivor semi-join broadcasts it and
+      // the crawl-sized side never shuffles at all; under-cap hosts
+      // pass through the broadcast anti-join as before.
+      val overAgg = c.filter(col("host").isNotNull)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("__n"),
+          graft.functions.BoundedTopK
+            .smallestLongs(maxPerHost, col(idCol).cast("long")).as("__keep"))
+        .filter(col("__n") > maxPerHost)
+      val keepIds = overAgg
+        .select(col("host").as("__kh"), explode(col("__keep")).as("__kid"))
+      val under = c.join(broadcast(overAgg.select(col("host"))), Seq("host"), "left_anti")
+      val capped = c.join(broadcast(keepIds),
+        col("host") === col("__kh") && col(idCol).cast("long") === col("__kid"),
+        "left_semi")
+      under.unionByName(capped)
+    } else {
+      val over = c.filter(col("host").isNotNull)
+        .groupBy(col("host")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxPerHost)
+        .select(col("host"))
+      val flagged = c.join(broadcast(over), Seq("host"), "left_semi")
+      val under = c.join(broadcast(over), Seq("host"), "left_anti")
+      val w = Window.partitionBy(col("host")).orderBy(col(idCol).asc)
+      val capped = flagged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxPerHost).drop("__rn")
+      under.unionByName(capped)
+    }
   }
 
   /** Per-host diversity telemetry: document count, docs kept under

@@ -82,6 +82,28 @@ object CurationSoak {
       }.write.mode("overwrite").parquet(videoDir)
     }
 
+    // Zipf-head crawl shape for the host-cap A/B, 50 url rows per
+    // corpus document (the cap is a CRAWL-scale operator — the skew
+    // cliff only prices in when the head host holds ~10^6 rows): every
+    // even id on ONE giant host, odd ids spread over 20011 ordinary
+    // hosts so each stays UNDER the cap — the production geometry
+    // where exactly the Zipf head ranks and everything else passes
+    // through. At sf1 that is a 2.5M-row crawl with a 1.25M-row head
+    // host: the window arm sorts all of it in one task.
+    def zipfUrls = spark.range(50L * nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat(lit("https://zipfhead.example.com/p/"), col("id").cast("string")))
+        .otherwise(concat(lit("https://h"), (col("id") % 20011).cast("string"),
+          lit(".example.com/p/"), col("id").cast("string"))).as("url"))
+
+    // serving-sized synthetic corpus for the ranking A/B: 1M 16-dim
+    // vectors of deterministic pseudo-random floats (pure projection —
+    // no fixture i/o; identical cost in both arms)
+    def bigEmb = spark.range(1000000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        d => (((col("id") * 37 + d * 101) % 997) / lit(997.0) - 0.5).cast("float"))
+        .as("embedding"))
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
       // Gopher's full repetition matrix — the widest single-scan
       // explode in the quality family (9 n-gram sizes + lines + paras
@@ -175,6 +197,41 @@ object CurationSoak {
       "sq_ann_at_rest" -> { () =>
         Sq.topKCosineCoded(spark.read.parquet(sqIndexDir),
           emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3)
+      },
+      // the flat-scan ranking A/B: the k-bounded partial aggregation
+      // (production default) vs the row_number window it replaced —
+      // the window shuffles the WHOLE scored relation and sorts each
+      // query's |corpus| rows in one task; the heap ships ≤ k entries
+      // per query per map partition
+      "exact_ann_window" -> { () =>
+        Similarity.topKCosine(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3, nativeTopK = false)
+      },
+      // the same A/B at serving-corpus size: 1M synthetic 16-dim
+      // vectors (deterministic hash floats, generated inline — both
+      // arms pay identically), 8 probes. Here the window shape's cost
+      // is undiluted: 8 tasks each receive and sort a FULL 1M-row
+      // scored corpus copy (24 cores idle), while the bounded agg
+      // keeps ≤ k entries per query per map task and never ships the
+      // scored relation anywhere
+      "exact_ann_1m" -> { () =>
+        Similarity.topKCosine(bigEmb, bigEmb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      "exact_ann_1m_window" -> { () =>
+        Similarity.topKCosine(bigEmb, bigEmb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nativeTopK = false)
+      },
+      // per-host crawl cap under a manufactured Zipf head (half the
+      // corpus on ONE host): the bounded-agg survivor pick (production
+      // default) vs the per-host rank window, which lands the head
+      // host's every row on a single task — the cliff this A/B prices
+      "host_cap_zipf" -> { () =>
+        graft.llm.Urls.hostCap(zipfUrls, "doc_id", "url", maxPerHost = 100)
+      },
+      "host_cap_zipf_window" -> { () =>
+        graft.llm.Urls.hostCap(zipfUrls, "doc_id", "url", maxPerHost = 100,
+          nativeCap = false)
       },
       // perceptual image dedup at corpus scale: one synthetic PNG per
       // document (pattern count = corpus/4, so ~4 renders per pattern

@@ -466,7 +466,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket counting lost its map-side combine:\n$p")
   }
 
-  test("sq8 scan: queries broadcast against the coded corpus, one window shuffle") {
+  test("sq8 scan: queries broadcast against the coded corpus, bounded top-k agg") {
     val emb = Tables.embeddings(spark, sf)
     val df = graft.llm.Sq.topKCosineSq(emb, emb.filter(col("vec_id") < 4),
       "vec_id", "embedding", k = 3)
@@ -478,7 +478,9 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query set must broadcast into the corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the SQ scan must never shuffle the corpus for the join:\n$p")
-    assert(p.contains("Window"), s"per-query top-k window missing:\n$p")
+    assert(!p.contains("Window"),
+      s"per-query ranking regressed to a window sort:\n$p")
+    assert(p.contains("top_k_score_id"), s"bounded top-k aggregate missing:\n$p")
   }
 
   test("repetition signals: every exchange is doc-keyed, nothing single-partition") {
@@ -524,7 +526,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"canonicalization must ride the scan, not shuffle:\n$p")
   }
 
-  test("host cap: under-cap hosts bypass the rank window via broadcast joins") {
+  test("host cap: under-cap hosts bypass the survivor pick via broadcast joins") {
     import spark.implicits._
     val df = graft.llm.Urls.hostCap(
       spark.range(200).select(col("id"),
@@ -535,9 +537,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"the over-cap host set must broadcast into semi/anti joins:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the Zipf-head host list degraded to a shuffle join:\n$p")
-    assert(p.contains("Window"), s"per-host rank window missing:\n$p")
+    assert(!p.contains("Window"),
+      s"survivor pick regressed to a per-host rank window:\n$p")
+    assert(p.contains("smallest_k_longs"),
+      s"k-bounded survivor aggregate missing:\n$p")
   }
 
   test("ccnet buckets: threshold aggregate broadcasts, no global sort or rank window") {
@@ -566,6 +569,59 @@ class PlanAuditSpec extends AnyFunSuite {
     cleaned.collect()
     val p2 = cleaned.queryExecution.executedPlan.toString
     assert(!p2.contains("Exchange"), s"c4 cleaning must ride the scan:\n$p2")
+  }
+
+  test("ann top-k ranks via bounded partial aggregation, never a per-query window") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.llm.Similarity.topKCosine(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "the serving ladder's flat scan regressed to a per-query window sort " +
+        "(one task holds the whole scored corpus for a query)")
+    val aggs = nodes.filter(_.nodeName.contains("ObjectHashAggregate"))
+      .map(_.simpleString(10000))
+    assert(aggs.exists(_.contains("partial_top_k_score_id")),
+      s"top-k lost its map-side k-bounded combine:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(a => a.contains("top_k_score_id(") && !a.contains("partial_")),
+      s"missing final-phase top-k aggregate:\n${aggs.mkString("\n")}")
+  }
+
+  test("host cap never windows; survivors come from a k-bounded partial agg") {
+    val urls = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 5).cast("string"),
+        lit(".example.com/p/"), col("id").cast("string")).as("url"))
+    val df = graft.llm.Urls.hostCap(urls, "doc_id", "url", maxPerHost = 10)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "hostCap regressed to a per-host rank window — the Zipf-head host " +
+        "would land on one task at crawl scale")
+    val aggs = nodes.filter(_.nodeName.contains("ObjectHashAggregate"))
+      .map(_.simpleString(10000))
+    assert(aggs.exists(_.contains("partial_smallest_k_longs")),
+      s"host cap lost its map-side k-bounded combine:\n${aggs.mkString("\n")}")
   }
 
   test("poly_hash native expression stays inside whole-stage codegen") {
