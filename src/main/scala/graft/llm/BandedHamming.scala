@@ -3,20 +3,22 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Banded Hamming-LSH pairing over any 64-bit perceptual hash stored
-  * as four 16-bit band columns `(media_id, b0, b1, b2, b3)` — the
-  * shared candidate-generation core of [[ImageDedup]] (dHash) and
-  * [[AudioDedup]] (envelope hash). Pairs collide if ANY band matches
-  * exactly; pigeonhole makes the result EXACT for Hamming ≤ 3 (a pair
-  * differing in ≤ 3 bits leaves at least one of the 4 bands
-  * untouched). Never an all-pairs product; the only shuffle keys on
-  * (band, key16). See [[ImageDedup]]'s object doc for the honest
-  * 16-bit-keyspace saturation bound and its remedies.
+/** Banded Hamming-LSH pairing over perceptual hashes stored as band
+  * columns — the shared candidate-generation core of [[ImageDedup]]
+  * (dHash, 4 × 16-bit bands), [[AudioDedup]] (envelope hash, same
+  * layout) and the wide [[ImageDedup.dHashWide]] variant (256-bit,
+  * 8 × 32-bit bands). Pairs collide if ANY band matches exactly;
+  * pigeonhole makes the result EXACT for Hamming ≤ bands−1 (a pair
+  * differing in ≤ bands−1 bits leaves at least one band untouched).
+  * Never an all-pairs product; the only shuffle keys on (band, key).
+  * See [[ImageDedup]]'s object doc for the honest keyspace saturation
+  * bound and its remedies — the wide layout IS the remedy: 2^32 keys
+  * per band instead of 2^16.
   *
-  * Truncation honesty: the `maxBucket` guard in [[nearDuplicates]]
-  * drops over-cap (band, key) buckets SILENTLY — qualifying pairs
-  * whose every matching band sits in a dropped bucket vanish, voiding
-  * the exactness guarantee at saturation scale. [[bucketCost]] /
+  * Truncation honesty: the `maxBucket` guard drops over-cap
+  * (band, key) buckets SILENTLY — qualifying pairs whose every
+  * matching band sits in a dropped bucket vanish, voiding the
+  * exactness guarantee at saturation scale. [[bucketCost]] /
   * [[truncationReport]] are the telemetry companions (the
   * [[MinHash.bandCostTable]] pattern): run them with the production
   * cap to see exactly how much candidate volume the guard would drop
@@ -24,35 +26,42 @@ import org.apache.spark.sql.functions._
   * guard was a no-op and the pigeonhole guarantee holds in full. */
 object BandedHamming {
 
-  private val BandCols = Seq("b0", "b1", "b2", "b3")
+  /** The classic 64-bit layout: 4 × 16-bit bands (b0..b3). */
+  val NarrowBands: Seq[String] = Seq("b0", "b1", "b2", "b3")
+
+  /** The wide 256-bit layout: 8 × 32-bit bands (w0..w7) — key space
+    * 2^32 per band, the post-saturation remedy. */
+  val WideBands: Seq[String] = (0 until 8).map(i => s"w$i")
 
   /** (media_id, band, key) — one row per band per item; the exact
     * relation the candidate join shuffles on. */
-  private def bandKeyRows(hashes: DataFrame): DataFrame =
+  private def bandKeyRows(hashes: DataFrame, bandCols: Seq[String]): DataFrame =
     hashes.select(col("media_id"),
-      explode(array(BandCols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("band"), col(c).as("key"))
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).cast("long").as("key"))
       }: _*)).as("bk"))
       .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Near-duplicate pairs `(media_id_a, media_id_b, hamming)` with
-    * `media_id_a < media_id_b` and `hamming <= maxHamming`. EXACT for
-    * `maxHamming <= 3` (the require refuses larger thresholds rather
-    * than silently under-reporting). `maxBucket` drops band buckets
-    * larger than the cap before pairing — the quadratic-blowup guard.
-    * The drop is SILENT here (a per-row filter cannot report); audit
-    * it with [[bucketCost]]/[[truncationReport]] at the same cap —
-    * `capped_pairs > 0` means the exactness guarantee no longer holds
-    * for pairs living only in dropped buckets. */
-  def nearDuplicates(
+    * `media_id_a < media_id_b` and `hamming <= maxHamming`, over the
+    * given band columns. EXACT for `maxHamming <= bandCols.size - 1`
+    * (the require refuses larger thresholds rather than silently
+    * under-reporting). `maxBucket` drops band buckets larger than the
+    * cap before pairing — the quadratic-blowup guard; the drop is
+    * SILENT here (a per-row filter cannot report) — audit it with
+    * [[bucketCost]]/[[truncationReport]] at the same cap. */
+  def nearDuplicatesOver(
       hashes: DataFrame,
-      maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in 0..3 for the 4-band exactness guarantee, got $maxHamming")
+      bandCols: Seq[String],
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(bandCols.size >= 2, s"need at least 2 bands, got $bandCols")
+    require(maxHamming >= 0 && maxHamming <= bandCols.size - 1,
+      s"maxHamming must be in 0..${bandCols.size - 1} for the ${bandCols.size}-band " +
+        s"exactness guarantee, got $maxHamming")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val h = hashes.select(col("media_id") +: BandCols.map(col): _*)
-    val keyed = bandKeyRows(h)
+    val h = hashes.select(col("media_id") +: bandCols.map(col): _*)
+    val keyed = bandKeyRows(h, bandCols)
     val guarded = keyed
       .withColumn("__n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
@@ -64,7 +73,7 @@ object BandedHamming {
           col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"))
       .distinct()
-    val ham = BandCols.map(c =>
+    val ham = bandCols.map(c =>
       bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
     cand
       .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
@@ -74,19 +83,27 @@ object BandedHamming {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Truncation telemetry for a [[nearDuplicates]] run at the same
-    * `maxBucket`: ONE row —
-    * `(candidate_pairs, capped_pairs, capped_buckets, max_bucket_sz)`.
-    * `candidate_pairs` is Σ sz·(sz−1)/2 over the (band, key) buckets
-    * (the verification work the banded join emits, pre-distinct);
-    * `capped_pairs` is the share in buckets the guard drops ENTIRELY —
-    * the silent recall loss the exactness statement doesn't price in
-    * once buckets saturate. Scale shape: one groupBy on the same
-    * (band, key) the production join shuffles on, then a one-row
-    * aggregate — costs one candidate-generation shuffle, no join. */
-  def bucketCost(hashes: DataFrame, maxBucket: Int): DataFrame = {
+  /** The 64-bit (4 × 16-bit band) shape — EXACT for Hamming ≤ 3. */
+  def nearDuplicates(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    nearDuplicatesOver(hashes, NarrowBands, maxHamming, maxBucket)
+
+  /** Truncation telemetry for a cap over the given band columns: ONE
+    * row — `(candidate_pairs, capped_pairs, capped_buckets,
+    * max_bucket_sz)`. `candidate_pairs` is Σ sz·(sz−1)/2 over the
+    * (band, key) buckets (the verification work the banded join
+    * emits, pre-distinct); `capped_pairs` is the share in buckets the
+    * guard drops ENTIRELY — the silent recall loss the exactness
+    * statement doesn't price in once buckets saturate. Scale shape:
+    * one groupBy on the same (band, key) the production join shuffles
+    * on, then a one-row aggregate — costs one candidate-generation
+    * shuffle, no join. */
+  def bucketCostOver(
+      hashes: DataFrame, bandCols: Seq[String], maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    bandKeyRows(hashes.select(col("media_id") +: BandCols.map(col): _*))
+    bandKeyRows(hashes.select(col("media_id") +: bandCols.map(col): _*), bandCols)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("sz"))
       .agg(
@@ -97,6 +114,10 @@ object BandedHamming {
           .as("capped_buckets"),
         coalesce(max(col("sz")), lit(0L)).as("max_bucket_sz"))
   }
+
+  /** [[bucketCostOver]] for the 4 × 16-bit layout. */
+  def bucketCost(hashes: DataFrame, maxBucket: Int): DataFrame =
+    bucketCostOver(hashes, NarrowBands, maxBucket)
 
   /** Driver-side view of [[bucketCost]] (a 1-row collect). `truncates`
     * is the go/no-go bit: false ⇒ the `maxBucket` guard dropped

@@ -129,6 +129,88 @@ object ImageDedup {
     bands
   }
 
+  /** Grid width of the wide 256-bit dHash: 16×16 comparison bits from
+    * a 17×16 luma grid — the post-saturation remedy the object doc
+    * names: 8 × 32-bit bands give a 2^32 keyspace per band (vs 2^16),
+    * pushing the bucket-saturation corpus size from ~10^5 to ~10^9
+    * images, and the 8-band pigeonhole widens exactness to
+    * Hamming ≤ 7. */
+  val WideGridW = 16
+  val WideGridH = 16
+
+  /** Per-image 256-bit wide dHash as eight 32-bit band values
+    * `(media_id, w0..w7)` (kept as BIGINT so band keys stay
+    * sign-free) — same area-averaged cells and cross-multiplied mean
+    * compares as [[dHash]], on the 17×16 grid; bit `j = y·16 + x`,
+    * band k packs bits `[32k, 32k+32)` with weight `2^(j mod 32)`.
+    * Cells that receive no source pixel (images narrower than the
+    * grid) carry S=0, N=0, and the strict compare makes both adjacent
+    * bits 0 — pinned so the closed-form replay agrees. Undecodable
+    * payloads are dropped. Partition-local — no shuffle. */
+  def dHashWide(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val b = dHashWideBands(img)
+          Iterator((r.media_id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7)))
+        }
+      }
+    }.toDF("media_id" +: BandedHamming.WideBands: _*)
+  }
+
+  private[graft] def dHashWideBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = Array.ofDim[Long](WideGridH, WideGridW + 1)
+    val n = Array.ofDim[Long](WideGridH, WideGridW + 1)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * WideGridH / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * (WideGridW + 1) / w).toInt
+        val rgb = img.getRGB(x, y)
+        val rr = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val bb = rgb & 0xff
+        s(cy)(cx) += (rr * 299L + gg * 587L + bb * 114L) / 1000L
+        n(cy)(cx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Long](8)
+    var j = 0
+    while (j < WideGridW * WideGridH) {
+      val x = j % WideGridW
+      val y2 = j / WideGridW
+      if (s(y2)(x) * n(y2)(x + 1) < s(y2)(x + 1) * n(y2)(x))
+        bands(j / 32) |= 1L << (j % 32)
+      j += 1
+    }
+    bands
+  }
+
+  /** Near-duplicate pairs over a [[dHashWide]] table — EXACT for
+    * `maxHamming <= 7` (8-band pigeonhole), band keys in a 2^32
+    * space. */
+  def nearDuplicatesWide(
+      hashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicatesOver(hashes, BandedHamming.WideBands,
+      maxHamming, maxBucket)
+
+  /** [[BandedHamming.bucketCostOver]] for the wide layout. */
+  def bucketCostWide(hashes: DataFrame, maxBucket: Int): DataFrame =
+    BandedHamming.bucketCostOver(hashes, BandedHamming.WideBands, maxBucket)
+
   /** Near-duplicate pairs `(media_id_a, media_id_b, hamming)` with
     * `media_id_a < media_id_b` and `hamming <= maxHamming`, via the
     * banded join over a [[dHash]] table. EXACT for `maxHamming <= 3`
@@ -200,4 +282,43 @@ object ImageDedup {
        |         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
        |         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
        |  FROM bits GROUP BY media_id)""".stripMargin
+
+  /** The WIDE (256-bit) dHash bands recomputed from a closed-form
+    * pixel formula — the [[hashSql]] twin on the 17×16 grid, ending
+    * in `hxw(media_id, w0..w7)` (BIGINT band values, bit j = y·16+x,
+    * band k = bits [32k, 32k+32)). Empty cells (images narrower than
+    * the grid) simply have no `cellsw` row, and the inner join in
+    * `bitsw` then emits no bit — the same 0 the kernel's strict
+    * compare produces on S=0/N=0 cells. */
+  def hashWideSql(rExpr: String, gExpr: String, bExpr: String): String =
+    s"""g AS (
+       |  SELECT d.media_id, d.w, d.h,
+       |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
+       |  FROM dims d
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(w) FROM dims) - 1)) AS sx) xs
+       |    ON xs.sx < d.w
+       |  JOIN (SELECT unnest(generate_series(0, (SELECT max(h) FROM dims) - 1)) AS sy) ys
+       |    ON ys.sy < d.h),
+       |cellsw AS (
+       |  SELECT media_id, (sx * ${WideGridW + 1}) // w AS cx, (sy * $WideGridH) // h AS cy,
+       |         sum((($rExpr) * 299 + ($gExpr) * 587 + ($bExpr) * 114) // 1000) AS s,
+       |         count(*) AS n
+       |  FROM g GROUP BY media_id, (sx * ${WideGridW + 1}) // w, (sy * $WideGridH) // h),
+       |bitsw AS (
+       |  SELECT a.media_id, a.cy * $WideGridW + a.cx AS j,
+       |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+       |  FROM cellsw a JOIN cellsw b
+       |    ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < $WideGridW),
+       |hxw AS (
+       |  -- LEFT JOIN from dims: an image too narrow to populate any
+       |  -- adjacent cell pair has NO bitsw row but still hashes to
+       |  -- all-zero bands in the kernel — emit its zero row here too
+       |  SELECT d.media_id,
+       |${(0 until 8).map(k =>
+          s"    CAST(coalesce(sum(CASE WHEN bw.j // 32 = $k THEN " +
+            s"bw.bit * (CAST(1 AS BIGINT) << (bw.j % 32)) ELSE 0 END), 0) AS BIGINT) AS w$k")
+          .mkString(",\n")}
+       |  FROM dims d LEFT JOIN bitsw bw ON bw.media_id = d.media_id
+       |  GROUP BY d.media_id)""".stripMargin
 }

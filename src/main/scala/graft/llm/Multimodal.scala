@@ -584,8 +584,16 @@ object Multimodal {
     * selection rotated by the frame index (`(cell·7 + pid + f) mod 16
     * < 5`) so the clip has real temporal structure. Lossless DIB
     * frames, so every pixel replays from the closed form. */
-  def syntheticAviBlocks(pid: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
-    val imgs = (0 until nFrames).map { f =>
+  def syntheticAviBlocks(pid: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+    syntheticAviBlocks(pid, 0, nFrames, w, h)
+
+  /** [[syntheticAviBlocks]] starting at content frame `startFrame` —
+    * a TRIMMED copy of the same synthetic cut (file-local frame j
+    * carries the content of absolute frame startFrame + j), the
+    * fixture shape the offset-tolerant video dedup exists for. */
+  def syntheticAviBlocks(
+      pid: Long, startFrame: Int, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val imgs = (startFrame until startFrame + nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0

@@ -103,6 +103,78 @@ object VideoDedup {
         col("__common").as("n_frames"), col("max_frame_hamming"))
   }
 
+  /** OFFSET-TOLERANT near-duplicate clip pairs — the trimmed-copy
+    * duplicate class [[nearDuplicates]]'s same-frame-count contract
+    * misses: a clip cut from the same source a few frames later is
+    * the SAME cut, just shifted. Candidates come from (band, key)
+    * collisions across ANY frame pair, each carrying its alignment
+    * `offset = frame_no_a − frame_no_b`; the verify then aligns the
+    * two clips under that offset and keeps pairs whose overlapping
+    * window has ≥ `minOverlap` frames, EVERY one within
+    * `maxPerFrameHamming`.
+    *
+    * Exactness carries over: for a qualifying (a, b, offset) every
+    * overlapping aligned frame pair has Hamming ≤ 3, so each leaves
+    * ≥ 1 of the 4 bands untouched — SOME collision carries exactly
+    * that offset, the candidate superset contains it, and the aligned
+    * verify keeps precisely the qualifying triples.
+    *
+    * Scale shape: dropping frame_no from the collision key widens
+    * buckets nFrames× versus the aligned join (the price of offset
+    * tolerance — the [[ImageDedup]] saturation bound arrives
+    * nFrames× sooner; `maxBucket` still bounds any hot key), and the
+    * verify joins the two clips' frame rows under the offset equality
+    * — per-candidate work O(overlap), never O(pixels).
+    *
+    * Output: (media_id_a, media_id_b, offset, n_overlap,
+    * max_frame_hamming) with media_id_a < media_id_b; one row per
+    * qualifying alignment (a pair repeating at two offsets — e.g. a
+    * static-screen clip — reports both). */
+  def nearDuplicatesAligned(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 3,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= 3,
+      s"maxPerFrameHamming must be in 0..3 for the 4-band exactness guarantee, " +
+        s"got $maxPerFrameHamming")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val h = frames.select(col("media_id") +: col("frame_no") +: bandCols.map(col): _*)
+    val keyed = h.select(col("media_id"), col("frame_no"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("frame_no"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val guarded = keyed
+      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val cand = guarded.as("l")
+      .join(guarded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"),
+        (col("l.frame_no") - col("r.frame_no")).cast("long").as("offset"))
+      .distinct()
+    val ham = bandCols.map(c =>
+      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
+    cand
+      .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
+      .join(h.as("hb"),
+        col("media_id_b") === col("hb.media_id") &&
+          col("ha.frame_no").cast("long") === col("hb.frame_no").cast("long") + col("offset"))
+      .select(col("media_id_a"), col("media_id_b"), col("offset"),
+        ham.cast("long").as("__fh"))
+      .groupBy(col("media_id_a"), col("media_id_b"), col("offset"))
+      .agg(count(lit(1)).as("n_overlap"), max(col("__fh")).as("max_frame_hamming"))
+      .filter(col("n_overlap") >= minOverlap &&
+        col("max_frame_hamming") <= maxPerFrameHamming)
+  }
+
   /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
     * [[ImageDedup.keepTable]] (same clustering machinery; the id
     * universe is the distinct clip set of the frame-hash table). */

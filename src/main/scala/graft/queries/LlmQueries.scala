@@ -54,6 +54,29 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 8 + (((id % 24) * 3) % 7) ELSE 8 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** The WIDE dHash fixture corpus (see `q_media_dhash_wide`): the
+    * [[dhashCorpus]] recipe at dimensions large enough (≥ 33 px) that
+    * every cell of the 17×16 grid receives pixels — exact dups AND
+    * resolution variants in the regime the 256-bit hash exists for. */
+  private def dhashWideCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.range(96).map { id =>
+      val pid = (id % 24).toInt
+      val (w, h) =
+        if (id < 48) (34 + pid % 9, 33 + (pid * 3) % 7)
+        else (35 + (id % 8).toInt, 34 + (id % 6).toInt)
+      Multimodal.MediaRow(id, Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+    }
+  }
+
+  /** DuckDB twin of [[dhashWideCorpus]]'s dimension rule. */
+  private val dhashWideDimsSql: String =
+    """dims AS (
+      |  SELECT id AS media_id,
+      |    CASE WHEN id < 48 THEN 34 + ((id % 24) % 9) ELSE 35 + (id % 8) END AS w,
+      |    CASE WHEN id < 48 THEN 33 + (((id % 24) * 3) % 7) ELSE 34 + (id % 6) END AS h
+      |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
+
   /** CTE chain retraining the add-one bigram LM and scoring every doc
     * (mirrors [[graft.llm.NgramLm.scored]]); ends in
     * `ppl(doc_id, n_pairs, avg_nll)` — shared by the LM-perplexity
@@ -2716,6 +2739,124 @@ object LlmQueries extends QueryModule {
            |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
            |FROM ph GROUP BY media_id_a, media_id_b
            |HAVING max(fh) <= 3""".stripMargin)),
+
+    // ----- WIDE (256-bit) perceptual hash — the implemented answer
+    // to the 16-bit band-saturation bound the ImageDedup doc prices:
+    // a 17×16 area-averaged grid, 8 × 32-bit bands (2^32 keyspace per
+    // band, exact for Hamming ≤ 7 by 8-band pigeonhole). The oracle
+    // replays grid, luma sums, compares and the 32-bit band packing
+    // from the pixel formula, on a fixture large enough that every
+    // grid cell receives pixels. -----
+    GraftQuery(
+      "q_media_dhash_wide",
+      (s, _) => {
+        import s.implicits._
+        ImageDedup.dHashWide(dhashWideCorpus(s))
+      },
+      Some(
+        s"""WITH $dhashWideDimsSql,
+           |${ImageDedup.hashWideSql(dhashR, dhashG, dhashB)}
+           |SELECT media_id, w0, w1, w2, w3, w4, w5, w6, w7 FROM hxw""".stripMargin)),
+
+    // ----- wide near-dup pairs: banded join over the 32-bit band
+    // keys, checked against the brute-force Hamming-≤7 scan — the
+    // 8-band exactness guarantee itself is what the oracle pins. -----
+    GraftQuery(
+      "q_media_dhash_wide_neardup",
+      (s, _) => {
+        import s.implicits._
+        ImageDedup.nearDuplicatesWide(
+          ImageDedup.dHashWide(dhashWideCorpus(s)), maxHamming = 7)
+      },
+      Some {
+        // bit_count returns TINYINT; 8 summed bands can exceed 127
+        val ham = (0 until 8).map(k =>
+          s"CAST(bit_count(xor(a.w$k, b.w$k)) AS INTEGER)").mkString(" + ")
+        s"""WITH $dhashWideDimsSql,
+           |${ImageDedup.hashWideSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST($ham AS BIGINT) AS hamming
+           |FROM hxw a JOIN hxw b ON a.media_id < b.media_id
+           |WHERE $ham <= 7""".stripMargin
+      }),
+
+    // ----- offset-tolerant video near-dup: trimmed copies of the
+    // same cut. Fixture: 8 patterns at fixed 12×10 — ids 0..7 the
+    // full 6-frame cut, ids 8..15 the same cut trimmed to frames
+    // 2..5, ids 16..23 trimmed to frames 1..4 — so qualifying
+    // alignments exist at offsets +2, +1 and −1 (trim2 vs trim1),
+    // exactly what the same-frame-count contract misses. The oracle
+    // brute-forces every (pair, offset) alignment from the pixel
+    // formula (content frame = fstart + file frame), so a candidate
+    // bug that loses an alignment (or a verify bug inventing one)
+    // mismatches. -----
+    GraftQuery(
+      "q_media_vhash_offset",
+      (s, _) => {
+        import s.implicits._
+        val corpus = s.range(24).map { id =>
+          val pid = (id % 8).toInt
+          val (start, n) = if (id < 8) (0, 6) else if (id < 16) (2, 4) else (1, 4)
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticAviBlocks(pid, start, n, 12, 10), "video/avi", 12, 10)
+        }
+        VideoDedup.nearDuplicatesAligned(VideoDedup.frameHashes(corpus),
+          maxPerFrameHamming = 3, minOverlap = 3)
+      },
+      Some {
+        val pid = "(g.media_id % 8)"
+        val f = "(g.fstart + g.j)"
+        val add = s"(CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + $pid + $f) " +
+          "% 16) < 5 THEN 128 ELSE 0 END)"
+        val rE = s"((7 * sx + 13 * sy + 5 * $f + $pid) % 256) // 2 + $add"
+        val gE = s"((3 * sx + 5 * sy + 7 * $f + 2 * $pid) % 256) // 2 + $add"
+        val bE = s"((11 * sx + 17 * sy + 19 * $f + 3 * $pid) % 256) // 2 + $add"
+        s"""WITH dims AS (
+           |  SELECT id AS media_id, 12 AS w, 10 AS h,
+           |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 2 ELSE 1 END AS fstart,
+           |    CASE WHEN id < 8 THEN 6 ELSE 4 END AS nf
+           |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
+           |g AS (
+           |  SELECT d.media_id, d.w, d.h, d.fstart, fr.j,
+           |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
+           |  FROM dims d
+           |  JOIN (SELECT unnest(generate_series(0, 5)) AS j) fr ON fr.j < d.nf
+           |  JOIN (SELECT unnest(generate_series(0, 11)) AS sx) xs ON xs.sx < d.w
+           |  JOIN (SELECT unnest(generate_series(0, 9)) AS sy) ys ON ys.sy < d.h),
+           |cells AS (
+           |  SELECT media_id, j, (sx * 9) // w AS cx, (sy * 8) // h AS cy,
+           |         sum((($rE) * 299 + ($gE) * 587 + ($bE) * 114) // 1000) AS s,
+           |         count(*) AS n
+           |  FROM g GROUP BY media_id, j, (sx * 9) // w, (sy * 8) // h),
+           |bits AS (
+           |  SELECT a.media_id, a.j, a.cy * 8 + a.cx AS bj,
+           |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+           |  FROM cells a JOIN cells b
+           |    ON a.media_id = b.media_id AND a.j = b.j AND a.cy = b.cy
+           |       AND b.cx = a.cx + 1
+           |  WHERE a.cx < 8),
+           |fhx AS (
+           |  SELECT media_id, j,
+           |    CAST(sum(CASE WHEN bj // 16 = 0 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b0,
+           |    CAST(sum(CASE WHEN bj // 16 = 1 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b1,
+           |    CAST(sum(CASE WHEN bj // 16 = 2 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b2,
+           |    CAST(sum(CASE WHEN bj // 16 = 3 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b3
+           |  FROM bits GROUP BY media_id, j),
+           |offs AS (SELECT unnest(generate_series(-5, 5)) AS off),
+           |ph AS (
+           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
+           |         bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS fh
+           |  FROM fhx a CROSS JOIN offs o JOIN fhx b
+           |    ON a.media_id < b.media_id AND a.j = b.j + o.off)
+           |SELECT media_id_a, media_id_b, CAST(off AS BIGINT) AS "offset",
+           |       CAST(count(*) AS BIGINT) AS n_overlap,
+           |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
+           |FROM ph GROUP BY media_id_a, media_id_b, off
+           |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin
+      }),
 
     // ----- multimodal: audio envelope hash over REAL WAV decodes —
     // the audio analog of q_media_dhash. 96 synthetic clips carry 24

@@ -119,6 +119,51 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(capped <= full)
   }
 
+  /** The q_media_dhash_wide fixture: big enough that every 17×16 grid
+    * cell receives pixels. */
+  private def wideCorpus = spark.range(96).map { id =>
+    val pid = (id % 24).toInt
+    val (w, h) =
+      if (id < 48) (34 + pid % 9, 33 + (pid * 3) % 7)
+      else (35 + (id % 8).toInt, 34 + (id % 6).toInt)
+    Multimodal.MediaRow(id, Multimodal.syntheticPngBlocks(pid, w, h), "image/png", w, h)
+  }
+
+  test("wide banded LSH equals the brute-force Hamming scan (8-band exactness)") {
+    val hashes = ImageDedup.dHashWide(wideCorpus)
+    val got = ImageDedup.nearDuplicatesWide(hashes, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = hashes.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong))
+    val brute = (for {
+      (ia, ba) <- h; (ib, bb) <- h if ia < ib
+      d = ba.zip(bb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+    // exact copies land at Hamming 0
+    (0L until 24L).foreach(id => assert(got.contains((id, id + 24, 0L)),
+      s"exact duplicate pair ($id, ${id + 24}) must be found at Hamming 0"))
+  }
+
+  test("wide maxHamming beyond the 8-band guarantee is refused") {
+    val hashes = ImageDedup.dHashWide(wideCorpus)
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.nearDuplicatesWide(hashes, maxHamming = 8)
+    }
+    assert(e.getMessage.contains("0..7"))
+  }
+
+  test("a degenerate-narrow image hashes to all-zero wide bands, no crash") {
+    // w=2: only grid cells 0 and 8 populated on the 17-wide axis —
+    // no adjacent pair exists, so every compare sees an empty cell
+    val tiny = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, Multimodal.syntheticPngBlocks(1, 2, 40), "image/png", 2, 40)))
+    val r = ImageDedup.dHashWide(tiny).collect().head
+    assert((1 to 8).map(r.getLong).forall(_ === 0L))
+  }
+
   test("bucketCost telemetry agrees with the guard's silent drop") {
     val hashes = ImageDedup.dHash(corpus)
     // a generous cap truncates nothing: telemetry says so, and the

@@ -96,4 +96,59 @@ class VideoDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     (0L until 12L).foreach(id => assert(!keep(id + 12), s"copy ${id + 12} must drop"))
   }
+
+  /** The q_media_vhash_offset fixture: full cuts + two trims. */
+  private def trimmedCorpus = spark.range(24).map { id =>
+    val pid = (id % 8).toInt
+    val (start, n) = if (id < 8) (0, 6) else if (id < 16) (2, 4) else (1, 4)
+    Multimodal.MediaRow(id,
+      Multimodal.syntheticAviBlocks(pid, start, n, 12, 10), "video/avi", 12, 10)
+  }
+
+  test("trimmed copies of the same cut align at their trim offset, Hamming 0") {
+    val got = VideoDedup.nearDuplicatesAligned(
+      VideoDedup.frameHashes(trimmedCorpus), maxPerFrameHamming = 3, minOverlap = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    (0L until 8L).foreach { p =>
+      assert(got((p, p + 8, 2L)) === ((4L, 0L)),
+        s"full vs trim-at-2 of pattern $p must align at offset +2 over 4 frames")
+      assert(got((p, p + 16, 1L)) === ((4L, 0L)),
+        s"full vs trim-at-1 of pattern $p must align at offset +1 over 4 frames")
+      assert(got((p + 8, p + 16, -1L)) === ((3L, 0L)),
+        s"trim-at-2 vs trim-at-1 of pattern $p must align at offset -1 over 3 frames")
+    }
+    assert(got.size === 24, s"no other alignment qualifies, got ${got.keys.toSeq.sorted}")
+  }
+
+  test("the same-frame-count contract misses exactly what the aligned join finds") {
+    val fh = VideoDedup.frameHashes(trimmedCorpus)
+    // nearDuplicates requires equal counts AND offset-0 alignment:
+    // the full-vs-trim pairs fail both, the two trims share a count
+    // but not an alignment at offset 0
+    assert(VideoDedup.nearDuplicates(fh, maxPerFrameHamming = 3).count() === 0L)
+  }
+
+  test("aligned join equals the brute-force offset scan (exactness with offsets)") {
+    val fh = VideoDedup.frameHashes(trimmedCorpus)
+    val got = VideoDedup.nearDuplicatesAligned(fh, maxPerFrameHamming = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val h = fh.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    val ids = h.keys.map(_._1).toSeq.distinct.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      off <- -5L to 5L
+      pairs = h.keys.filter(_._1 == a).map(_._2)
+        .flatMap(fa => h.get((b, (fa - off).toInt)).map(bb => (h((a, fa)), bb)))
+      if pairs.size >= 2
+      maxFh = pairs.map { case (x, y) =>
+        x.zip(y).map { case (u, v) => Integer.bitCount(u ^ v) }.sum }.max
+      if maxFh <= 3
+    } yield (a, b, off, pairs.size.toLong, maxFh.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
 }
