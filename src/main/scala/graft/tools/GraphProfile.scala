@@ -64,14 +64,27 @@ object GraphProfile {
     results("upstream") = timed(() => consumeAll(upstream))
 
     // prepared_build: the production double-persist, re-built cold per run
-    results("prepared_build") = timed { () =>
-      val input = upstream.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def buildWith(level: org.apache.spark.storage.StorageLevel,
+        cacheInput: Boolean): Unit = {
+      val input = if (cacheInput) upstream.persist(level) else upstream
       val prepared = GraphConverter.withNodeIndex(GraphConverter.padFrames(input))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(level)
       consumeAll(prepared)
       prepared.unpersist(blocking = true)
-      input.unpersist(blocking = true)
+      if (cacheInput) input.unpersist(blocking = true)
     }
+    import org.apache.spark.storage.StorageLevel._
+    results("prepared_build") = timed(() => buildWith(MEMORY_AND_DISK, cacheInput = true))
+    // the r12 headroom A/B on the profile's dominant stage: storage
+    // level (deser rows vs serialized vs memory-only) and cache
+    // structure (is the transient input cache worth its write cost,
+    // given padFrames reads its input 4×?)
+    results("prepared_build_ser") =
+      timed(() => buildWith(MEMORY_AND_DISK_SER, cacheInput = true))
+    results("prepared_build_memonly") =
+      timed(() => buildWith(MEMORY_ONLY, cacheInput = true))
+    results("prepared_build_noinput") =
+      timed(() => buildWith(MEMORY_AND_DISK, cacheInput = false))
 
     // warm shared cache for the tail stages — exactly what graphFrames builds
     val inputC = upstream.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
