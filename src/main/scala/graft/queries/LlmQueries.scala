@@ -2780,6 +2780,50 @@ object LlmQueries extends QueryModule {
            |WHERE $ham <= 7""".stripMargin
       }),
 
+    // ----- DCT pHash: the frequency-domain perceptual hash (the
+    // LAION-pipeline classic; Zauner 2010), pinned fully
+    // integer-exact — floor 32×32 grid means, an integer-quantized
+    // DCT basis embedded VERBATIM into this oracle from the same
+    // Scala table the kernel multiplies, lower-median compare — so
+    // DuckDB replays grid → DCT → median → bits from the pixel
+    // formula with no image or FFT library. -----
+    GraftQuery(
+      "q_media_phash",
+      (s, _) => {
+        import s.implicits._
+        PHashDct.hash(dhashWideCorpus(s))
+          .select(col("media_id"), col("b0").cast("long"), col("b1").cast("long"),
+            col("b2").cast("long"), col("b3").cast("long"))
+      },
+      Some(
+        s"""WITH $dhashWideDimsSql,
+           |${PHashDct.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT media_id, CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+           |       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+           |FROM px""".stripMargin)),
+
+    // ----- pHash near-dup pairs vs the brute-force Hamming scan
+    // (the 4-band pigeonhole exactness, now on the DCT bits). -----
+    GraftQuery(
+      "q_media_phash_neardup",
+      (s, _) => {
+        import s.implicits._
+        PHashDct.nearDuplicates(PHashDct.hash(dhashWideCorpus(s)), maxHamming = 3)
+      },
+      Some(
+        s"""WITH $dhashWideDimsSql,
+           |${PHashDct.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM px a JOIN px b ON a.media_id < b.media_id
+           |WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
+
     // ----- offset-tolerant video near-dup: trimmed copies of the
     // same cut. Fixture: 8 patterns at fixed 12×10 — ids 0..7 the
     // full 6-frame cut, ids 8..15 the same cut trimmed to frames

@@ -49,7 +49,8 @@ object CurationSoak {
     // encode is fixture manufacturing; the dedup operator's production
     // input is image bytes at rest)
     val mediaDir = "/tmp/graft_media_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    if (only.forall(_.contains("image_dhash_neardup"))) {
+    if (only.forall(o =>
+      o.contains("image_dhash_neardup") || o.contains("image_phash_neardup"))) {
       import spark.implicits._
       val nPatterns = math.max(1L, nDocs / 4)
       spark.range(nDocs).map { id =>
@@ -248,6 +249,15 @@ object CurationSoak {
           .as[graft.llm.Multimodal.MediaRow]
         graft.llm.ImageDedup.nearDuplicates(
           graft.llm.ImageDedup.dHash(media), maxHamming = 3, maxBucket = 2000)
+      },
+      // the DCT pHash over the same fixture corpus: what the 32×32
+      // grid + integer 8×8 DCT adds on top of dHash's decode cost
+      "image_phash_neardup" -> { () =>
+        import spark.implicits._
+        val media = spark.read.parquet(mediaDir)
+          .as[graft.llm.Multimodal.MediaRow]
+        graft.llm.PHashDct.nearDuplicates(
+          graft.llm.PHashDct.hash(media), maxHamming = 3, maxBucket = 2000)
       },
       // the audio/video analogs of the image arm — same banded join
       // core (BandedHamming), so the number these add is the decode
