@@ -77,6 +77,59 @@ object AudioDedup {
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicates(hashes, maxHamming, maxBucket)
 
+  /** Per-FRAME envelope hashes at a fixed stride — the offset-capable
+    * fingerprint [[envelopeHash]] cannot be: its 65 windows are
+    * LENGTH-relative, so a trimmed copy re-maps every window and the
+    * whole-clip hash diverges. Here the PCM stream is cut into
+    * consecutive `frameSamples`-sample frames (trailing partial frame
+    * dropped), each hashed with the same 65-window kernel —
+    * `(media_id, frame_no, b0..b3)`, the exact shape
+    * [[nearDuplicatesAligned]] consumes. A copy trimmed by a MULTIPLE
+    * of the stride aligns frame-for-frame (the pinned granularity —
+    * real pipelines pick a small stride for fine alignment; arbitrary
+    * sub-stride trims are out of this rule's scope, stated honestly).
+    * Clips shorter than one frame are dropped. Partition-local. */
+  def frameHashes(
+      media: Dataset[Multimodal.MediaRow],
+      frameSamples: Int = 1024): DataFrame = {
+    require(frameSamples >= Windows,
+      s"frameSamples must be >= $Windows (one sample per window), got $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samples = decodePcm(r.payload)
+        if (samples == null || samples.length < frameSamples) Iterator.empty
+        else (0 until samples.length / frameSamples).iterator.map { f =>
+          val e = new Array[Long](Windows)
+          var j = 0
+          while (j < frameSamples) {
+            e(((j.toLong * Windows) / frameSamples).toInt) +=
+              math.abs(samples(f * frameSamples + j).toLong)
+            j += 1
+          }
+          val bands = new Array[Int](4)
+          var w = 0
+          while (w < Windows - 1) {
+            if (e(w) < e(w + 1)) bands(w / 16) |= 1 << (w % 16)
+            w += 1
+          }
+          (r.media_id, f, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }.toDF("media_id", "frame_no", "b0", "b1", "b2", "b3")
+  }
+
+  /** Offset-tolerant near-duplicate pairs over a [[frameHashes]]
+    * table — trimmed copies of the same recording; see
+    * [[BandedHamming.nearDuplicatesAligned]]. */
+  def nearDuplicatesAligned(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 3,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicatesAligned(frames, maxPerFrameHamming, minOverlap, maxBucket)
+
   /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
     * [[ImageDedup.keepTable]] (same clustering machinery). */
   def keepTable(hashes: DataFrame, pairs: DataFrame): DataFrame =

@@ -90,6 +90,67 @@ object BandedHamming {
       maxBucket: Int = 10000): DataFrame =
     nearDuplicatesOver(hashes, NarrowBands, maxHamming, maxBucket)
 
+  /** OFFSET-TOLERANT near-duplicate pairs over a FRAME-KEYED hash
+    * table `(media_id, frame_no, b0..b3)` — the shared core of
+    * [[VideoDedup.nearDuplicatesAligned]] (per-frame dHash) and
+    * [[AudioDedup.nearDuplicatesAligned]] (fixed-stride envelope
+    * frames): trimmed copies of the same cut/recording align at a
+    * nonzero frame offset the same-length contract misses. Candidates
+    * collide on (band, key) across ANY frame pair, carrying
+    * `offset = frame_no_a − frame_no_b`; the verify aligns the two
+    * items under that offset and keeps (pair, offset) rows whose
+    * overlapping window has ≥ `minOverlap` frames, EVERY one within
+    * `maxPerFrameHamming` (≤ 3, the 4-band pigeonhole — exact per
+    * overlapping window, see [[VideoDedup]]'s doc for the argument).
+    * Dropping frame_no from the collision key widens buckets
+    * nFrames×; `maxBucket` still bounds hot keys (silently — audit
+    * with [[bucketCost]]).
+    * Output: (media_id_a, media_id_b, offset, n_overlap,
+    * max_frame_hamming), one row per qualifying alignment. */
+  def nearDuplicatesAligned(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 3,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= 3,
+      s"maxPerFrameHamming must be in 0..3 for the 4-band exactness guarantee, " +
+        s"got $maxPerFrameHamming")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val h = frames.select(col("media_id") +: col("frame_no") +: NarrowBands.map(col): _*)
+    val keyed = h.select(col("media_id"), col("frame_no"),
+      explode(array(NarrowBands.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).cast("long").as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("frame_no"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val guarded = keyed
+      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val cand = guarded.as("l")
+      .join(guarded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"),
+        (col("l.frame_no") - col("r.frame_no")).cast("long").as("offset"))
+      .distinct()
+    val ham = NarrowBands.map(c =>
+      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
+    cand
+      .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
+      .join(h.as("hb"),
+        col("media_id_b") === col("hb.media_id") &&
+          col("ha.frame_no").cast("long") === col("hb.frame_no").cast("long") + col("offset"))
+      .select(col("media_id_a"), col("media_id_b"), col("offset"),
+        ham.cast("long").as("__fh"))
+      .groupBy(col("media_id_a"), col("media_id_b"), col("offset"))
+      .agg(count(lit(1)).as("n_overlap"), max(col("__fh")).as("max_frame_hamming"))
+      .filter(col("n_overlap") >= minOverlap &&
+        col("max_frame_hamming") <= maxPerFrameHamming)
+  }
+
   /** Truncation telemetry for a cap over the given band columns: ONE
     * row — `(candidate_pairs, capped_pairs, capped_buckets,
     * max_bucket_sz)`. `candidate_pairs` is Σ sz·(sz−1)/2 over the

@@ -250,6 +250,35 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticWavBlocks]] with ABSOLUTE-index content starting at
+    * sample `startSample` — a TRIMMED copy of the same synthetic
+    * recording (file-local sample i carries the content of absolute
+    * sample startSample + i; loud blocks are 64 absolute samples
+    * wide, not length-relative), the fixture shape the
+    * offset-tolerant audio dedup exists for. */
+  def syntheticWavAbs(pid: Long, startSample: Int, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val a = (startSample + i).toLong
+      // pattern-keyed slope AND block layout: distinct pids differ in
+      // envelope GRADIENTS, not just offsets, so the fixture
+      // discriminates (the hash bits are gradient signs)
+      val loud = if (((a / 64L) * 7L + 5L * pid) % 16L < 5L) 12000 else 0
+      val v = ((((31L + 2L * pid) * a + 17L * pid) % 2001L) + loud).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG with pid-keyed bright blocks — the
     * perceptual-dedup fixture (see [[ImageDedup]] / `q_media_dhash`).
     * Pixel (x, y): half-intensity gradient base

@@ -134,46 +134,8 @@ object VideoDedup {
       frames: DataFrame,
       maxPerFrameHamming: Int = 3,
       minOverlap: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
-    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= 3,
-      s"maxPerFrameHamming must be in 0..3 for the 4-band exactness guarantee, " +
-        s"got $maxPerFrameHamming")
-    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
-    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val bandCols = Seq("b0", "b1", "b2", "b3")
-    val h = frames.select(col("media_id") +: col("frame_no") +: bandCols.map(col): _*)
-    val keyed = h.select(col("media_id"), col("frame_no"),
-      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("band"), col(c).as("key"))
-      }: _*)).as("bk"))
-      .select(col("media_id"), col("frame_no"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val guarded = keyed
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-    val cand = guarded.as("l")
-      .join(guarded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.media_id") < col("r.media_id"))
-      .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"),
-        (col("l.frame_no") - col("r.frame_no")).cast("long").as("offset"))
-      .distinct()
-    val ham = bandCols.map(c =>
-      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
-    cand
-      .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
-      .join(h.as("hb"),
-        col("media_id_b") === col("hb.media_id") &&
-          col("ha.frame_no").cast("long") === col("hb.frame_no").cast("long") + col("offset"))
-      .select(col("media_id_a"), col("media_id_b"), col("offset"),
-        ham.cast("long").as("__fh"))
-      .groupBy(col("media_id_a"), col("media_id_b"), col("offset"))
-      .agg(count(lit(1)).as("n_overlap"), max(col("__fh")).as("max_frame_hamming"))
-      .filter(col("n_overlap") >= minOverlap &&
-        col("max_frame_hamming") <= maxPerFrameHamming)
-  }
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicatesAligned(frames, maxPerFrameHamming, minOverlap, maxBucket)
 
   /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
     * [[ImageDedup.keepTable]] (same clustering machinery; the id

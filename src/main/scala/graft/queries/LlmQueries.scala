@@ -2902,6 +2902,75 @@ object LlmQueries extends QueryModule {
            |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin
       }),
 
+    // ----- offset-tolerant audio near-dup: trimmed copies of the
+    // same recording. The whole-clip envelope hash cannot see these
+    // (its 65 windows are length-relative), so the fingerprint is
+    // per-FRAME at a fixed 130-sample stride and the aligned banded
+    // join carries the frame offset. Fixture: 8 absolute-index
+    // recordings — full 6-frame clips, trims at samples 260.. and
+    // 130.. — so qualifying alignments exist at offsets +2/+1/−1.
+    // The oracle brute-forces every (pair, offset) from the sample
+    // formula. -----
+    GraftQuery(
+      "q_media_ahash_offset",
+      (s, _) => {
+        import s.implicits._
+        val corpus = s.range(24).map { id =>
+          val pid = (id % 8).toInt
+          val (start, n) = if (id < 8) (0, 780) else if (id < 16) (260, 520) else (130, 520)
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticWavAbs(pid, start, n), "audio/wav", n, 1)
+        }
+        AudioDedup.nearDuplicatesAligned(
+          AudioDedup.frameHashes(corpus, frameSamples = 130),
+          maxPerFrameHamming = 3, minOverlap = 3)
+      },
+      Some {
+        val pid = "(sm.media_id % 8)"
+        val v = s"(((31 + 2 * $pid) * sm.a + 17 * $pid) % 2001) + " +
+          s"(CASE WHEN (((sm.a // 64) * 7 + 5 * $pid) % 16) < 5 THEN 12000 ELSE 0 END)"
+        s"""WITH dims AS (
+           |  SELECT id AS media_id,
+           |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 260 ELSE 130 END AS sstart,
+           |    CASE WHEN id < 8 THEN 780 ELSE 520 END AS n
+           |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
+           |sm AS (
+           |  SELECT d.media_id, s.i, CAST(d.sstart + s.i AS BIGINT) AS a
+           |  FROM dims d
+           |  JOIN (SELECT unnest(generate_series(0, 779)) AS i) s ON s.i < d.n),
+           |env AS (
+           |  SELECT media_id, i // 130 AS f, ((i % 130) * 65) // 130 AS w,
+           |         sum(abs($v)) AS e
+           |  FROM sm GROUP BY media_id, i // 130, ((i % 130) * 65) // 130),
+           |bits AS (
+           |  SELECT a.media_id, a.f, a.w AS j,
+           |         CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+           |  FROM env a JOIN env b
+           |    ON a.media_id = b.media_id AND a.f = b.f AND b.w = a.w + 1
+           |  WHERE a.w < 64),
+           |fhx AS (
+           |  SELECT media_id, f,
+           |    CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,
+           |    CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b1,
+           |    CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
+           |    CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
+           |  FROM bits GROUP BY media_id, f),
+           |offs AS (SELECT unnest(generate_series(-5, 5)) AS off),
+           |ph AS (
+           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
+           |         bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |         bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS fh
+           |  FROM fhx a CROSS JOIN offs o JOIN fhx b
+           |    ON a.media_id < b.media_id AND a.f = b.f + o.off)
+           |SELECT media_id_a, media_id_b, CAST(off AS BIGINT) AS "offset",
+           |       CAST(count(*) AS BIGINT) AS n_overlap,
+           |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
+           |FROM ph GROUP BY media_id_a, media_id_b, off
+           |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin
+      }),
+
     // ----- multimodal: audio envelope hash over REAL WAV decodes —
     // the audio analog of q_media_dhash. 96 synthetic clips carry 24
     // loud-segment patterns (seed = id % 24): ids 0..47 two

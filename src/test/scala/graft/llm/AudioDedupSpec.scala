@@ -76,4 +76,40 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(AudioDedup.envelopeHash(media).select("media_id").as[Long].collect().toSeq
       === Seq(1L))
   }
+
+  /** The q_media_ahash_offset fixture: full 6-frame recordings + two
+    * trims at stride multiples (absolute-index content). */
+  private def trimmedCorpus = spark.range(24).map { id =>
+    val pid = (id % 8).toInt
+    val (start, n) = if (id < 8) (0, 780) else if (id < 16) (260, 520) else (130, 520)
+    Multimodal.MediaRow(id, Multimodal.syntheticWavAbs(pid, start, n), "audio/wav", n, 1)
+  }
+
+  test("trimmed recordings align at their trim offset with Hamming 0") {
+    val got = AudioDedup.nearDuplicatesAligned(
+      AudioDedup.frameHashes(trimmedCorpus, frameSamples = 130),
+      maxPerFrameHamming = 3, minOverlap = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    (0L until 8L).foreach { p =>
+      assert(got((p, p + 8, 2L)) === ((4L, 0L)),
+        s"full vs trim-at-260 of pattern $p must align at offset +2 over 4 frames")
+      assert(got((p, p + 16, 1L)) === ((4L, 0L)),
+        s"full vs trim-at-130 of pattern $p must align at offset +1 over 4 frames")
+      assert(got((p + 8, p + 16, -1L)) === ((3L, 0L)),
+        s"the two trims of pattern $p must align at offset -1 over 3 frames")
+    }
+  }
+
+  test("the whole-clip envelope hash cannot see trims (length-relative windows)") {
+    // the full clip and its trim hash to DIFFERENT whole-clip values:
+    // trimming changes n, so every window re-maps — the gap
+    // frameHashes + the aligned join exist to close
+    val h = AudioDedup.envelopeHash(trimmedCorpus).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    val same = (0L until 8L).count(p => h(p) == h(p + 8))
+    assert(same <= 2, s"trims should rarely collide with their source whole-clip hash")
+  }
 }
