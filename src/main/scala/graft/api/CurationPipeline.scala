@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     matrix), [[graft.llm.SpanDedup.stats]] (ExactSubstr-style
   *     repeated-span pressure — drop or trim docs that are mostly
   *     copied text). Multimodal corpora run the same journey with
-  *     [[graft.llm.ImageDedup]] / [[graft.llm.AudioDedup]] standing in
-  *     for stage 3-4 on their binary columns.
+  *     [[graft.llm.ImageDedup]] (dHash / wide / [[graft.llm.PHashDct]]
+  *     DCT pHash) / [[graft.llm.AudioDedup]] / [[graft.llm.VideoDedup]]
+  *     standing in for stage 3-4 on their binary columns — including
+  *     the offset-tolerant trimmed-copy class via
+  *     [[graft.llm.BandedHamming.nearDuplicatesAligned]].
   *  1. [[score]] — row-local text stats: token counts, language ID,
   *     quality score (no shuffle).
   *  2. [[gate]] — quality/language filters (predicate-pushdown
@@ -92,8 +95,10 @@ object CurationPipeline {
 
   /** Stage 0a: crawl-side URL hygiene — canonical-URL first-crawl-wins
     * dedup, then a per-host document cap (see [[graft.llm.Urls]]; the
-    * cap's rank window only ever sees over-cap Zipf-head hosts). Runs
-    * before any text stage because it prunes on metadata alone. */
+    * cap picks survivors with a k-bounded partial aggregation and a
+    * broadcast keep-list, so no rank window and no single-task
+    * Zipf-head host). Runs before any text stage because it prunes on
+    * metadata alone. */
   def urlHygiene(
       docs: DataFrame,
       idCol: String = "doc_id",

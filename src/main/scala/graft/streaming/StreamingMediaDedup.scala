@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.{AudioDedup, ImageDedup, Multimodal}
+import graft.llm.{AudioDedup, ImageDedup, Multimodal, PHashDct}
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,24 @@ object StreamingMediaDedup {
       if (img == null) None
       else {
         val b = ImageDedup.dHashBands(img)
+        Some(Hashed(e.media_id, e.ts, b(0), b(1), b(2), b(3)))
+      }
+    }
+
+  /** [[imageDedupStream]] on the DCT pHash ([[PHashDct]]) instead of
+    * dHash — first arrival of each frequency-domain hash wins, so
+    * brightness/contrast-edited re-posts of the same image
+    * deduplicate in-flight (the invariances the gradient hash lacks). */
+  def imagePHashDedupStream(
+      media: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    dedupStream(media, horizon) { e =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val b = PHashDct.hashBands(img)
         Some(Hashed(e.media_id, e.ts, b(0), b(1), b(2), b(3)))
       }
     }

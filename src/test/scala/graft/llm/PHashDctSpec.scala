@@ -49,13 +49,17 @@ class PHashDctSpec extends AnyFunSuite {
       s"exact duplicate pair ($id, ${id + 24}) must pair at Hamming 0"))
   }
 
-  test("pHash survives a uniform brightness shift (DC absorbs it)") {
+  test("pHash is EXACTLY invariant to a uniform brightness shift (DC absorbs it)") {
     // keep every value under 225 so the +30 shift never clips at 255
-    // (clipping is a real structural edit, not a brightness shift)
+    // (clipping is a real structural edit, not a brightness shift).
+    // Exactness, not approximation: on a gray image the shift adds c
+    // to every grid mean exactly, and ΔF(u,v) = c·Σq(u,·)·Σq(v,·)
+    // where each non-DC rounded basis row sums to 0 (the x ↔ x+16
+    // terms cancel sign-exactly) — so only the unused DC moves
     val base = img(40, 40)((x, y) => gray(20 + (3 * x + 2 * y) % 170))
     val shifted = img(40, 40)((x, y) => gray(20 + (3 * x + 2 * y) % 170 + 30))
     val d = hamming(PHashDct.hashBands(base), PHashDct.hashBands(shifted))
-    assert(d <= 3, s"brightness shift flipped $d bits; pHash should absorb it in DC")
+    assert(d === 0, s"brightness shift flipped $d bits; it must land only in DC")
   }
 
   test("pHash survives a global contrast scale (median scales with coefficients)") {

@@ -14,13 +14,15 @@ class StreamingMediaDedupSpec extends AnyFunSuite {
   private def runStream(
       batches: Seq[Seq[MediaEvent]],
       audio: Boolean = false,
-      rocks: Boolean = false): Seq[Long] = {
+      rocks: Boolean = false,
+      phash: Boolean = false): Seq[Long] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def run(): Seq[Long] = {
       val source = MemoryStream[MediaEvent]
       val stream =
         if (audio) StreamingMediaDedup.audioDedupStream(source.toDF())
+        else if (phash) StreamingMediaDedup.imagePHashDedupStream(source.toDF())
         else StreamingMediaDedup.imageDedupStream(source.toDF())
       runNo += 1
       val name = s"media_dedup_out_$runNo"
@@ -93,6 +95,31 @@ class StreamingMediaDedupSpec extends AnyFunSuite {
       Seq(MediaEvent(2, wav(5, 200, 2), "audio/wav", 200, 1, base + sec), // gain x2: same envelope hash
           MediaEvent(3, wav(8, 200, 1), "audio/wav", 200, 1, base + 2 * sec))),
       audio = true)
+    assert(out === Seq(1L, 3L))
+  }
+
+  test("pHash stream deduplicates a brightness-shifted copy via an IDENTICAL hash") {
+    // a uniform +30 shift on a gray image (no clipping) is EXACTLY
+    // pHash-invariant: the shift lands only in the unused DC
+    // coefficient (the rounded basis rows sum to zero), so the stream
+    // key — exact (b0..b3) equality — deduplicates the re-post
+    def png(shift: Int, seed: Int, w: Int = 36, h: Int = 34): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 20 + (7 * x + 13 * y + 11 * seed) % 120 + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(!java.util.Arrays.equals(png(0, 1), png(30, 1)))
+    val out = runStream(Seq(
+      Seq(MediaEvent(1, png(0, 1), "image/png", 36, 34, base)),
+      Seq(MediaEvent(2, png(30, 1), "image/png", 36, 34, base + sec), // brightened dup of 1
+          MediaEvent(3, png(0, 2), "image/png", 36, 34, base + 2 * sec))),
+      phash = true)
     assert(out === Seq(1L, 3L))
   }
 }
