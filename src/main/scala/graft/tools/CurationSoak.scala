@@ -72,7 +72,8 @@ object CurationSoak {
       }.write.mode("overwrite").parquet(audioDir)
     }
     val videoDir = "/tmp/graft_video_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    if (only.forall(_.contains("video_vhash_neardup"))) {
+    if (only.forall(o =>
+      o.contains("video_vhash_neardup") || o.contains("video_vhash_offset"))) {
       import spark.implicits._
       val nPatterns = math.max(1L, nDocs / 4)
       spark.range(nDocs).map { id =>
@@ -277,6 +278,18 @@ object CurationSoak {
         graft.llm.VideoDedup.nearDuplicates(
           graft.llm.VideoDedup.frameHashes(media), maxPerFrameHamming = 3,
           maxBucket = 2000)
+      },
+      // the offset-tolerant arm over the SAME clip corpus — the
+      // direct price of dropping frame_no from the collision key
+      // (buckets widen nFrames×, candidates carry an offset column):
+      // what trimmed-copy tolerance costs next to the aligned join
+      "video_vhash_offset_neardup" -> { () =>
+        import spark.implicits._
+        val media = spark.read.parquet(videoDir)
+          .as[graft.llm.Multimodal.MediaRow]
+        graft.llm.VideoDedup.nearDuplicatesAligned(
+          graft.llm.VideoDedup.frameHashes(media), maxPerFrameHamming = 3,
+          minOverlap = 5, maxBucket = 2000)
       },
       "pq_ann" -> { () =>
         Pq.topKAdc(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
