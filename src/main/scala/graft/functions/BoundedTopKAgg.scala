@@ -108,19 +108,29 @@ private[graft] case class TopKScoreIdAgg(
       StructField("id", LongType, nullable = true))),
     containsNull = false)
 
-  override protected def rankCompare(a: InternalRow, b: InternalRow): Int = {
-    val an = a.isNullAt(0)
+  /** The single ordering definition, over unboxed candidate values —
+    * both [[rankCompare]] (row vs row) and the allocation-free update
+    * fast path (primitives vs row) route through it, so the two can
+    * never drift. */
+  private def compareEntry(
+      sNull: Boolean, s: Double, iNull: Boolean, i: Long, b: InternalRow): Int = {
     val bn = b.isNullAt(0)
-    if (an != bn) return if (an) 1 else -1 // null score last (desc NullsLast)
-    if (!an) {
+    if (sNull != bn) return if (sNull) 1 else -1 // null score last (desc NullsLast)
+    if (!sNull) {
       // descending; Double.compare puts NaN above +Inf, matching Spark
-      val c = java.lang.Double.compare(b.getDouble(0), a.getDouble(0))
+      val c = java.lang.Double.compare(b.getDouble(0), s)
       if (c != 0) return c
     }
-    val ain = a.isNullAt(1)
     val bin = b.isNullAt(1)
-    if (ain != bin) return if (ain) -1 else 1 // null id first (asc NullsFirst)
-    if (ain) 0 else java.lang.Long.compare(a.getLong(1), b.getLong(1))
+    if (iNull != bin) return if (iNull) -1 else 1 // null id first (asc NullsFirst)
+    if (iNull) 0 else java.lang.Long.compare(i, b.getLong(1))
+  }
+
+  override protected def rankCompare(a: InternalRow, b: InternalRow): Int = {
+    val an = a.isNullAt(0)
+    val ain = a.isNullAt(1)
+    compareEntry(an, if (an) 0.0 else a.getDouble(0),
+      ain, if (ain) 0L else a.getLong(1), b)
   }
 
   /** Allocation-free fast path: on a full buffer, most input rows lose
@@ -130,28 +140,12 @@ private[graft] case class TopKScoreIdAgg(
       buffer: ArrayBuffer[InternalRow], input: InternalRow): ArrayBuffer[InternalRow] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (buffer.length >= k) {
-      val last = buffer.last
-      val sNull = s == null
-      val lNull = last.isNullAt(0)
-      // candidate reject: strictly worse-or-equal than the k-th entry
-      val cmp: Int =
-        if (sNull != lNull) { if (sNull) 1 else -1 }
-        else {
-          var c = if (sNull) 0
-            else java.lang.Double.compare(last.getDouble(0), s.asInstanceOf[Double])
-          if (c == 0) {
-            val iNull = i == null
-            val liNull = last.isNullAt(1)
-            c = if (iNull != liNull) { if (iNull) -1 else 1 }
-              else if (iNull) 0
-              else java.lang.Long.compare(i.asInstanceOf[Long], last.getLong(1))
-          }
-          c
-        }
-      if (cmp >= 0) return buffer
-    }
-    insertBounded(buffer, new GenericInternalRow(Array[Any](s, i)))
+    val sNull = s == null
+    val iNull = i == null
+    if (buffer.length >= k && compareEntry(
+      sNull, if (sNull) 0.0 else s.asInstanceOf[Double],
+      iNull, if (iNull) 0L else i.asInstanceOf[Long], buffer.last) >= 0) buffer
+    else insertBounded(buffer, new GenericInternalRow(Array[Any](s, i)))
   }
 
   override def eval(buffer: ArrayBuffer[InternalRow]): Any =

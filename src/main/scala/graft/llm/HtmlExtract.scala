@@ -72,12 +72,16 @@ object HtmlExtract {
   private def decodeNumericEntities(c: Column): Column = {
     val marked = regexp_replace(c,
       "&#((?:[0-9]{1,7})|(?:[xX][0-9a-fA-F]{1,6}));", S2 + "$1" + S3)
-    array_join(transform(split(marked, S2), e =>
+    val decoded = array_join(transform(split(marked, S2), e =>
       when(instr(e, S3) > 0,
         concat(
           decodeNumericCode(substring_index(e, S3, 1)),
           e.substr(instr(e, S3) + 1, length(e))))
         .otherwise(e)), "")
+    // most corpus text has no numeric entity at all — skip the
+    // mark/split/reassemble passes unless "&#" occurs (codegen CSE
+    // shares the input subtree between the probe and the branches)
+    when(instr(c, "&#") > 0, decoded).otherwise(c)
   }
 
   private def decodeEntities(c: Column): Column = {
