@@ -164,9 +164,22 @@ object MinHash {
     // the SAME distinct() subtree so Catalyst's ReusedExchange serves
     // them from one shuffle write instead of four corpus scans
     val sh = shingleHashes(docs, idCol, textCol, n, hash).distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sigs = signaturesFromHashes(sh, idCol, bands * rows)
     val pairs = candidatePairs(sigs, idCol, maxBucket, bands, rows)
+    exactJaccardVerify(sh, idCol, pairs, threshold)
+  }
+
+  /** The one copy of the exact-Jaccard verification tail: candidate
+    * pairs × a distinct (id, h) shingle table → the
+    * (id_a, id_b, inter, size_a, size_b, jaccard ≥ threshold) output.
+    * [[nearDuplicates]] and [[nearDuplicatesIncremental]] both end
+    * here, so the verify semantics exist exactly once. */
+  private def exactJaccardVerify(
+      sh: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
@@ -181,6 +194,72 @@ object MinHash {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The AT-REST dedup index of a corpus: its distinct (id, shingle
+    * hash) rows — everything incremental dedup ever needs about the
+    * indexed side (signatures and band keys re-derive from it with
+    * one type-sized groupBy; exact-Jaccard verification reads it
+    * directly). Write it once (e.g. parquet bucketed by `h`) and feed
+    * every future increment [[nearDuplicatesIncremental]]; append the
+    * increment's own index rows afterwards. Far smaller than the text
+    * it summarizes, and the 100 TB reason this exists: a daily crawl
+    * increment must NOT re-shingle — or re-pair — the accumulated
+    * corpus. */
+  def shingleIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hash: Column => Column = TextHash.polyHash): DataFrame =
+    shingleHashes(docs, idCol, textCol, n, hash).distinct()
+
+  /** Near-duplicates of a NEW batch against an indexed corpus, plus
+    * within the batch itself — bit-identical to running
+    * [[nearDuplicates]] over old ∪ new and keeping the pairs that
+    * involve ≥ 1 new document, WITHOUT ever running the old×old
+    * candidate join (the accumulated corpus pairs only through keys
+    * the increment actually touches). `index` must be a
+    * [[shingleIndex]] table of the old corpus — (id, h), id column
+    * first — with ids disjoint from the batch's.
+    *
+    * Scale shape: the batch side is increment-sized everywhere; the
+    * index side pays one type-sized signature groupBy (keyed on the
+    * doc id — bucket the at-rest index by id to make it
+    * exchange-free) and the (band, key) join only materializes
+    * buckets an increment key lands in. Candidate volume is
+    * |new×old collisions| + |new×new collisions| — never
+    * |old|². Output shape and ordering match [[nearDuplicates]]
+    * (id_a < id_b). */
+  def nearDuplicatesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.2,
+      hash: Column => Column = TextHash.polyHash,
+      bands: Int = Bands,
+      rows: Int = Rows): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
+      s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
+    val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
+    val shOld = index.toDF(idCol, "h")
+    val bandNew = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
+      idCol, bands, rows)
+    val bandOld = bandKeyRows(signaturesFromHashes(shOld, idCol, bands * rows),
+      idCol, bands, rows)
+    val newOld = bandNew.toDF("id_n", "band", "key")
+      .join(bandOld.toDF("id_o", "band", "key"), Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newNew = bandNew.toDF("id_a", "band", "key")
+      .join(bandNew.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val pairs = newOld.unionByName(newNew).distinct()
+    exactJaccardVerify(shNew.unionByName(shOld), idCol, pairs, threshold)
   }
 
   /** The banded-LSH S-curve: probability that a pair with Jaccard

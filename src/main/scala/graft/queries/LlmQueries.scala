@@ -779,6 +779,25 @@ object LlmQueries extends QueryModule {
               |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd""".stripMargin),
       headline = true),
 
+    // ----- INCREMENTAL near-dup: a new batch (doc_id % 5 == 0)
+    // against the at-rest shingle index of the accumulated corpus —
+    // the daily-crawl-increment shape: old×old candidate work never
+    // runs. The oracle replays the FULL batch near-dup over old ∪ new
+    // and keeps pairs involving ≥ 1 new doc — the semantics the
+    // incremental operator promises to match bit-for-bit. -----
+    GraftQuery(
+      "q_doc_minhash_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        MinHash.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          MinHash.shingleIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3),
+          n = 3, threshold = 0.01)
+      },
+      Some(s"""WITH ${minhashNdCtes(0.01)}
+              |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd
+              |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin)),
+
     // ----- dedup clustering: connected components → keep/drop decision -----
     // Pairwise near-dup output alone doesn't say which docs to delete;
     // the actionable artifact is one row per doc with its duplicate

@@ -106,7 +106,29 @@ object CurationSoak {
         d => (((col("id") * 37 + d * 101) % 997) / lit(997.0) - 0.5).cast("float"))
         .as("embedding"))
 
+    // at-rest shingle index for the incremental-dedup A/B (build-once,
+    // serve-every-increment — the production shape, like the SQ8 index)
+    val shingleIndexDir = "/tmp/graft_shidx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("minhash_incremental"))) {
+      graft.llm.MinHash.shingleIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        .write.mode("overwrite").parquet(shingleIndexDir)
+    }
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      // incremental dedup: the 20% "daily increment" against the
+      // at-rest index vs re-running the full batch join and filtering
+      // — the number that matters is the absent old×old candidate work
+      "minhash_incremental" -> { () =>
+        graft.llm.MinHash.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          spark.read.parquet(shingleIndexDir), n = 3, threshold = 0.01)
+      },
+      "minhash_batch_restricted" -> { () =>
+        graft.llm.MinHash.nearDuplicates(docs, "doc_id", "text",
+          n = 3, threshold = 0.01)
+          .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      },
       // Gopher's full repetition matrix — the widest single-scan
       // explode in the quality family (9 n-gram sizes + lines + paras
       // from ONE pass over the text); the number to watch is that it

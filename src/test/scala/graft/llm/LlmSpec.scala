@@ -630,4 +630,23 @@ class LlmSpec extends AnyFunSuite {
     assert(kt(3L) === (3L, true)) // not in any pair -> own cluster, kept
     assert(kt(5L) === (5L, true))
   }
+
+  test("incremental dedup equals the batch run restricted to new-doc pairs") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = col("doc_id") % 5 === 0
+    val batch = MinHash.nearDuplicates(corpus, "doc_id", "text",
+      n = 3, threshold = 0.01)
+      .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      .collect().map(_.toSeq).toSet
+    val inc = MinHash.nearDuplicatesIncremental(
+      corpus.filter(isNew), "doc_id", "text",
+      MinHash.shingleIndex(corpus.filter(!isNew), "doc_id", "text", n = 3),
+      n = 3, threshold = 0.01)
+    val incRows = inc.collect().map(_.toSeq).toSet
+    assert(incRows === batch)
+    assert(incRows.nonEmpty)
+    // old×old pairs never surface — the whole point of the index path
+    assert(!incRows.exists(r =>
+      r.head.asInstanceOf[Long] % 5 != 0 && r(1).asInstanceOf[Long] % 5 != 0))
+  }
 }
