@@ -90,6 +90,78 @@ object BandedHamming {
       maxBucket: Int = 10000): DataFrame =
     nearDuplicatesOver(hashes, NarrowBands, maxHamming, maxBucket)
 
+  /** INCREMENTAL near-duplicate pairs: a NEW batch of hashes against
+    * an AT-REST index of the accumulated corpus, plus within the
+    * batch — bit-identical to [[nearDuplicatesOver]] on old ∪ new
+    * restricted to pairs involving ≥ 1 new item, WITHOUT the old×old
+    * candidate join (the [[MinHash.nearDuplicatesIncremental]] shape
+    * for the media families; a perceptual-hash table IS its own
+    * at-rest index — 4 ints per item). The pigeonhole exactness
+    * argument is unchanged: any qualifying pair with a new member
+    * still collides in some band. The `maxBucket` guard counts
+    * bucket sizes over the UNION of both sides — the same buckets the
+    * batch run would see, so the restriction identity holds capped or
+    * not. Ids must be disjoint across the two inputs. */
+  def nearDuplicatesIncrementalOver(
+      newHashes: DataFrame,
+      indexHashes: DataFrame,
+      bandCols: Seq[String],
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(bandCols.size >= 2, s"need at least 2 bands, got $bandCols")
+    require(maxHamming >= 0 && maxHamming <= bandCols.size - 1,
+      s"maxHamming must be in 0..${bandCols.size - 1} for the ${bandCols.size}-band " +
+        s"exactness guarantee, got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val hN = newHashes.select(col("media_id") +: bandCols.map(col): _*)
+    val hO = indexHashes.select(col("media_id") +: bandCols.map(col): _*)
+    val keyedN = bandKeyRows(hN, bandCols)
+    val keyedO = bandKeyRows(hO, bandCols)
+    // union bucket sizes (what the batch window would count); over-cap
+    // keys drop from BOTH sides — one index-sized groupBy, no window
+    val overCap = keyedN.unionByName(keyedO)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("key"))
+    // NOTE: using-columns joins put the join keys FIRST in the output,
+    // so rename by NAME (a positional toDF here once scrambled
+    // media_id into the key column and silently emptied the result)
+    val gN = keyedN.join(overCap, Seq("band", "key"), "left_anti")
+      .select(col("media_id"), col("band"), col("key"))
+    val gO = keyedO.join(overCap, Seq("band", "key"), "left_anti")
+      .select(col("media_id"), col("band"), col("key"))
+    val newOld = gN.select(col("media_id").as("id_n"), col("band"), col("key"))
+      .join(gO.select(col("media_id").as("id_o"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("media_id_a"),
+        greatest(col("id_n"), col("id_o")).as("media_id_b"))
+    val newNew = gN.select(col("media_id").as("media_id_a"), col("band"), col("key"))
+      .join(gN.select(col("media_id").as("media_id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"))
+    val cand = newOld.unionByName(newNew).distinct()
+    val h = hN.unionByName(hO)
+    val ham = bandCols.map(c =>
+      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
+    cand
+      .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
+      .join(h.as("hb"), col("media_id_b") === col("hb.media_id"))
+      .select(col("media_id_a"), col("media_id_b"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[nearDuplicatesIncrementalOver]] for the 4 × 16-bit layout. */
+  def nearDuplicatesIncremental(
+      newHashes: DataFrame,
+      indexHashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    nearDuplicatesIncrementalOver(newHashes, indexHashes, NarrowBands,
+      maxHamming, maxBucket)
+
   /** OFFSET-TOLERANT near-duplicate pairs over a FRAME-KEYED hash
     * table `(media_id, frame_no, b0..b3)` — the shared core of
     * [[VideoDedup.nearDuplicatesAligned]] (per-frame dHash) and

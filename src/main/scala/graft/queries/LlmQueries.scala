@@ -2709,6 +2709,35 @@ object LlmQueries extends QueryModule {
            |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket_sz
            |FROM sz""".stripMargin)),
 
+    // ----- incremental image dedup: a new batch of hashes (media_id
+    // % 4 == 0) against the at-rest hash table of the rest — the
+    // media-family twin of q_doc_minhash_incremental (a perceptual
+    // hash table IS its own index). Oracle: the full brute-force
+    // Hamming scan restricted to pairs involving a new image. -----
+    GraftQuery(
+      "q_media_dhash_incremental",
+      (s, _) => {
+        import s.implicits._
+        val hashes = ImageDedup.dHash(dhashCorpus(s))
+        BandedHamming.nearDuplicatesIncremental(
+          hashes.filter(col("media_id") % 4 === 0),
+          hashes.filter(col("media_id") % 4 =!= 0), maxHamming = 3)
+      },
+      Some(
+        s"""WITH $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM hx a JOIN hx b ON a.media_id < b.media_id
+           |WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3
+           |  AND (a.media_id % 4 = 0 OR b.media_id % 4 = 0)""".stripMargin)),
+
     // ----- multimodal: per-frame video dHash over REAL AVI walks —
     // the video analog of q_media_dhash: 48 clips × 5 lossless DIB
     // frames, 12 block-rotating patterns (seed = id % 12), exact

@@ -164,6 +164,25 @@ class ImageDedupSpec extends AnyFunSuite {
     assert((1 to 8).map(r.getLong).forall(_ === 0L))
   }
 
+  test("incremental dedup equals the batch run restricted to new-image pairs") {
+    val hashes = ImageDedup.dHash(corpus)
+    val isNew = col("media_id") % 4 === 0
+    def restricted(cap: Int) = ImageDedup
+      .nearDuplicates(hashes, maxHamming = 3, maxBucket = cap)
+      .filter(col("media_id_a") % 4 === 0 || col("media_id_b") % 4 === 0)
+      .collect().map(_.toSeq).toSet
+    def incremental(cap: Int) = BandedHamming.nearDuplicatesIncremental(
+      hashes.filter(isNew), hashes.filter(!isNew), maxHamming = 3, maxBucket = cap)
+      .collect().map(_.toSeq).toSet
+    // uncapped-equivalent AND under a truncating cap: the union-count
+    // guard sees the same buckets the batch window does
+    assert(incremental(10000) === restricted(10000))
+    assert(incremental(3) === restricted(3))
+    assert(incremental(10000).nonEmpty)
+    assert(!incremental(10000).exists(r =>
+      r.head.asInstanceOf[Long] % 4 != 0 && r(1).asInstanceOf[Long] % 4 != 0))
+  }
+
   test("bucketCost telemetry agrees with the guard's silent drop") {
     val hashes = ImageDedup.dHash(corpus)
     // a generous cap truncates nothing: telemetry says so, and the
