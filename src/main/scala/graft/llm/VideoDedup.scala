@@ -144,6 +144,18 @@ object VideoDedup {
     DedupClusters.keepTable(frames.select(col("media_id")).distinct(), pairs,
       "media_id", "media_id_a", "media_id_b")
 
+  /** Keep/drop decision per clip over [[nearDuplicatesAligned]] pairs
+    * — ANY qualifying alignment links two clips into one duplicate
+    * class (a full cut and both its trims collapse together even when
+    * the trims only align with each other at a different offset), and
+    * the smallest id per transitive class is kept. Same
+    * [[DedupClusters.keepTable]] machinery as every dedup journey
+    * here; the id universe is the frame-hash table's clip set. */
+  def keepTableAligned(frames: DataFrame, alignedPairs: DataFrame): DataFrame =
+    DedupClusters.keepTable(frames.select(col("media_id")).distinct(),
+      alignedPairs.select(col("media_id_a"), col("media_id_b")).distinct(),
+      "media_id", "media_id_a", "media_id_b")
+
   /** Truncation telemetry for a [[nearDuplicates]] cap on a
     * [[frameHashes]] table — the video analog of
     * [[BandedHamming.bucketCost]], keyed on (frame_no, band, key) like

@@ -77,6 +77,63 @@ object LlmQueries extends QueryModule {
       |    CASE WHEN id < 48 THEN 33 + (((id % 24) * 3) % 7) ELSE 34 + (id % 6) END AS h
       |  FROM (SELECT unnest(generate_series(0, 95)) AS id))""".stripMargin
 
+  /** CTE chain for the offset-tolerant video fixture (see
+    * `q_media_vhash_offset`): trimmed-clip dims, per-frame dHash from
+    * the pixel formula (content frame = fstart + file frame), and the
+    * brute-force per-offset frame alignment
+    * `ph(media_id_a, media_id_b, off, fh)` — shared by the alignment
+    * query and the keep-table journey built on it. Composes after
+    * WITH or WITH RECURSIVE. */
+  private val vhashOffsetCtes: String = {
+    val pid = "(g.media_id % 8)"
+    val f = "(g.fstart + g.j)"
+    val add = s"(CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + $pid + $f) " +
+      "% 16) < 5 THEN 128 ELSE 0 END)"
+    val rE = s"((7 * sx + 13 * sy + 5 * $f + $pid) % 256) // 2 + $add"
+    val gE = s"((3 * sx + 5 * sy + 7 * $f + 2 * $pid) % 256) // 2 + $add"
+    val bE = s"((11 * sx + 17 * sy + 19 * $f + 3 * $pid) % 256) // 2 + $add"
+    s"""dims AS (
+       |  SELECT id AS media_id, 12 AS w, 10 AS h,
+       |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 2 ELSE 1 END AS fstart,
+       |    CASE WHEN id < 8 THEN 6 ELSE 4 END AS nf
+       |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
+       |g AS (
+       |  SELECT d.media_id, d.w, d.h, d.fstart, fr.j,
+       |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
+       |  FROM dims d
+       |  JOIN (SELECT unnest(generate_series(0, 5)) AS j) fr ON fr.j < d.nf
+       |  JOIN (SELECT unnest(generate_series(0, 11)) AS sx) xs ON xs.sx < d.w
+       |  JOIN (SELECT unnest(generate_series(0, 9)) AS sy) ys ON ys.sy < d.h),
+       |cells AS (
+       |  SELECT media_id, j, (sx * 9) // w AS cx, (sy * 8) // h AS cy,
+       |         sum((($rE) * 299 + ($gE) * 587 + ($bE) * 114) // 1000) AS s,
+       |         count(*) AS n
+       |  FROM g GROUP BY media_id, j, (sx * 9) // w, (sy * 8) // h),
+       |bits AS (
+       |  SELECT a.media_id, a.j, a.cy * 8 + a.cx AS bj,
+       |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id AND a.j = b.j AND a.cy = b.cy
+       |       AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |fhx AS (
+       |  SELECT media_id, j,
+       |    CAST(sum(CASE WHEN bj // 16 = 0 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b0,
+       |    CAST(sum(CASE WHEN bj // 16 = 1 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b1,
+       |    CAST(sum(CASE WHEN bj // 16 = 2 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b2,
+       |    CAST(sum(CASE WHEN bj // 16 = 3 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b3
+       |  FROM bits GROUP BY media_id, j),
+       |offs AS (SELECT unnest(generate_series(-5, 5)) AS off),
+       |ph AS (
+       |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
+       |         bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+       |         bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+       |         bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+       |         bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS fh
+       |  FROM fhx a CROSS JOIN offs o JOIN fhx b
+       |    ON a.media_id < b.media_id AND a.j = b.j + o.off)""".stripMargin
+  }
+
   /** CTE chain retraining the add-one bigram LM and scoring every doc
     * (mirrors [[graft.llm.NgramLm.scored]]); ends in
     * `ppl(doc_id, n_pairs, avg_nll)` — shared by the LM-perplexity
@@ -2895,60 +2952,54 @@ object LlmQueries extends QueryModule {
         VideoDedup.nearDuplicatesAligned(VideoDedup.frameHashes(corpus),
           maxPerFrameHamming = 3, minOverlap = 3)
       },
-      Some {
-        val pid = "(g.media_id % 8)"
-        val f = "(g.fstart + g.j)"
-        val add = s"(CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + $pid + $f) " +
-          "% 16) < 5 THEN 128 ELSE 0 END)"
-        val rE = s"((7 * sx + 13 * sy + 5 * $f + $pid) % 256) // 2 + $add"
-        val gE = s"((3 * sx + 5 * sy + 7 * $f + 2 * $pid) % 256) // 2 + $add"
-        val bE = s"((11 * sx + 17 * sy + 19 * $f + 3 * $pid) % 256) // 2 + $add"
-        s"""WITH dims AS (
-           |  SELECT id AS media_id, 12 AS w, 10 AS h,
-           |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 2 ELSE 1 END AS fstart,
-           |    CASE WHEN id < 8 THEN 6 ELSE 4 END AS nf
-           |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
-           |g AS (
-           |  SELECT d.media_id, d.w, d.h, d.fstart, fr.j,
-           |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
-           |  FROM dims d
-           |  JOIN (SELECT unnest(generate_series(0, 5)) AS j) fr ON fr.j < d.nf
-           |  JOIN (SELECT unnest(generate_series(0, 11)) AS sx) xs ON xs.sx < d.w
-           |  JOIN (SELECT unnest(generate_series(0, 9)) AS sy) ys ON ys.sy < d.h),
-           |cells AS (
-           |  SELECT media_id, j, (sx * 9) // w AS cx, (sy * 8) // h AS cy,
-           |         sum((($rE) * 299 + ($gE) * 587 + ($bE) * 114) // 1000) AS s,
-           |         count(*) AS n
-           |  FROM g GROUP BY media_id, j, (sx * 9) // w, (sy * 8) // h),
-           |bits AS (
-           |  SELECT a.media_id, a.j, a.cy * 8 + a.cx AS bj,
-           |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
-           |  FROM cells a JOIN cells b
-           |    ON a.media_id = b.media_id AND a.j = b.j AND a.cy = b.cy
-           |       AND b.cx = a.cx + 1
-           |  WHERE a.cx < 8),
-           |fhx AS (
-           |  SELECT media_id, j,
-           |    CAST(sum(CASE WHEN bj // 16 = 0 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b0,
-           |    CAST(sum(CASE WHEN bj // 16 = 1 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b1,
-           |    CAST(sum(CASE WHEN bj // 16 = 2 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b2,
-           |    CAST(sum(CASE WHEN bj // 16 = 3 THEN bit * (1 << (bj % 16)) ELSE 0 END) AS INT) AS b3
-           |  FROM bits GROUP BY media_id, j),
-           |offs AS (SELECT unnest(generate_series(-5, 5)) AS off),
-           |ph AS (
-           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
-           |         bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
-           |         bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
-           |         bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
-           |         bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS fh
-           |  FROM fhx a CROSS JOIN offs o JOIN fhx b
-           |    ON a.media_id < b.media_id AND a.j = b.j + o.off)
+      Some(
+        s"""WITH $vhashOffsetCtes
            |SELECT media_id_a, media_id_b, CAST(off AS BIGINT) AS "offset",
            |       CAST(count(*) AS BIGINT) AS n_overlap,
            |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
            |FROM ph GROUP BY media_id_a, media_id_b, off
-           |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin
-      }),
+           |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin)),
+
+    // ----- offset-dedup journey tail: qualifying alignments →
+    // connected components → keep/drop per clip (a full cut and both
+    // its trims are ONE duplicate class; smallest id kept). The
+    // oracle replays chain → alignments → RECURSIVE reachability →
+    // per-cluster min, like every other dedup journey here. -----
+    GraftQuery(
+      "q_media_vhash_offset_keep",
+      (s, _) => {
+        import s.implicits._
+        val corpus = s.range(24).map { id =>
+          val pid = (id % 8).toInt
+          val (start, n) = if (id < 8) (0, 6) else if (id < 16) (2, 4) else (1, 4)
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticAviBlocks(pid, start, n, 12, 10), "video/avi", 12, 10)
+        }
+        val fh = VideoDedup.frameHashes(corpus)
+        VideoDedup.keepTableAligned(fh,
+          VideoDedup.nearDuplicatesAligned(fh, maxPerFrameHamming = 3, minOverlap = 3))
+      },
+      Some(
+        s"""WITH RECURSIVE $vhashOffsetCtes,
+           |nd AS (
+           |  SELECT DISTINCT media_id_a AS id_a, media_id_b AS id_b FROM (
+           |    SELECT media_id_a, media_id_b
+           |    FROM ph GROUP BY media_id_a, media_id_b, off
+           |    HAVING count(*) >= 3 AND max(fh) <= 3)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+           |          UNION SELECT id_b, id_a FROM nd),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS media_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u)
+           |SELECT ids.media_id,
+           |       coalesce(c.component, ids.media_id) AS cluster_id,
+           |       coalesce(c.component, ids.media_id) = ids.media_id AS keep
+           |FROM (SELECT DISTINCT media_id FROM fhx) ids
+           |LEFT JOIN comp c USING (media_id)""".stripMargin)),
+
 
     // ----- offset-tolerant audio near-dup: trimmed copies of the
     // same recording. The whole-clip envelope hash cannot see these

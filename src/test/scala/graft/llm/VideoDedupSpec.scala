@@ -122,6 +122,18 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(got.size === 24, s"no other alignment qualifies, got ${got.keys.toSeq.sorted}")
   }
 
+  test("keepTableAligned collapses a cut and both its trims into one class") {
+    val fh = VideoDedup.frameHashes(trimmedCorpus)
+    val keep = VideoDedup.keepTableAligned(fh,
+      VideoDedup.nearDuplicatesAligned(fh, maxPerFrameHamming = 3, minOverlap = 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    (0L until 8L).foreach { p =>
+      assert(keep(p) === ((p, true)), s"the full cut $p is the smallest id: kept")
+      assert(keep(p + 8) === ((p, false)), s"trim ${p + 8} joins cluster $p: dropped")
+      assert(keep(p + 16) === ((p, false)), s"trim ${p + 16} joins cluster $p: dropped")
+    }
+  }
+
   test("the same-frame-count contract misses exactly what the aligned join finds") {
     val fh = VideoDedup.frameHashes(trimmedCorpus)
     // nearDuplicates requires equal counts AND offset-0 alignment:
