@@ -135,6 +135,15 @@ object AudioDedup {
   def keepTable(hashes: DataFrame, pairs: DataFrame): DataFrame =
     DedupClusters.keepTable(hashes, pairs, "media_id", "media_id_a", "media_id_b")
 
+  /** Keep/drop decision per clip over [[nearDuplicatesAligned]] pairs
+    * — see [[VideoDedup.keepTableAligned]] (same machinery: any
+    * qualifying alignment links two recordings into one transitive
+    * duplicate class, smallest id kept). */
+  def keepTableAligned(frames: DataFrame, alignedPairs: DataFrame): DataFrame =
+    DedupClusters.keepTable(frames.select(col("media_id")).distinct(),
+      alignedPairs.select(col("media_id_a"), col("media_id_b")).distinct(),
+      "media_id", "media_id_a", "media_id_b")
+
   /** 16-bit signed PCM samples of a WAV payload, or null when the
     * container/encoding is anything else (same decode path as
     * [[Multimodal.WavDecoder]], kept raw instead of reduced). */
