@@ -130,6 +130,64 @@ object AudioDedup {
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicatesAligned(frames, maxPerFrameHamming, minOverlap, maxBucket)
 
+  /** 257 windows → 256 comparison bits — the wide layout's window
+    * count. */
+  val WindowsWide = 257
+
+  /** WIDE per-frame envelope hashes — [[frameHashes]] with the
+    * 257-window kernel packed as 8 × 32-bit bands
+    * `(media_id, frame_no, w0..w7)`, the audio twin of
+    * [[ImageDedup.dHashWide]]. The aligned (offset-tolerant) join
+    * drops frame_no from its collision key, so its buckets widen
+    * nFrames× and the 16-bit keyspace saturates nFrames× sooner than
+    * the still-image bound — this layout is the remedy: 2^32 keys per
+    * band, and the 8-band pigeonhole makes the aligned verify exact
+    * per overlapping window for per-frame Hamming ≤ 7. Needs
+    * `frameSamples >= 257` (one sample per window). Partition-local. */
+  def frameHashesWide(
+      media: Dataset[Multimodal.MediaRow],
+      frameSamples: Int = 1024): DataFrame = {
+    require(frameSamples >= WindowsWide,
+      s"frameSamples must be >= $WindowsWide (one sample per window), got $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samples = decodePcm(r.payload)
+        if (samples == null || samples.length < frameSamples) Iterator.empty
+        else (0 until samples.length / frameSamples).iterator.map { f =>
+          val e = new Array[Long](WindowsWide)
+          var j = 0
+          while (j < frameSamples) {
+            e(((j.toLong * WindowsWide) / frameSamples).toInt) +=
+              math.abs(samples(f * frameSamples + j).toLong)
+            j += 1
+          }
+          val bands = new Array[Long](8)
+          var w = 0
+          while (w < WindowsWide - 1) {
+            if (e(w) < e(w + 1)) bands(w / 32) |= 1L << (w % 32)
+            w += 1
+          }
+          (r.media_id, f, bands(0), bands(1), bands(2), bands(3),
+            bands(4), bands(5), bands(6), bands(7))
+        }
+      }
+    }.toDF("media_id" +: "frame_no" +: BandedHamming.WideBands: _*)
+  }
+
+  /** Offset-tolerant near-duplicates over a [[frameHashesWide]] table
+    * — exact per overlapping window for per-frame Hamming ≤ 7, band
+    * keys in a 2^32 space (the saturation remedy for the widened
+    * aligned buckets). */
+  def nearDuplicatesAlignedWide(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 7,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicatesAlignedOver(frames, BandedHamming.WideBands,
+      maxPerFrameHamming, minOverlap, maxBucket)
+
   /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
     * [[ImageDedup.keepTable]] (same clustering machinery). */
   def keepTable(hashes: DataFrame, pairs: DataFrame): DataFrame =

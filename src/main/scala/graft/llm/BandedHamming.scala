@@ -33,6 +33,29 @@ object BandedHamming {
     * 2^32 per band, the post-saturation remedy. */
   val WideBands: Seq[String] = (0 until 8).map(i => s"w$i")
 
+  /** THE `maxBucket` guard shape, shared by every banded-LSH family
+    * here (media hashes, MinHash bands, embedding LSH buckets): one
+    * partial-aggregable groupBy finds the over-cap keys — a tiny set
+    * by construction (≤ |rows|/maxBucket keys can exceed the cap) —
+    * and a broadcast anti-join drops their rows. Skew-SAFE: the old
+    * `count().over(Window.partitionBy(keys))` shape landed a saturated
+    * bucket's EVERY row on one task just to count-and-drop it (linear
+    * work, but a single-task cliff exactly on the hot keys the guard
+    * exists for); the partial aggregation counts map-side and the
+    * crawl-sized relation never funnels through the hot key at all.
+    * Same drops, bit-identical survivors. */
+  private[llm] def dropOverCap(
+      keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val over = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keyCols.map(col): _*)
+    // a using-columns join moves the join keys FIRST — restore the
+    // caller's column order by NAME (positional renames downstream)
+    keyed.join(broadcast(over), keyCols, "left_anti")
+      .select(keyed.columns.map(col): _*)
+  }
+
   /** (media_id, band, key) — one row per band per item; the exact
     * relation the candidate join shuffles on. */
   private def bandKeyRows(hashes: DataFrame, bandCols: Seq[String]): DataFrame =
@@ -61,12 +84,7 @@ object BandedHamming {
         s"exactness guarantee, got $maxHamming")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val h = hashes.select(col("media_id") +: bandCols.map(col): _*)
-    val keyed = bandKeyRows(h, bandCols)
-    val guarded = keyed
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val guarded = dropOverCap(bandKeyRows(h, bandCols), Seq("band", "key"), maxBucket)
     val cand = guarded.as("l")
       .join(guarded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -127,9 +145,9 @@ object BandedHamming {
     // NOTE: using-columns joins put the join keys FIRST in the output,
     // so rename by NAME (a positional toDF here once scrambled
     // media_id into the key column and silently emptied the result)
-    val gN = keyedN.join(overCap, Seq("band", "key"), "left_anti")
+    val gN = keyedN.join(broadcast(overCap), Seq("band", "key"), "left_anti")
       .select(col("media_id"), col("band"), col("key"))
-    val gO = keyedO.join(overCap, Seq("band", "key"), "left_anti")
+    val gO = keyedO.join(broadcast(overCap), Seq("band", "key"), "left_anti")
       .select(col("media_id"), col("band"), col("key"))
     val newOld = gN.select(col("media_id").as("id_n"), col("band"), col("key"))
       .join(gO.select(col("media_id").as("id_o"), col("band"), col("key")),
@@ -176,31 +194,34 @@ object BandedHamming {
     * overlapping window, see [[VideoDedup]]'s doc for the argument).
     * Dropping frame_no from the collision key widens buckets
     * nFrames×; `maxBucket` still bounds hot keys (silently — audit
-    * with [[bucketCost]]).
+    * with [[bucketCost]]). The band layout is a parameter for exactly
+    * that reason: the offset-tolerant mode's deliberately narrower
+    * keyspace saturates nFrames× sooner, so the wide 8 × 32-bit
+    * layout (2^32 keys per band AND per-frame exactness to
+    * Hamming ≤ 7) is the production remedy here just as it is for
+    * still images.
     * Output: (media_id_a, media_id_b, offset, n_overlap,
     * max_frame_hamming), one row per qualifying alignment. */
-  def nearDuplicatesAligned(
+  def nearDuplicatesAlignedOver(
       frames: DataFrame,
-      maxPerFrameHamming: Int = 3,
+      bandCols: Seq[String],
+      maxPerFrameHamming: Int,
       minOverlap: Int = 2,
       maxBucket: Int = 10000): DataFrame = {
-    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= 3,
-      s"maxPerFrameHamming must be in 0..3 for the 4-band exactness guarantee, " +
-        s"got $maxPerFrameHamming")
+    require(bandCols.size >= 2, s"need at least 2 bands, got $bandCols")
+    require(maxPerFrameHamming >= 0 && maxPerFrameHamming <= bandCols.size - 1,
+      s"maxPerFrameHamming must be in 0..${bandCols.size - 1} for the " +
+        s"${bandCols.size}-band exactness guarantee, got $maxPerFrameHamming")
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val h = frames.select(col("media_id") +: col("frame_no") +: NarrowBands.map(col): _*)
+    val h = frames.select(col("media_id") +: col("frame_no") +: bandCols.map(col): _*)
     val keyed = h.select(col("media_id"), col("frame_no"),
-      explode(array(NarrowBands.zipWithIndex.map { case (c, i) =>
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("band"), col(c).cast("long").as("key"))
       }: _*)).as("bk"))
       .select(col("media_id"), col("frame_no"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val guarded = keyed
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val guarded = dropOverCap(keyed, Seq("band", "key"), maxBucket)
     val cand = guarded.as("l")
       .join(guarded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -208,7 +229,7 @@ object BandedHamming {
       .select(col("l.media_id").as("media_id_a"), col("r.media_id").as("media_id_b"),
         (col("l.frame_no") - col("r.frame_no")).cast("long").as("offset"))
       .distinct()
-    val ham = NarrowBands.map(c =>
+    val ham = bandCols.map(c =>
       bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c")))).reduce(_ + _)
     cand
       .join(h.as("ha"), col("media_id_a") === col("ha.media_id"))
@@ -222,6 +243,16 @@ object BandedHamming {
       .filter(col("n_overlap") >= minOverlap &&
         col("max_frame_hamming") <= maxPerFrameHamming)
   }
+
+  /** [[nearDuplicatesAlignedOver]] on the classic 4 × 16-bit layout —
+    * exact per overlapping window for Hamming ≤ 3. */
+  def nearDuplicatesAligned(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 3,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame =
+    nearDuplicatesAlignedOver(frames, NarrowBands, maxPerFrameHamming,
+      minOverlap, maxBucket)
 
   /** Truncation telemetry for a cap over the given band columns: ONE
     * row — `(candidate_pairs, capped_pairs, capped_buckets,

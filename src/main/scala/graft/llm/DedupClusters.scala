@@ -147,10 +147,150 @@ object DedupClusters {
     val comps = (if (useGraphX) connectedComponentsGraphX(pairs, aCol, bCol)
                  else connectedComponents(pairs, aCol, bCol))
       .withColumnRenamed("node", idCol)
+    decide(docs, comps, idCol)
+  }
+
+  /** The keep/drop decision tail shared by [[keepTable]] and
+    * [[keepTableIncremental]]: left-join the component labels onto the
+    * doc universe, singletons become their own cluster, minimum member
+    * is kept. */
+  private def decide(docs: DataFrame, comps: DataFrame, idCol: String): DataFrame =
     docs.select(col(idCol))
       .join(comps, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
       .withColumn("keep", col("cluster_id") === col(idCol))
       .select(col(idCol), col("cluster_id"), col("keep"))
+
+  /** The contraction core of the incremental family: given the at-rest
+    * label table and a batch of NEW pairs, computes
+    *  - `remap` — (old component label → merged component label) for
+    *    every old component the increment touches AND changes, and
+    *  - `newRows` — (node, component) for previously-unlabeled nodes
+    *    the increment links (new docs, or old singletons a new pair
+    *    reaches).
+    *
+    * Correctness rests on graph contraction: the connected components
+    * of `oldEdges ∪ newPairs` equal the components of the graph where
+    * every old component is contracted to a super-node, with the new
+    * pairs mapped through the contraction — expanded back. Because the
+    * at-rest labels are MINIMUM member ids (the [[connectedComponents]]
+    * invariant, preserved inductively here), the min label over the
+    * contracted graph IS the min member id of the merged component.
+    *
+    * Scale shape (the whole point): every relation here is
+    * increment-sized — the contracted graph has ≤ 2·|newPairs| nodes —
+    * EXCEPT one broadcast semi-join pass over the at-rest table to
+    * fetch the touched labels, which never shuffles the corpus side.
+    * The accumulated pair set is never read at all. */
+  private def incrementalRemap(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      useGraphX: Boolean): (DataFrame, DataFrame) = {
+    val e = newPairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+    val endpoints = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+    // touched labels: increment-sized output, ONE map-side pass over
+    // the at-rest table (the endpoint set broadcasts)
+    val touched = oldLabels
+      .join(broadcast(endpoints), Seq("node"), "left_semi")
+      .select(col("node"), col("component"))
+    val tA = touched.select(col("node").as("__src"), col("component").as("__ca"))
+    val tB = touched.select(col("node").as("__dst"), col("component").as("__cb"))
+    val contracted = e
+      .join(broadcast(tA), Seq("__src"), "left")
+      .join(broadcast(tB), Seq("__dst"), "left")
+      .select(coalesce(col("__ca"), col("__src")).as("__u"),
+        coalesce(col("__cb"), col("__dst")).as("__v"))
+    // CC over the increment-sized contracted graph (self-loops — both
+    // endpoints already in one old component — drop inside)
+    val cc = (if (useGraphX) connectedComponentsGraphX(contracted, "__u", "__v")
+              else connectedComponents(contracted, "__u", "__v"))
+    // contracted node ids partition cleanly: old component labels
+    // (values of touched.component) vs previously-unlabeled node ids
+    val oldCn = touched.select(col("component").as("node")).distinct()
+    val remap = cc.join(broadcast(oldCn), Seq("node"), "left_semi")
+      .filter(col("node") =!= col("component")) // unchanged components drop out
+      .select(col("node").as("__oldc"), col("component").as("__newc"))
+    val newRows = cc.join(broadcast(oldCn), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    (remap, newRows)
+  }
+
+  /** INCREMENTAL label maintenance — the at-rest side of the
+    * incremental dedup journey ([[MinHash.nearDuplicatesIncremental]],
+    * [[BandedHamming.nearDuplicatesIncremental]] generate the pairs;
+    * this keeps the component labels current WITHOUT re-running
+    * connected components over the full accumulated pair set).
+    *
+    * `oldLabels` is a (node, component) table produced by
+    * [[connectedComponents]] / [[connectedComponentsGraphX]] / a prior
+    * call here (the min-member-label invariant is required and
+    * preserved); `newPairs` is the increment's pair list — new×old,
+    * new×new, even old×old pairs all work. Returns the FULL updated
+    * label table: identical, row for row, to recomputing
+    * [[connectedComponents]] over the union of all pairs ever seen
+    * (IncrementalCcSpec pins the identity on random multi-increment
+    * graphs).
+    *
+    * Scale shape: the CC runs on the contracted increment-sized graph
+    * (≤ 2·|newPairs| nodes); the at-rest table pays exactly two
+    * map-side broadcast-join passes (fetch touched labels, apply the
+    * remap) and is never shuffled — at a 100 TB corpus with a
+    * 0.1%-daily increment, the label pass scales with the increment,
+    * not the corpus. For partition-scoped rewrites of a stored label
+    * table, [[componentDelta]] emits only the rows that change. */
+  def updateComponents(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): DataFrame = {
+    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
+    val relabeled = oldLabels
+      .join(broadcast(remap), col("component") === col("__oldc"), "left")
+      .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
+    relabeled.unionByName(newRows)
+  }
+
+  /** The CHANGED rows only of [[updateComponents]]: old rows whose
+    * component label moves (their component merged with a smaller one)
+    * plus the previously-unlabeled nodes the increment links. With the
+    * at-rest label table stored partitioned/bucketed by component,
+    * this is exactly the partition-rewrite set — the full-table scan
+    * of [[updateComponents]] disappears from the daily increment. */
+  def componentDelta(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): DataFrame = {
+    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
+    val changed = oldLabels
+      .join(broadcast(remap), col("component") === col("__oldc"))
+      .select(col("node"), col("__newc").as("component"))
+    changed.unionByName(newRows)
+  }
+
+  /** [[keepTable]] served from the incremental label update: the full
+    * keep/drop decision for `docs` after an increment, with the
+    * component labels maintained by [[updateComponents]] instead of a
+    * full recompute. Identical output to
+    * `keepTable(docs, allPairsEverSeen, …)`. */
+  def keepTableIncremental(
+      docs: DataFrame,
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      idCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): DataFrame = {
+    val comps = updateComponents(oldLabels, newPairs, aCol, bCol, useGraphX)
+      .withColumnRenamed("node", idCol)
+    decide(docs, comps, idCol)
   }
 }

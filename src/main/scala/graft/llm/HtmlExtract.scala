@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *      verbatim — then `&amp;` LAST (so `&amp;lt;` decodes to the
   *      literal `&lt;`, not `<`, and `&amp;#60;` to the literal
   *      `&#60;`). Numeric decodes map to the raw codepoint (e.g.
-  *      `&#160;` is U+00A0, not the plain space `&nbsp;` maps to);
+  *      `&#160;` is U+00A0, not the plain space `&nbsp;` maps to).
+  *      A numeric AMPERSAND (`&#38;`/`&#x26;`) decodes to a sentinel
+  *      released to `&` only after the `&amp;` pass, so its output can
+  *      never be re-decoded: `&#38;amp;` is the literal `&amp;` — the
+  *      ampersand-last no-cascade rule is airtight for numeric codes
+  *      too;
   *   5. runs of spaces/tabs collapse to one space, lines are trimmed,
   *      empty lines drop.
   *
@@ -56,13 +61,17 @@ object HtmlExtract {
   /** Decodes one numeric-entity code body (`233` or `xE9`/`XE9`) to
     * its character when the codepoint is in 32..255, else re-emits
     * the entity verbatim. `conv(hex, 16, 10)` mirrors DuckDB's
-    * native `CAST('0x…' AS INTEGER)`. */
+    * native `CAST('0x…' AS INTEGER)`. Codepoint 38 (`&`) emits the
+    * [[S2]] sentinel instead of the raw ampersand — released AFTER the
+    * `&amp;` pass so a numeric ampersand's output is never re-decoded
+    * (`&#38;amp;` → literal `&amp;`). */
   private def decodeNumericCode(code: Column): Column = {
     val isHex = code.startsWith("x") || code.startsWith("X")
     val value = when(isHex,
       conv(code.substr(lit(2), length(code) - 1), 16, 10).cast("int"))
       .otherwise(code.cast("int"))
-    when(value.between(32, 255), chr(value))
+    when(value === 38, lit(S2))
+      .when(value.between(32, 255), chr(value))
       .otherwise(concat(lit("&#"), code, lit(";")))
   }
 
@@ -91,7 +100,10 @@ object HtmlExtract {
       regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
     }
     val numeric = decodeNumericEntities(named)
-    regexp_replace(numeric, java.util.regex.Pattern.quote("&amp;"), "&")
+    val amp = regexp_replace(numeric, java.util.regex.Pattern.quote("&amp;"), "&")
+    // release the numeric-ampersand sentinel LAST (rule 0 strips the
+    // sentinel codepoints from the input, so it cannot be forged)
+    regexp_replace(amp, S2, "&")
   }
 
   /** Rules 0–1: sentinel strip, then head/script/style/comment block
@@ -119,29 +131,31 @@ object HtmlExtract {
 
   /** Adds `text` (the extracted body), `title`, and `link_density`
     * (round 6) to the input. A pure projection — zero shuffles; the
-    * regex chain is whole-stage-codegen'd column algebra, and the
-    * stripped intermediate is materialized once per row (its own
-    * projection, referenced twice) so the block-removal regexes don't
-    * run once for the text and again for the anchors. */
+    * regex chain is whole-stage-codegen'd column algebra. The stripped
+    * intermediate is a shared local expression referenced by both the
+    * body text and the anchor accounting — Catalyst's subexpression
+    * elimination evaluates the identical subtree once per row, and no
+    * temporary column is added (an input that already has a column
+    * named like an internal temp can no longer be clobbered). */
   def extract(df: DataFrame, htmlCol: String): DataFrame = {
-    val html = col(htmlCol)
+    // rule 0 for the title path too (stripBlocks applies it for the
+    // body): the sentinel codepoints must never reach decodeEntities
+    val html = regexp_replace(col(htmlCol), "[\u0002\u0003]", "")
     val title = trim(decodeEntities(
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
     // anchor texts from the SAME stripped intermediate as the body:
     // inner tags stripped, entities decoded, chars summed per anchor
-    val anchors = regexp_extract_all(col("__stripped"),
+    val stripped = stripBlocks(html)
+    val anchors = regexp_extract_all(stripped,
       lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
     val anchorChars = aggregate(anchors, lit(0L), (acc, a) =>
       acc + length(trim(regexp_replace(
         decodeEntities(regexp_replace(a, "(?s)<[^>]*>", " ")), "[ \\t]+", " "))))
-    val text = normalizeFrom(col("__stripped"))
-    df.withColumn("__stripped", stripBlocks(html))
-      .withColumn("title", title)
-      .withColumn("text", text)
+    df.withColumn("title", title)
+      .withColumn("text", normalizeFrom(stripped))
       .withColumn("link_density",
         least(round((anchorChars.cast("double") /
           greatest(length(col("text")), lit(1)).cast("double")).cast("decimal(20,9)"), 6)
           .cast("double"), lit(1.0)))
-      .drop("__stripped")
   }
 }

@@ -123,13 +123,12 @@ object MinHash {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
     val bandRows = bandKeyRows(sig, idCol, bands, rows)
-    // the bucket-size window shuffles on the same (band, key) the join
-    // itself needs, so the cap adds no extra exchange round
+    // skew-safe guard shape (see BandedHamming.dropOverCap): a partial
+    // aggregation counts bucket sizes map-side and a broadcast
+    // anti-join drops the over-cap keys — the hot bucket never lands
+    // on one task just to be counted
     val capped = maxBucket match {
-      case Some(m) =>
-        val w = Window.partitionBy(col("band"), col("key"))
-        bandRows.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= m).drop("__bsz")
+      case Some(m) => BandedHamming.dropOverCap(bandRows, Seq("band", "key"), m)
       case None => bandRows
     }
     val l = capped.toDF(Seq("id_a", "band", "key"): _*)
@@ -239,16 +238,41 @@ object MinHash {
       n: Int = 3,
       threshold: Double = 0.2,
       hash: Column => Column = TextHash.polyHash,
+      maxBucket: Option[Int] = None,
       bands: Int = Bands,
       rows: Int = Rows): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
     val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
     val shOld = index.toDF(idCol, "h")
-    val bandNew = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
+    val bandNew0 = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
       idCol, bands, rows)
-    val bandOld = bandKeyRows(signaturesFromHashes(shOld, idCol, bands * rows),
+    val bandOld0 = bandKeyRows(signaturesFromHashes(shOld, idCol, bands * rows),
       idCol, bands, rows)
+    // `maxBucket` is the same degenerate-bucket guard as
+    // candidatePairs' — a hot band key (e.g. many near-empty docs
+    // sharing a signature) otherwise recreates the quadratic new×old
+    // blowup at exactly the daily-increment scale this operator
+    // targets. Bucket sizes are counted over the UNION of both sides —
+    // the same buckets the batch run would see — so the
+    // batch-restriction identity holds capped or not (the
+    // BandedHamming.nearDuplicatesIncrementalOver rule); over-cap keys
+    // leave BOTH sides via broadcast anti-joins, never a count window
+    // on the hot key.
+    val (bandNew, bandOld) = maxBucket match {
+      case Some(m) =>
+        val over = bandNew0.select(col("band"), col("key"))
+          .unionByName(bandOld0.select(col("band"), col("key")))
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > m)
+          .select(col("band"), col("key"))
+        (bandNew0.join(broadcast(over), Seq("band", "key"), "left_anti")
+           .select(col(idCol), col("band"), col("key")),
+         bandOld0.join(broadcast(over), Seq("band", "key"), "left_anti")
+           .select(col(idCol), col("band"), col("key")))
+      case None => (bandNew0, bandOld0)
+    }
     val newOld = bandNew.toDF("id_n", "band", "key")
       .join(bandOld.toDF("id_o", "band", "key"), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_o"))

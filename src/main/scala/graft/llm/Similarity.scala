@@ -80,27 +80,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-    val idType = corpus.schema(idCol).dataType
-    if (nativeTopK && isIntegralId(idType)) {
-      scored.groupBy(col("query_id"))
-        .agg(graft.functions.BoundedTopK
-          .topKByScore(k, col("__cos"), col("neighbor_id").cast("long")).as("__top"))
-        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-        .select(col("query_id"),
-          col("__e.id").cast(idType).as("neighbor_id"),
-          (col("__pos") + 1).as("rank"),
-          round(col("__e.s"), 6).as("cos_sim"))
-    } else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("__cos").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("__cos"), 6).as("cos_sim"))
-    }
+      .withColumn("__s", cosine(col("__qv"), col("__cv")))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, "cos_sim",
+      nativeTopK = nativeTopK)
   }
 
   private[llm] def isIntegralId(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -109,6 +91,57 @@ object Similarity {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  /** The ONE copy of the per-query shortlist-ranking tail every
+    * serving arm ends in: score column `__s` (plus `query_id`,
+    * `neighbor_id`) → top-k per query as (query_id, neighbor_id, rank,
+    * round(score, 6) AS outName).
+    *
+    * Default path: the k-bounded partial aggregation
+    * ([[graft.functions.BoundedTopK]]) — O(k) state per query per map
+    * task, the shuffle carries ≤ |Q|·k·partitions rows, and no task
+    * ever sorts a shortlist. The per-query `row_number` window arm
+    * (behind `nativeTopK = false`, and the fallback for non-integral
+    * id columns) is bounded by the SHORTLIST size by design — but LSH
+    * buckets and IVF cells concentrate on clustered corpora (the r11
+    * MoG measurement), so that bound is empirical, not structural;
+    * the aggregate makes every arm O(k)-state uniformly.
+    *
+    * Bit-parity with the window arm: same exact unrounded doubles
+    * compared, same (score best-first, id ASC) total order, rounding
+    * on output. `ascending = true` (the L2 arm) ranks by negated
+    * score inside the aggregate — exact for doubles (Double.compare
+    * on negations reverses, ±0 included); null scores are out of
+    * contract there (a cosine/L2 of non-null vectors is never null). */
+  private def rankPerQuery(
+      scored: DataFrame,
+      k: Int,
+      idType: org.apache.spark.sql.types.DataType,
+      outName: String,
+      ascending: Boolean = false,
+      nativeTopK: Boolean = true): DataFrame = {
+    if (nativeTopK && isIntegralId(idType)) {
+      val s = if (ascending) -col("__s") else col("__s")
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.BoundedTopK
+          .topKByScore(k, s, col("neighbor_id").cast("long")).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"),
+          col("__e.id").cast(idType).as("neighbor_id"),
+          (col("__pos") + 1).as("rank"),
+          round(if (ascending) -col("__e.s") else col("__e.s"), 6).as(outName))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(if (ascending) col("__s").asc else col("__s").desc,
+          col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__s"), 6).as(outName))
+    }
+  }
 
   /** Plane constants for [[withLshBucket]]: plane p weights dimension d
     * with ((Ap(p)*d + Bp(p)) mod 97)/97 - 0.5 — fixed, engine-neutral. */
@@ -144,21 +177,17 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
     val c = withLshBucket(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
     val q = withLshBucket(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 6).as("cos_sim"))
+      .withColumn("__s", cosine(col("__qv"), col("__cv")))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, "cos_sim",
+      nativeTopK = nativeTopK)
   }
 
   /** XOR masks for all buckets within Hamming distance `h` of a
@@ -197,7 +226,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      hamming: Int = 1): DataFrame = {
+      hamming: Int = 1,
+      nativeTopK: Boolean = true): DataFrame = {
     val c = withLshBucket(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
     val q = withLshBucket(queries, vecCol)
@@ -205,16 +235,12 @@ object Similarity {
         explode(typedLit(hammingMasks(hamming))).as("__m"))
       .select(col("query_id"), col("__qv"),
         col("bucket").bitwiseXOR(col("__m")).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("__cos"), 6).as("cos_sim"))
+      .withColumn("__s", cosine(col("__qv"), col("__cv")))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, "cos_sim",
+      nativeTopK = nativeTopK)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidate pairs come from
@@ -242,13 +268,11 @@ object Similarity {
       maxBucket: Option[Int] = None): DataFrame = {
     val b0 = withLshBucket(emb, vecCol)
       .select(col(idCol), col(vecCol), col("bucket"))
-    // the bucket-size window shuffles on the same key the join needs —
-    // no extra exchange round (same shape as MinHash.candidatePairs)
+    // skew-safe guard shape (BandedHamming.dropOverCap): partial-agg
+    // count + broadcast anti-join — the saturated bucket this guard
+    // exists for never lands on one task just to be counted
     val b = maxBucket match {
-      case Some(m) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-        b0.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= m).drop("__bsz")
+      case Some(m) => BandedHamming.dropOverCap(b0, Seq("bucket"), m)
       case None => b0
     }
     val l = b.toDF("id_a", "__va", "bucket")
@@ -291,9 +315,24 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCells: Int = 8): DataFrame = {
-    val cents = coarseCodebook(emb, idCol, vecCol, nCells)
-    val asg = assignCells(emb, cents, idCol, vecCol, "__id", "__v")
+      nCells: Int = 8): DataFrame =
+    semDeDupWithCodebook(emb, idCol, vecCol, threshold,
+      coarseCodebook(emb, idCol, vecCol, nCells))
+
+  /** [[semDeDup]] over an EXTERNALLY PROVIDED codebook (cell,
+    * `__cent`) — the [[topKCosineIvfTrained]] split applied to dedup:
+    * identical algebra, only the codebook provenance differs. This is
+    * also what pins the incremental arm: the batch-restriction
+    * identity of [[semDeDupIncremental]] holds exactly when both runs
+    * share ONE codebook (re-sampling the codebook from old ∪ new would
+    * move cell boundaries and re-pair the whole corpus). */
+  def semDeDupWithCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      codebook: DataFrame): DataFrame = {
+    val asg = assignCells(emb, codebook, idCol, vecCol, "__id", "__v")
     val l = asg.select(col("__id").as("id_a"), col("__v").as("__va"), col("cell"))
     val r = asg.select(col("__id").as("id_b"), col("__v").as("__vb"), col("cell"))
     // ids dropped: collide in-cell with a smaller-id near-duplicate
@@ -304,6 +343,69 @@ object Similarity {
     asg.join(dropped.withColumn("__dropped", lit(true)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("cell"),
         not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
+  /** INCREMENTAL SemDeDup — the batch analog of the streaming
+    * semantic dedup, completing the incremental-dedup family across
+    * all five modalities: a NEW batch is deduplicated against an
+    * AT-REST cell index of the accumulated corpus WITHOUT ever
+    * re-pairing old×old within cells.
+    *
+    * `index` is the at-rest artifact — (idCol, vecCol, cell, keep):
+    * the prior [[semDeDupWithCodebook]] decision with the vectors
+    * carried (write it cell-partitioned so only touched cells are
+    * read); `codebook` is the SAME codebook that built it (see
+    * [[semDeDupWithCodebook]] for why sharing it is what makes the
+    * identity exact). Ids must be disjoint across the two inputs.
+    *
+    * Output: (idCol, cell, keep) for every decodable NEW vector —
+    * bit-identical to the batch run over old ∪ new restricted to new
+    * ids — PLUS a row (keep = false) for each previously-KEPT old
+    * vector a smaller-id new vector now shadows (the at-rest delta;
+    * drops are monotone, so keep can only flip one way).
+    *
+    * Scale shape: the increment side assigns cells against the
+    * broadcast codebook; the at-rest side is touched-cells-only (an
+    * increment-sized broadcast semi-join / partition pruning on the
+    * cell key); the pair join is old×new + new×new inside touched
+    * cells — the |old|²-within-cells term a daily re-run would pay
+    * never exists. */
+  def semDeDupIncremental(
+      newEmb: DataFrame,
+      index: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val asgNew = assignCells(newEmb, codebook, idCol, vecCol, "__id", "__v")
+    val cells = asgNew.select(col("cell")).distinct()
+    val oldTouched = index
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cell"), col("keep"))
+      .join(broadcast(cells), Seq("cell"), "left_semi")
+      .select(col("__id"), col("__v"), col("cell"), col("keep"))
+    val lNew = asgNew.select(col("cell"), col("__id").as("id_a"), col("__v").as("__va"))
+    val lOld = oldTouched.select(col("cell"), col("__id").as("id_a"), col("__v").as("__va"))
+    val rNew = asgNew.select(col("cell"), col("__id").as("id_b"), col("__v").as("__vb"))
+    // a new id is dropped by ANY smaller-id in-cell neighbor — old or
+    // new — exactly the batch rule restricted to pairs with a new member
+    val droppedNew = lNew.unionByName(lOld).join(rNew, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("__id")).distinct()
+    val newRows = asgNew
+      .join(droppedNew.withColumn("__dropped", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+    // the at-rest delta: previously-kept old vectors shadowed by a
+    // smaller NEW id (old×old relations are unchanged by the increment)
+    val rOld = oldTouched.filter(col("keep"))
+      .select(col("cell"), col("__id").as("id_b"), col("__v").as("__vb"))
+    val changedOld = lNew.join(rOld, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b"), col("cell")).distinct()
+      .select(col("id_b").as(idCol), col("cell"), lit(false).as("keep"))
+    newRows.unionByName(changedOld)
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path besides
@@ -384,25 +486,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 8,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1,
+      nativeTopK: Boolean = true): DataFrame = {
     val cents = coarseCodebook(corpus, idCol, vecCol, nCentroids)
     val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "__cv")
     // single-probe keeps the original windowless max_by assignment
     // (and the original plan); multi-probe ranks the |Q|-sized side
     val q = if (nProbe <= 1) assignCells(queries, cents, idCol, vecCol, "query_id", "__qv")
       else assignProbes(queries, cents, idCol, vecCol, "query_id", "__qv", nProbe)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
     // a corpus vector lives in exactly one cell, so multi-probe never
     // produces duplicate (query, neighbor) pairs — no dedup needed
-    c.join(q, Seq("cell"))
+    val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 6).as("cos_sim"))
+      .withColumn("__s", cosine(col("__qv"), col("__cv")))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, "cos_sim",
+      nativeTopK = nativeTopK)
   }
 
   /** IVF ANN over an EXTERNALLY TRAINED codebook — the serve half of
@@ -418,19 +516,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      codebook: DataFrame): DataFrame = {
+      codebook: DataFrame,
+      nativeTopK: Boolean = true): DataFrame = {
     val c = assignCells(corpus, codebook, idCol, vecCol, "neighbor_id", "__cv")
     val q = assignCells(queries, codebook, idCol, vecCol, "query_id", "__qv")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    c.join(q, Seq("cell"))
+    val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        round(col("__cos"), 6).as("cos_sim"))
+      .withColumn("__s", cosine(col("__qv"), col("__cv")))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, "cos_sim",
+      nativeTopK = nativeTopK)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** The IVF nprobe recall curve, measured in ONE pass: recall@k of
@@ -543,29 +638,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine",
+      nativeTopK: Boolean = true): DataFrame = {
     require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     val cand = candidates.select(col("query_id"), col("neighbor_id"))
     val withCv = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(broadcast(cand), Seq("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val (scoreCol, outName, ascending) =
+      if (metric == "cosine") (cosine(col("__qv"), col("__cv")), "cos_sim", false)
+      else (Pq.l2sq(col("__qv"), col("__cv")), "dist", true)
     val scored = withCv.join(broadcast(q), Seq("query_id"))
-    val (scoreCol, outName, w) =
-      if (metric == "cosine")
-        (cosine(col("__qv"), col("__cv")), "cos_sim",
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(col("__s").desc, col("neighbor_id").asc))
-      else
-        (Pq.l2sq(col("__qv"), col("__cv")), "dist",
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(col("__s").asc, col("neighbor_id").asc))
-    scored
       .withColumn("__s", scoreCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("__s"), 6).as(outName))
+    rankPerQuery(scored, k, corpus.schema(idCol).dataType, outName,
+      ascending = ascending, nativeTopK = nativeTopK)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Per-group elementwise mean vector (e.g. label centroids — the

@@ -74,12 +74,34 @@ object Urls {
   }
 
   /** One row per canonical URL: the survivor with the smallest
-    * `idCol` (deterministic first-crawl-wins). One shuffle, keyed on
-    * the canonical URL. */
-  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    * `idCol` (deterministic first-crawl-wins; `idCol` must be non-null
+    * and unique per canonical URL — the same premise [[hostCap]]
+    * rests on). One shuffle, keyed on the canonical URL, with O(1)
+    * aggregation state per key: first-crawl-wins is a `min_by` partial
+    * aggregate (each map task keeps ONE candidate row per URL), so a
+    * hotlinked/mirrored canonical URL with millions of crawls — the
+    * same Zipf head [[hostCap]] guards against one level up — never
+    * lands all its rows on a single rank-window task. `nativeDedup =
+    * false` keeps the per-URL rank-window arm (the A/B shape; the
+    * single-task cliff under URL skew). */
+  def dedupByUrl(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      nativeDedup: Boolean = true): DataFrame = {
     val c = canonicalize(df, urlCol)
-    val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
-    c.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    if (nativeDedup) {
+      val rest = c.columns.filter(_ != "canonical_url")
+      c.groupBy(col("canonical_url"))
+        .agg(min_by(struct(rest.map(col): _*), col(idCol)).as("__r"))
+        // restore the canonicalize() output order (id cols …, host,
+        // canonical_url) — the group key moves first in the agg output
+        .select(c.columns.map(n =>
+          if (n == "canonical_url") col(n) else col(s"__r.$n").as(n)): _*)
+    } else {
+      val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
+      c.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Keeps at most `maxPerHost` documents per host (smallest-id
@@ -110,8 +132,9 @@ object Urls {
       nativeCap: Boolean = true): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
     val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-      .contains(idType.simpleString),
+    // type check on the DataType itself (simpleString says "tinyint"/
+    // "smallint" for byte/short — a literal list misses them)
+    require(Similarity.isIntegralId(idType),
       s"hostCap needs an integral id column, got $idCol: ${idType.simpleString}")
     val c = canonicalize(df, urlCol)
     if (nativeCap) {

@@ -72,11 +72,8 @@ object VideoDedup {
       }: _*)).as("bk"))
       .select(col("media_id"), col("frame_no"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val guarded = keyed
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("frame_no"), col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val guarded = BandedHamming.dropOverCap(keyed,
+      Seq("frame_no", "band", "key"), maxBucket)
     val cand = guarded.as("l")
       .join(guarded.as("r"),
         col("l.frame_no") === col("r.frame_no") && col("l.band") === col("r.band") &&
@@ -136,6 +133,39 @@ object VideoDedup {
       minOverlap: Int = 2,
       maxBucket: Int = 10000): DataFrame =
     BandedHamming.nearDuplicatesAligned(frames, maxPerFrameHamming, minOverlap, maxBucket)
+
+  /** WIDE per-frame hashes: [[ImageDedup.dHashWide]]'s 17×16-grid
+    * 256-bit hash per frame, `(media_id, frame_no, w0..w7)` — the
+    * layout the offset-tolerant join wants at scale: dropping
+    * frame_no from its collision key widens buckets nFrames×, so the
+    * 16-bit band keyspace saturates nFrames× sooner than the
+    * still-image bound, and the 2^32-per-band wide layout is the
+    * remedy (plus per-frame exactness to Hamming ≤ 7 from the 8-band
+    * pigeonhole). Frames need ≥ 17×16 px for every grid cell to own a
+    * pixel. Partition-local — the AVI payload never shuffles. */
+  def frameHashesWide(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.AviCodec.readFrames(r.payload).iterator.map { case (f, img) =>
+          val b = ImageDedup.dHashWideBands(img)
+          (r.media_id, f, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
+        }
+      }
+    }.toDF("media_id" +: "frame_no" +: BandedHamming.WideBands: _*)
+  }
+
+  /** Offset-tolerant near-duplicates over a [[frameHashesWide]] table
+    * — exact per overlapping window for per-frame Hamming ≤ 7, band
+    * keys in a 2^32 space. */
+  def nearDuplicatesAlignedWide(
+      frames: DataFrame,
+      maxPerFrameHamming: Int = 7,
+      minOverlap: Int = 2,
+      maxBucket: Int = 10000): DataFrame =
+    BandedHamming.nearDuplicatesAlignedOver(frames, BandedHamming.WideBands,
+      maxPerFrameHamming, minOverlap, maxBucket)
 
   /** Keep/drop decision per clip over [[nearDuplicates]] pairs — see
     * [[ImageDedup.keepTable]] (same clustering machinery; the id

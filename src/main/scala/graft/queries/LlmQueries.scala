@@ -884,6 +884,45 @@ object LlmQueries extends QueryModule {
               |       coalesce(c.component, d.doc_id) = d.doc_id AS keep
               |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
 
+    // ----- the FULL incremental dedup journey: at-rest labels of the
+    // accumulated corpus + incremental pairs of the new batch →
+    // incremental label maintenance → keep/drop decision. The entire
+    // decision is computed WITHOUT re-pairing old×old and WITHOUT
+    // re-running connected components over the accumulated pair set
+    // (DedupClusters.updateComponents contracts old components to
+    // super-nodes and runs CC on the increment-sized graph only). The
+    // oracle is the from-scratch full-batch replay — the exact
+    // recursive-CTE SQL of q_doc_dedup_clusters — so the whole
+    // incremental path is pinned equal to the ground-up recompute. -----
+    GraftQuery(
+      "q_doc_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 5 === 0)
+        val oldLabels = DedupClusters.connectedComponentsGraphX(
+          MinHash.nearDuplicates(oldDocs, "doc_id", "text", n = 3, threshold = 0.01),
+          "id_a", "id_b")
+        val newPairs = MinHash.nearDuplicatesIncremental(
+          newDocs, "doc_id", "text",
+          MinHash.shingleIndex(oldDocs, "doc_id", "text", n = 3),
+          n = 3, threshold = 0.01)
+        DedupClusters.keepTableIncremental(docs, oldLabels, newPairs, "doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashNdCtes(0.01)},
+              |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+              |          UNION SELECT id_b, id_a FROM nd),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+              |         FROM reach GROUP BY u)
+              |SELECT d.doc_id,
+              |       coalesce(c.component, d.doc_id) AS cluster_id,
+              |       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+              |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
+
     // ----- SimHash fingerprints (shuffle-free per-doc bits) -----
     GraftQuery(
       "q_doc_simhash",
@@ -1636,6 +1675,61 @@ object LlmQueries extends QueryModule {
            |  WHERE $cosAB >= 0.4)
            |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
            |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
+      }),
+
+    // ----- INCREMENTAL SemDeDup: a new batch (vec_id % 5 == 0)
+    // deduplicated against the at-rest cell index of the accumulated
+    // corpus — old×old never re-pairs; the output is the new batch's
+    // decisions plus the at-rest delta (previously-kept old vectors a
+    // smaller new id now shadows). The oracle replays the SHARED
+    // old-corpus codebook, assigns the union, and derives both row
+    // classes from the full pair relation — so a wrong drop rule,
+    // a moved cell boundary, or a missed/invented delta row all
+    // mismatch. -----
+    GraftQuery(
+      "q_emb_semdedup_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val isNew = col("vec_id") % 5 === 0
+        val oldEmb = emb.filter(!isNew)
+        val codebook = Similarity.coarseCodebook(oldEmb, "vec_id", "embedding", 8)
+        val index = Similarity
+          .semDeDupWithCodebook(oldEmb, "vec_id", "embedding", 0.4, codebook)
+          .join(oldEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell"), col("keep"))
+        Similarity.semDeDupIncremental(
+          emb.filter(isNew), index, codebook, "vec_id", "embedding", 0.4)
+      },
+      Some {
+        val cosAC = Similarity.cosineSql("v.embedding", "ct.embedding")
+        val cosAB = Similarity.cosineSql("a.embedding", "b.embedding")
+        s"""WITH cents AS (
+           |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR))) - 1 AS cell,
+           |         embedding
+           |  FROM embeddings WHERE vec_id % 5 <> 0
+           |  ORDER BY md5(cast(vec_id AS VARCHAR)) LIMIT 8),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT v.vec_id, v.embedding, ct.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY $cosAC DESC, ct.cell ASC) AS crn
+           |    FROM embeddings v CROSS JOIN cents ct) WHERE crn = 1),
+           |prs AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb
+           |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE $cosAB >= 0.4),
+           |drp_new AS (SELECT DISTINCT idb FROM prs WHERE idb % 5 = 0),
+           |old_by_new AS (SELECT DISTINCT idb FROM prs
+           |               WHERE idb % 5 <> 0 AND ida % 5 = 0),
+           |old_by_old AS (SELECT DISTINCT idb FROM prs
+           |               WHERE idb % 5 <> 0 AND ida % 5 <> 0)
+           |SELECT a.vec_id, a.cell, (d.idb IS NULL) AS keep
+           |FROM asg a LEFT JOIN drp_new d ON a.vec_id = d.idb
+           |WHERE a.vec_id % 5 = 0
+           |UNION ALL
+           |SELECT a.vec_id, a.cell, false AS keep
+           |FROM asg a JOIN old_by_new n ON a.vec_id = n.idb
+           |WHERE a.vec_id NOT IN (SELECT idb FROM old_by_old)""".stripMargin
       }),
 
     // ----- product-quantization ANN: encoded corpus + ADC lookup -----
@@ -3070,6 +3164,149 @@ object LlmQueries extends QueryModule {
            |HAVING count(*) >= 3 AND max(fh) <= 3""".stripMargin
       }),
 
+    // ----- offset-tolerant VIDEO dedup on the WIDE 256-bit per-frame
+    // layout. The aligned mode's collision key deliberately drops
+    // frame_no, widening buckets nFrames× — so the 16-bit band
+    // saturation arrives nFrames× sooner, and the 8 × 32-bit layout
+    // is the production remedy (2^32 keys per band, per-frame
+    // exactness to Hamming ≤ 7). Fixture: 8 patterns at 34×33 (every
+    // 17×16-grid cell owns pixels) — full 6-frame cuts plus trims at
+    // frames 2..5 and 1..4, alignments at offsets +2/+1/−1. The
+    // oracle brute-forces every (pair, offset) per-frame 256-bit
+    // Hamming from the pixel formula. -----
+    GraftQuery(
+      "q_media_vhash_offset_wide",
+      (s, _) => {
+        import s.implicits._
+        val corpus = s.range(24).map { id =>
+          val pid = (id % 8).toInt
+          val (start, n) = if (id < 8) (0, 6) else if (id < 16) (2, 4) else (1, 4)
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticAviBlocks(pid, start, n, 34, 33), "video/avi", 34, 33)
+        }
+        VideoDedup.nearDuplicatesAlignedWide(VideoDedup.frameHashesWide(corpus),
+          maxPerFrameHamming = 7, minOverlap = 3)
+      },
+      Some {
+        val pid = "(g.media_id % 8)"
+        val f = "(g.fstart + g.j)"
+        val add = s"(CASE WHEN ((((sx * 4) // w + 4 * ((sy * 4) // h)) * 7 + $pid + $f) " +
+          "% 16) < 5 THEN 128 ELSE 0 END)"
+        val rE = s"((7 * sx + 13 * sy + 5 * $f + $pid) % 256) // 2 + $add"
+        val gE = s"((3 * sx + 5 * sy + 7 * $f + 2 * $pid) % 256) // 2 + $add"
+        val bE = s"((11 * sx + 17 * sy + 19 * $f + 3 * $pid) % 256) // 2 + $add"
+        val bandSum = (0 until 8).map(k =>
+          s"CAST(sum(CASE WHEN bj // 32 = $k THEN bit * (CAST(1 AS BIGINT) << (bj % 32)) " +
+            s"ELSE 0 END) AS BIGINT) AS w$k").mkString(",\n           |    ")
+        val xorSum = (0 until 8).map(k =>
+          s"CAST(bit_count(xor(a.w$k, b.w$k)) AS BIGINT)").mkString(" +\n           |         ")
+        s"""WITH dims AS (
+           |  SELECT id AS media_id, 34 AS w, 33 AS h,
+           |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 2 ELSE 1 END AS fstart,
+           |    CASE WHEN id < 8 THEN 6 ELSE 4 END AS nf
+           |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
+           |g AS (
+           |  SELECT d.media_id, d.w, d.h, d.fstart, fr.j,
+           |         CAST(xs.sx AS BIGINT) AS sx, CAST(ys.sy AS BIGINT) AS sy
+           |  FROM dims d
+           |  JOIN (SELECT unnest(generate_series(0, 5)) AS j) fr ON fr.j < d.nf
+           |  JOIN (SELECT unnest(generate_series(0, 33)) AS sx) xs ON xs.sx < d.w
+           |  JOIN (SELECT unnest(generate_series(0, 32)) AS sy) ys ON ys.sy < d.h),
+           |cells AS (
+           |  SELECT media_id, j, (sx * 17) // w AS cx, (sy * 16) // h AS cy,
+           |         sum((($rE) * 299 + ($gE) * 587 + ($bE) * 114) // 1000) AS s,
+           |         count(*) AS n
+           |  FROM g GROUP BY media_id, j, (sx * 17) // w, (sy * 16) // h),
+           |bits AS (
+           |  SELECT a.media_id, a.j, a.cy * 16 + a.cx AS bj,
+           |         CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+           |  FROM cells a JOIN cells b
+           |    ON a.media_id = b.media_id AND a.j = b.j AND a.cy = b.cy
+           |       AND b.cx = a.cx + 1
+           |  WHERE a.cx < 16),
+           |fhx AS (
+           |  SELECT media_id, j,
+           |    $bandSum
+           |  FROM bits GROUP BY media_id, j),
+           |offs AS (SELECT unnest(generate_series(-5, 5)) AS off),
+           |ph AS (
+           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
+           |         $xorSum AS fh
+           |  FROM fhx a CROSS JOIN offs o JOIN fhx b
+           |    ON a.media_id < b.media_id AND a.j = b.j + o.off)
+           |SELECT media_id_a, media_id_b, CAST(off AS BIGINT) AS "offset",
+           |       CAST(count(*) AS BIGINT) AS n_overlap,
+           |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
+           |FROM ph GROUP BY media_id_a, media_id_b, off
+           |HAVING count(*) >= 3 AND max(fh) <= 7""".stripMargin
+      }),
+
+    // ----- offset-tolerant AUDIO dedup on the WIDE layout: 257
+    // length-relative windows per fixed 260-sample frame → 256 bits
+    // as 8 × 32-bit bands. Fixture: 8 absolute-index recordings —
+    // full 4-frame clips (1040 samples), trims at 260.. (3 frames)
+    // and 520.. (2 frames) — alignments at offsets +1/+2/+1. The
+    // oracle brute-forces every (pair, offset) 256-bit frame Hamming
+    // from the sample formula. -----
+    GraftQuery(
+      "q_media_ahash_offset_wide",
+      (s, _) => {
+        import s.implicits._
+        val corpus = s.range(24).map { id =>
+          val pid = (id % 8).toInt
+          val (start, n) = if (id < 8) (0, 1040) else if (id < 16) (260, 780) else (520, 520)
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticWavAbs(pid, start, n), "audio/wav", n, 1)
+        }
+        AudioDedup.nearDuplicatesAlignedWide(
+          AudioDedup.frameHashesWide(corpus, frameSamples = 260),
+          maxPerFrameHamming = 7, minOverlap = 2)
+      },
+      Some {
+        val pid = "(sm.media_id % 8)"
+        val v = s"(((31 + 2 * $pid) * sm.a + 17 * $pid) % 2001) + " +
+          s"(CASE WHEN (((sm.a // 64) * 7 + 5 * $pid) % 16) < 5 THEN 12000 ELSE 0 END)"
+        val bandSum = (0 until 8).map(k =>
+          s"CAST(sum(CASE WHEN j // 32 = $k THEN bit * (CAST(1 AS BIGINT) << (j % 32)) " +
+            s"ELSE 0 END) AS BIGINT) AS w$k").mkString(",\n           |    ")
+        val xorSum = (0 until 8).map(k =>
+          s"CAST(bit_count(xor(a.w$k, b.w$k)) AS BIGINT)").mkString(" +\n           |         ")
+        s"""WITH dims AS (
+           |  SELECT id AS media_id,
+           |    CASE WHEN id < 8 THEN 0 WHEN id < 16 THEN 260 ELSE 520 END AS sstart,
+           |    CASE WHEN id < 8 THEN 1040 WHEN id < 16 THEN 780 ELSE 520 END AS n
+           |  FROM (SELECT unnest(generate_series(0, 23)) AS id)),
+           |sm AS (
+           |  SELECT d.media_id, s.i, CAST(d.sstart + s.i AS BIGINT) AS a
+           |  FROM dims d
+           |  JOIN (SELECT unnest(generate_series(0, 1039)) AS i) s ON s.i < d.n),
+           |env AS (
+           |  SELECT media_id, i // 260 AS f, ((i % 260) * 257) // 260 AS w,
+           |         sum(abs($v)) AS e
+           |  FROM sm GROUP BY media_id, i // 260, ((i % 260) * 257) // 260),
+           |bits AS (
+           |  SELECT a.media_id, a.f, a.w AS j,
+           |         CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+           |  FROM env a JOIN env b
+           |    ON a.media_id = b.media_id AND a.f = b.f AND b.w = a.w + 1
+           |  WHERE a.w < 256),
+           |fhx AS (
+           |  SELECT media_id, f,
+           |    $bandSum
+           |  FROM bits GROUP BY media_id, f),
+           |offs AS (SELECT unnest(generate_series(-3, 3)) AS off),
+           |ph AS (
+           |  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, o.off,
+           |         $xorSum AS fh
+           |  FROM fhx a CROSS JOIN offs o JOIN fhx b
+           |    ON a.media_id < b.media_id AND a.f = b.f + o.off)
+           |SELECT media_id_a, media_id_b, CAST(off AS BIGINT) AS "offset",
+           |       CAST(count(*) AS BIGINT) AS n_overlap,
+           |       CAST(max(fh) AS BIGINT) AS max_frame_hamming
+           |FROM ph GROUP BY media_id_a, media_id_b, off
+           |HAVING count(*) >= 2 AND max(fh) <= 7""".stripMargin
+      }),
+
     // ----- multimodal: audio envelope hash over REAL WAV decodes —
     // the audio analog of q_media_dhash. 96 synthetic clips carry 24
     // loud-segment patterns (seed = id % 24): ids 0..47 two
@@ -3204,7 +3441,8 @@ object LlmQueries extends QueryModule {
           lit("</li><li><a href=\"/x"), (id % 5).cast("string"),
           lit("\">go to page "), (id % 5).cast("string"),
           lit("</a></li></ul><p>Price &#163;"), (id % 4).cast("string"),
-          lit(" caf&#233; &#x41; &#1000000; raw&#60x</p><br/>footer text</div></body></html>"))
+          lit(" caf&#233; &#x41; &#1000000; raw&#60x x&#38;amp;y</p>" +
+            "<br/>footer text</div></body></html>"))
         graft.llm.HtmlExtract.extract(
           Tables.documents(s, d).select(id, html.as("html")), "html")
           .select(col("doc_id"), col("title"), col("text"), col("link_density"))
@@ -3222,7 +3460,7 @@ object LlmQueries extends QueryModule {
           |      h2 || ' & tail' || chr(10) || 'item ' || (doc_id % 3) || chr(10) ||
           |      'go to page ' || (doc_id % 5) || chr(10) ||
           |      'Price ' || chr(163) || (doc_id % 4) || ' caf' || chr(233) ||
-          |      ' A &#1000000; raw&#60x' || chr(10) || 'footer text' AS text
+          |      ' A &#1000000; raw&#60x x&amp;y' || chr(10) || 'footer text' AS text
           |  FROM d2)
           |SELECT doc_id, title, text,
           |  CAST(round(CAST(CAST(length('go to page ' || (doc_id % 5)) AS DOUBLE)

@@ -624,6 +624,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"host cap lost its map-side k-bounded combine:\n${aggs.mkString("\n")}")
   }
 
+  test("banded maxBucket guard never windows: over-cap keys drop via broadcast anti-join") {
+    import spark.implicits._
+    // images (BandedHamming), video (frame-keyed), and the embedding
+    // LSH guard all share the skew-safe dropOverCap shape — a count
+    // window here would land a saturated bucket's every row on ONE task
+    val media = spark.range(64).map { id =>
+      graft.llm.Multimodal.MediaRow(id,
+        graft.llm.Multimodal.syntheticPngBlocks(id % 16, 9, 8), "image/png", 9, 8)
+    }
+    val img = graft.llm.ImageDedup.nearDuplicates(
+      graft.llm.ImageDedup.dHash(media), maxHamming = 3, maxBucket = 8)
+    img.collect()
+    val p1 = img.queryExecution.executedPlan.toString
+    assert(!p1.contains("Window"),
+      s"image guard regressed to a count window (hot bucket on one task):\n$p1")
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"over-cap keys must drop via a broadcast anti-join:\n$p1")
+    val emb = Tables.embeddings(spark, sf)
+    val sem = graft.llm.Similarity.nearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, maxBucket = Some(50))
+    sem.collect()
+    val p2 = sem.queryExecution.executedPlan.toString
+    assert(!p2.contains("Window"),
+      s"embedding LSH guard regressed to a count window:\n$p2")
+  }
+
+  test("url dedup picks survivors via a min_by partial agg, never a per-url window") {
+    val urls = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("https://mirror.example.com/p/"), (col("id") % 50).cast("string"))
+        .as("url"))
+    val df = graft.llm.Urls.dedupByUrl(urls, "doc_id", "url")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "dedupByUrl regressed to a per-url rank window — a hotlinked " +
+        s"canonical URL would land on one task at crawl scale:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      s"first-crawl-wins lost its partial aggregation:\n$p")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))

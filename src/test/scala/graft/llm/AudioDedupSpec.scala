@@ -112,4 +112,42 @@ class AudioDedupSpec extends AnyFunSuite {
     val same = (0L until 8L).count(p => h(p) == h(p + 8))
     assert(same <= 2, s"trims should rarely collide with their source whole-clip hash")
   }
+
+  /** The wide fixture: stride 260 ≥ 257 windows — full 4-frame clips
+    * plus trims at 260.. and 520.. (stride multiples). */
+  private def trimmedCorpusWide = spark.range(24).map { id =>
+    val pid = (id % 8).toInt
+    val (start, n) = if (id < 8) (0, 1040) else if (id < 16) (260, 780) else (520, 520)
+    Multimodal.MediaRow(id, Multimodal.syntheticWavAbs(pid, start, n), "audio/wav", n, 1)
+  }
+
+  test("wide (8×32-bit) aligned join equals the brute-force 256-bit offset scan") {
+    val fh = AudioDedup.frameHashesWide(trimmedCorpusWide, frameSamples = 260)
+    val got = AudioDedup.nearDuplicatesAlignedWide(fh,
+      maxPerFrameHamming = 7, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val h = fh.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      (2 to 9).map(r.getLong)).toMap
+    val ids = h.keys.map(_._1).toSeq.distinct.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      off <- -3L to 3L
+      pairs = h.keys.filter(_._1 == a).map(_._2)
+        .flatMap(fa => h.get((b, (fa - off).toInt)).map(bb => (h((a, fa)), bb)))
+      if pairs.size >= 2
+      maxFh = pairs.map { case (x, y) =>
+        x.zip(y).map { case (u, v) => java.lang.Long.bitCount(u ^ v) }.sum }.max
+      if maxFh <= 7
+    } yield (a, b, off, pairs.size.toLong, maxFh.toLong)).toSet
+    assert(got === brute)
+    (0L until 8L).foreach { p =>
+      assert(brute.contains((p, p + 8, 1L, 3L, 0L)),
+        s"full vs trim-at-260 of pattern $p aligns at +1 over 3 frames")
+      assert(brute.contains((p, p + 16, 2L, 2L, 0L)),
+        s"full vs trim-at-520 of pattern $p aligns at +2 over 2 frames")
+      assert(brute.contains((p + 8, p + 16, 1L, 2L, 0L)),
+        s"the two trims of pattern $p align at +1 over 2 frames")
+    }
+  }
 }

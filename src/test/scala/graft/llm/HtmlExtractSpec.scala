@@ -71,6 +71,13 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(text === "a &#60; b &c")
   }
 
+  test("numeric ampersands never cascade: &#38;amp; is the literal '&amp;'") {
+    // the numeric pass emits a sentinel for codepoint 38, released to
+    // '&' only AFTER the &amp; pass — so its output is never re-decoded
+    val (_, text, _) = run("<body>x &#38;amp; y &#x26;lt; z &#38; w</body>")
+    assert(text === "x &amp; y &lt; z & w")
+  }
+
   test("numeric entities decode inside titles and anchor accounting") {
     val (title, _, ld) = run(
       "<html><head><title>caf&#233;</title></head>" +

@@ -163,4 +163,42 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(got === brute)
     assert(brute.nonEmpty)
   }
+
+  /** The wide fixture: the trim recipe at 34×33 so every 17×16-grid
+    * cell owns pixels. */
+  private def trimmedCorpusWide = spark.range(24).map { id =>
+    val pid = (id % 8).toInt
+    val (start, n) = if (id < 8) (0, 6) else if (id < 16) (2, 4) else (1, 4)
+    Multimodal.MediaRow(id,
+      Multimodal.syntheticAviBlocks(pid, start, n, 34, 33), "video/avi", 34, 33)
+  }
+
+  test("wide aligned join equals the brute-force 256-bit offset scan") {
+    val fh = VideoDedup.frameHashesWide(trimmedCorpusWide)
+    val got = VideoDedup.nearDuplicatesAlignedWide(fh,
+      maxPerFrameHamming = 7, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val h = fh.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      (2 to 9).map(r.getLong)).toMap
+    val ids = h.keys.map(_._1).toSeq.distinct.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      off <- -5L to 5L
+      pairs = h.keys.filter(_._1 == a).map(_._2)
+        .flatMap(fa => h.get((b, (fa - off).toInt)).map(bb => (h((a, fa)), bb)))
+      if pairs.size >= 2
+      maxFh = pairs.map { case (x, y) =>
+        x.zip(y).map { case (u, v) => java.lang.Long.bitCount(u ^ v) }.sum }.max
+      if maxFh <= 7
+    } yield (a, b, off, pairs.size.toLong, maxFh.toLong)).toSet
+    assert(got === brute)
+    // the planted trims must all surface (full-vs-trim2 at +2,
+    // full-vs-trim1 at +1, trim2-vs-trim1 at −1, per pattern)
+    (0L until 8L).foreach { p =>
+      assert(brute.contains((p, p + 8, 2L, 4L, 0L)))
+      assert(brute.contains((p, p + 16, 1L, 4L, 0L)))
+      assert(brute.contains((p + 8, p + 16, -1L, 3L, 0L)))
+    }
+  }
 }
