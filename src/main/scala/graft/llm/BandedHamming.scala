@@ -44,7 +44,7 @@ object BandedHamming {
     * exists for); the partial aggregation counts map-side and the
     * crawl-sized relation never funnels through the hot key at all.
     * Same drops, bit-identical survivors. */
-  private[llm] def dropOverCap(
+  private[graft] def dropOverCap(
       keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val over = keyed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))

@@ -3023,6 +3023,61 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""".stripMargin)),
 
+    // ----- the COMPOSED incremental media journey, pinned as ONE row:
+    // decode → DCT pHash → incremental pairing of the new batch
+    // (media_id % 5 == 0) against the accumulated corpus's at-rest
+    // hash table → incremental keep-table maintenance over the
+    // at-rest labels. The media twin of q_doc_dedup_incremental: the
+    // entire daily-increment decision — no old×old pairing, no
+    // full-pair-set clustering — must equal the from-scratch batch
+    // replay (brute-force Hamming pairs → RECURSIVE reachability →
+    // per-cluster min) that the oracle derives from the pixel
+    // formula. A drift in ANY stage (hash bits, incremental candidate
+    // union, contraction relabel) mismatches. -----
+    GraftQuery(
+      "q_media_journey_incremental",
+      (s, _) => {
+        import s.implicits._
+        val corpus = dhashWideCorpus(s)
+        val hashes = PHashDct.hash(corpus)
+        val isNew = col("media_id") % 5 === 0
+        val oldHashes = hashes.filter(!isNew)
+        val newHashes = hashes.filter(isNew)
+        val oldLabels = DedupClusters.connectedComponentsGraphX(
+          PHashDct.nearDuplicates(oldHashes, maxHamming = 3)
+            .select(col("media_id_a"), col("media_id_b")),
+          "media_id_a", "media_id_b")
+        val newPairs = BandedHamming.nearDuplicatesIncremental(
+          newHashes, oldHashes, maxHamming = 3)
+          .select(col("media_id_a"), col("media_id_b"))
+        DedupClusters.keepTableIncremental(
+          hashes.select(col("media_id")), oldLabels, newPairs,
+          "media_id", "media_id_a", "media_id_b")
+      },
+      Some(
+        s"""WITH RECURSIVE $dhashWideDimsSql,
+           |${PHashDct.hashSql(dhashR, dhashG, dhashB)},
+           |nd AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM px a JOIN px b ON a.media_id < b.media_id
+           |  WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |        bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+           |          UNION SELECT id_b, id_a FROM nd),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS media_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u)
+           |SELECT ids.media_id,
+           |       coalesce(c.component, ids.media_id) AS cluster_id,
+           |       coalesce(c.component, ids.media_id) = ids.media_id AS keep
+           |FROM (SELECT DISTINCT media_id FROM px) ids
+           |LEFT JOIN comp c USING (media_id)""".stripMargin)),
+
     // ----- offset-tolerant video near-dup: trimmed copies of the
     // same cut. Fixture: 8 patterns at fixed 12×10 — ids 0..7 the
     // full 6-frame cut, ids 8..15 the same cut trimmed to frames

@@ -45,7 +45,48 @@ object BandSaturation {
             s""""capped_pairs":${r.getLong(1)},"max_bucket":${r.getLong(3)}}"""
         }
     }
-    println(s"""{"metric":"band_saturation","cap":$cap,"rows":[${rows.mkString(",")}]}""")
+
+    // ----- guard-SHAPE A/B: a manufactured hot key (every 2nd item
+    // shares one hash → a 20M-row bucket per band — the Zipf-head
+    // geometry the cap exists for). The old count-window guard lands
+    // that bucket's every row on ONE task just to count-and-drop it;
+    // the production groupBy + broadcast anti-join counts map-side.
+    // Both arms consume the guarded relation; drops are identical by
+    // construction. (At 2M items / 500k-row hot bucket the two arms
+    // measured a wash locally — the cliff prices in once the hot
+    // bucket outgrows one task's comfortable sort, hence this tier.) -----
+    val nG = 40000000L
+    val skewed = spark.range(nG).select(
+      col("id").as("media_id") +:
+        (0 until 4).map(k => when(col("id") % 2 === 0, lit(12345L))
+          .otherwise(shiftright(xxhash64(col("id")), 16 * k)
+            .bitwiseAND(lit(0xFFFFL))).as(s"b$k")): _*)
+    def keyed = skewed.select(col("media_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").cast("long").as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    def timeArm(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      mk().count() // warm-up
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val c = mk().count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }.minBy(_._1) match { case (t, c) => (math.rint(t * 1000) / 1000, c) }
+    }
+    val (tG, cG) = timeArm(() =>
+      graft.llm.BandedHamming.dropOverCap(keyed, Seq("band", "key"), cap))
+    val (tW, cW) = timeArm { () =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+      keyed.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= cap).drop("__n")
+    }
+    require(cG == cW, s"guard arms disagree: $cG vs $cW")
+    val guardJson = s""""guard_ab":{"n":$nG,"hot_rows_per_band":${nG / 2},""" +
+      s""""survivors":$cG,"groupby_sec":$tG,"window_sec":$tW}"""
+
+    println(s"""{"metric":"band_saturation","cap":$cap,""" +
+      s"""$guardJson,"rows":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -106,6 +106,21 @@ object CurationSoak {
         d => (((col("id") * 37 + d * 101) % 997) / lit(997.0) - 0.5).cast("float"))
         .as("embedding"))
 
+    // at-rest SemDeDup cell index (codebook + assignments + keep) for
+    // the incremental-semantic-dedup A/B — build-once, serve-every-
+    // increment, the same production shape as the SQ8/shingle indexes
+    val semIdxDir = "/tmp/graft_semidx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("semdedup_incremental"))) {
+      val oldE = emb.filter(col("vec_id") % 5 =!= 0)
+      val cb = Similarity.coarseCodebook(oldE, "vec_id", "embedding", scaledCells)
+      cb.write.mode("overwrite").parquet(s"$semIdxDir/codebook")
+      Similarity.semDeDupWithCodebook(oldE, "vec_id", "embedding", 0.4,
+          spark.read.parquet(s"$semIdxDir/codebook"))
+        .join(oldE.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"), col("keep"))
+        .write.mode("overwrite").parquet(s"$semIdxDir/index")
+    }
+
     // at-rest shingle index for the incremental-dedup A/B (build-once,
     // serve-every-increment — the production shape, like the SQ8 index)
     val shingleIndexDir = "/tmp/graft_shidx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
@@ -245,6 +260,35 @@ object CurationSoak {
       "exact_ann_1m_window" -> { () =>
         Similarity.topKCosine(bigEmb, bigEmb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, nativeTopK = false)
+      },
+      // the SHORTLIST-ranker A/B on the clustered corpus — the regime
+      // where per-bucket shortlists concentrate (the r11 MoG
+      // measurement) and the per-query window's empirical bound is
+      // weakest: bounded-agg tail (production default) vs window arm
+      "lsh_ann_mog" -> { () =>
+        val mog = ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding")
+        Similarity.topKCosineBucketed(mog, mog.filter(col("vec_id") < 256),
+          "vec_id", "embedding", k = 5)
+      },
+      "lsh_ann_mog_window" -> { () =>
+        val mog = ClusteredCorpus.mixtureOfGaussians(emb, "vec_id", "embedding")
+        Similarity.topKCosineBucketed(mog, mog.filter(col("vec_id") < 256),
+          "vec_id", "embedding", k = 5, nativeTopK = false)
+      },
+      // incremental SemDeDup: the 20% "daily increment" scored against
+      // the at-rest cell index (codebook + assignments + keep flags,
+      // built once above) vs re-running the whole-corpus batch dedup
+      // under the same codebook — the absent old×old in-cell pair work
+      "semdedup_incremental" -> { () =>
+        Similarity.semDeDupIncremental(
+          emb.filter(col("vec_id") % 5 === 0),
+          spark.read.parquet(s"$semIdxDir/index"),
+          spark.read.parquet(s"$semIdxDir/codebook"),
+          "vec_id", "embedding", 0.4)
+      },
+      "semdedup_batch_rerun" -> { () =>
+        Similarity.semDeDupWithCodebook(emb, "vec_id", "embedding", 0.4,
+          spark.read.parquet(s"$semIdxDir/codebook"))
       },
       // per-host crawl cap under a manufactured Zipf head (half the
       // corpus on ONE host): the bounded-agg survivor pick (production

@@ -93,6 +93,43 @@ object IncrementalCcSoak {
         DedupClusters.componentDelta(labels, incPairs).count()))
       .map { case (name, run) => name -> timed(run) }
 
+    // ----- the 100× tier: a synthetic accumulated graph big enough
+    // that the label pass itself costs something (the sf1 near-dup
+    // graph is 257k pairs — sub-second either way, overhead-dominated).
+    // 20M old nodes in 4M 5-node chains (16M pairs), a 1% increment
+    // (200k new nodes, each linking one old node + a few new-new
+    // chains). full_recompute re-runs CC over ALL 16.2M pairs;
+    // incremental contracts to a ≤400k-node graph. -----
+    val nBig = 20000000L
+    val bigBase = s"$base/big"
+    spark.range(nBig).filter(col("id") % 5 =!= 4)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .write.mode("overwrite").parquet(s"$bigBase/old_pairs")
+    DedupClusters.connectedComponentsGraphX(
+        spark.read.parquet(s"$bigBase/old_pairs"), "id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$bigBase/labels")
+    spark.range(nBig, nBig + 200000L)
+      .select(col("id").as("id_a"), ((col("id") * 97) % nBig).as("id_b"))
+      .union(spark.range(nBig, nBig + 200000L).filter(col("id") % 2 === 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
+      .write.mode("overwrite").parquet(s"$bigBase/inc_pairs")
+    spark.read.parquet(s"$bigBase/old_pairs")
+      .unionByName(spark.read.parquet(s"$bigBase/inc_pairs"))
+      .write.mode("overwrite").parquet(s"$bigBase/all_pairs")
+    val bigArms = Seq(
+      "big_full_recompute" -> (() =>
+        DedupClusters.connectedComponentsGraphX(
+          spark.read.parquet(s"$bigBase/all_pairs"), "id_a", "id_b").count()),
+      "big_incremental" -> (() =>
+        DedupClusters.updateComponents(
+          spark.read.parquet(s"$bigBase/labels"),
+          spark.read.parquet(s"$bigBase/inc_pairs")).count()),
+      "big_incremental_delta" -> (() =>
+        DedupClusters.componentDelta(
+          spark.read.parquet(s"$bigBase/labels"),
+          spark.read.parquet(s"$bigBase/inc_pairs")).count()))
+      .map { case (name, run) => name -> timed(run) }
+
     // ----- narrow vs wide aligned bucket cost, same corpus + cap -----
     val nClips = docs.count()
     val videoDir = s"$base/video_wide"
@@ -125,7 +162,8 @@ object IncrementalCcSoak {
 
     val nInc = incPairs.count()
     val nAll = allPairs.count()
-    val armJson = arms.map { case (n, (s, r)) => s""""$n":{"sec":$s,"rows":$r}""" }
+    val armJson = (arms ++ bigArms)
+      .map { case (n, (s, r)) => s""""$n":{"sec":$s,"rows":$r}""" }
       .mkString(",")
     println(s"""{"metric":"incremental_cc_soak","all_pairs":$nAll,""" +
       s""""inc_pairs":$nInc,$armJson,""" +
