@@ -59,4 +59,60 @@ object Jaccard {
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** INCREMENTAL n-gram Jaccard near-dup: a NEW batch against the
+    * accumulated corpus's at-rest [[MinHash.shingleIndex]] — the SAME
+    * (id, shingle-hash) artifact the incremental MinHash path serves
+    * from, so one stored index feeds both dedup flavors. Bit-identical
+    * to [[nearDuplicates]] over old ∪ new restricted to pairs with
+    * ≥ 1 new doc: the `maxDf` boilerplate cap counts document
+    * frequency over the UNION (exactly the batch df), candidates are
+    * new×old + new×new inverted-index collisions (old×old never
+    * joins), and the exact-Jaccard verify reads only the index rows
+    * the candidate pairs touch. Ids must be disjoint. */
+  def nearDuplicatesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.1,
+      maxDf: Int = 50,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val shNew = MinHash.shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
+    val shOld = index.toDF(idCol, "h")
+    val over = shNew.select(col("h")).unionByName(shOld.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    // using-columns joins move the key first — re-select by name
+    val gN = shNew.join(broadcast(over), Seq("h"), "left_anti")
+      .select(col(idCol), col("h"))
+    val gO = shOld.join(broadcast(over), Seq("h"), "left_anti")
+      .select(col(idCol), col("h"))
+    val newOld = gN.toDF("id_n", "h")
+      .join(gO.toDF("id_o", "h"), Seq("h"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newNew = gN.toDF("id_a", "h")
+      .join(gN.toDF("id_b", "h"), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val pairs = newOld.unionByName(newNew).distinct()
+    val sh = shNew.unionByName(shOld)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.toDF("id_a", "h"), "id_a")
+      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), "id_a")
+      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

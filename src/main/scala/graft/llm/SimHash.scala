@@ -75,18 +75,59 @@ object SimHash {
     require(maxHamming <= Bands - 1,
       s"band collision candidates are exact only for maxHamming <= ${Bands - 1}")
     val fp = fingerprintTable(docs, idCol, textCol, hash)
-    val bandRows = (0 until Bands).map { b =>
-      fp.select(col(idCol), lit(b).as("band"),
-        shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)).as("key"),
-        col("simhash"))
-    }.reduce(_ unionByName _)
-    val l = bandRows.toDF("id_a", "band", "key", "sim_a")
-    val r = bandRows.toDF("id_b", "band", "key", "sim_b")
+    val l = bandRows(fp, idCol).toDF("id_a", "band", "key", "sim_a")
+    val r = bandRows(fp, idCol).toDF("id_b", "band", "key", "sim_b")
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The (id, band, 4-bit slice, simhash) relation both the batch and
+    * incremental candidate joins shuffle on. */
+  private def bandRows(fp: DataFrame, idCol: String): DataFrame =
+    (0 until Bands).map { b =>
+      fp.select(col(idCol), lit(b).as("band"),
+        shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)).as("key"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+
+  /** INCREMENTAL SimHash near-dup: a NEW batch against the AT-REST
+    * fingerprint table of the accumulated corpus — the
+    * [[MinHash.nearDuplicatesIncremental]] shape for this family (a
+    * simhash table IS its own at-rest index: one BIGINT per doc).
+    * Bit-identical to [[nearDuplicates]] over old ∪ new restricted to
+    * pairs involving ≥ 1 new doc, WITHOUT the old×old candidate join
+    * (band collision is pairwise, so the restriction identity is
+    * exact). `index` must be a [[fingerprintTable]] of the old corpus
+    * — (id, simhash), id column first — ids disjoint from the batch's.
+    * Scale shape: the new side is increment-sized everywhere; the
+    * at-rest side pays one scan into the (band, key) join, and only
+    * buckets an increment key lands in materialize. */
+  def nearDuplicatesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      maxHamming: Int = Bands - 1,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    require(maxHamming <= Bands - 1,
+      s"band collision candidates are exact only for maxHamming <= ${Bands - 1}")
+    val bN = bandRows(fingerprintTable(newDocs, idCol, textCol, hash), idCol)
+    val bO = bandRows(index.toDF(idCol, "simhash"), idCol)
+    val newOld = bN.toDF("id_n", "band", "key", "sim_n")
+      .join(bO.toDF("id_o", "band", "key", "sim_o"), Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        bit_count(col("sim_n").bitwiseXOR(col("sim_o"))).cast("long").as("hamming"))
+    val newNew = bN.toDF("id_a", "band", "key", "sim_a")
+      .join(bN.toDF("id_b", "band", "key", "sim_b"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+    newOld.unionByName(newNew).distinct().filter(col("hamming") <= maxHamming)
   }
 }

@@ -95,6 +95,53 @@ object TextStats {
       .select(col(idCol), col("fp"), col("canonical_id"), col("cluster_size"))
   }
 
+  /** The AT-REST exact-dedup index of a corpus: one row per distinct
+    * fingerprint — (fp, canonical_id, cluster_size). Everything the
+    * accumulated side of incremental exact dedup ever needs; write it
+    * once (bucketed by fp) and feed every future increment
+    * [[exactDupClustersIncremental]]; merge
+    * [[exactDupIndexDelta]]'s rows back afterwards. */
+  def exactDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = TextHash.polyHash): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol), hash).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cluster_size"))
+
+  /** The merged per-fingerprint rows an increment produces: for every
+    * fp the NEW batch touches, the globally-correct
+    * (fp, canonical_id, cluster_size) over old ∪ new — `least` of the
+    * at-rest canonical and the batch minimum, sizes summed. Upsert
+    * these into the at-rest [[exactDupIndex]]; untouched fps never
+    * move. One increment-sized groupBy + one fp-keyed join against
+    * the index (bucket the index by fp to make it exchange-free). */
+  def exactDupIndexDelta(newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val newAgg = newDocs
+      .select(col(idCol), fingerprint(col(textCol), hash).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("__new_min"), count(lit(1)).as("__new_n"))
+    newAgg.join(index.toDF("fp", "__old_canon", "__old_n"), Seq("fp"), "left")
+      .select(col("fp"),
+        least(coalesce(col("__old_canon"), col("__new_min")), col("__new_min"))
+          .as("canonical_id"),
+        (coalesce(col("__old_n"), lit(0L)) + col("__new_n")).as("cluster_size"))
+  }
+
+  /** INCREMENTAL exact dedup: the [[exactDupClusters]] decision for a
+    * NEW batch against the accumulated corpus's at-rest
+    * [[exactDupIndex]] — bit-identical to the batch run over old ∪ new
+    * restricted to new ids (cluster sizes and canonicals count the old
+    * members; the old corpus itself is never re-fingerprinted or
+    * re-grouped). Ids must be disjoint across the two inputs. */
+  def exactDupClustersIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame,
+      hash: Column => Column = TextHash.polyHash): DataFrame = {
+    val withFp = newDocs.select(col(idCol), fingerprint(col(textCol), hash).as("fp"))
+    withFp.join(exactDupIndexDelta(newDocs, idCol, textCol, index, hash), "fp")
+      .select(col(idCol), col("fp"), col("canonical_id"), col("cluster_size"))
+  }
+
   // ----- DuckDB mirrors -----
 
   def markerHitsSql(toksExpr: String, words: Seq[String]): String = {

@@ -90,18 +90,101 @@ object Urls {
       urlCol: String,
       nativeDedup: Boolean = true): DataFrame = {
     val c = canonicalize(df, urlCol)
-    if (nativeDedup) {
-      val rest = c.columns.filter(_ != "canonical_url")
-      c.groupBy(col("canonical_url"))
-        .agg(min_by(struct(rest.map(col): _*), col(idCol)).as("__r"))
-        // restore the canonicalize() output order (id cols …, host,
-        // canonical_url) — the group key moves first in the agg output
-        .select(c.columns.map(n =>
-          if (n == "canonical_url") col(n) else col(s"__r.$n").as(n)): _*)
-    } else {
+    if (nativeDedup) firstPerUrl(c, idCol)
+    else {
       val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
       c.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
+  }
+
+  /** The min_by survivor pick over an already-canonicalized relation —
+    * shared by [[dedupByUrl]] and [[dedupByUrlIncremental]]. */
+  private def firstPerUrl(c: DataFrame, idCol: String): DataFrame = {
+    val rest = c.columns.filter(_ != "canonical_url")
+    c.groupBy(col("canonical_url"))
+      .agg(min_by(struct(rest.map(col): _*), col(idCol)).as("__r"))
+      // restore the canonicalize() output order (id cols …, host,
+      // canonical_url) — the group key moves first in the agg output
+      .select(c.columns.map(n =>
+        if (n == "canonical_url") col(n) else col(s"__r.$n").as(n)): _*)
+  }
+
+  /** The AT-REST crawl-hygiene state builders: the distinct canonical
+    * URLs seen so far (for [[dedupByUrlIncremental]]) and the per-host
+    * TOTAL document counts (for [[hostCapIncremental]] — counts of
+    * docs SEEN, not kept: the cap ranks by id over everything seen).
+    * Write both once (bucketed by their key) and update them with each
+    * increment's rows. */
+  def seenUrls(df: DataFrame, urlCol: String): DataFrame =
+    canonicalize(df, urlCol).select(col("canonical_url")).distinct()
+
+  def hostSeenCounts(df: DataFrame, urlCol: String): DataFrame =
+    canonicalize(df, urlCol).filter(col("host").isNotNull)
+      .groupBy(col("host")).agg(count(lit(1)).as("n_seen"))
+
+  /** INCREMENTAL first-crawl-wins URL dedup: the survivors a NEW crawl
+    * batch contributes, against the at-rest [[seenUrls]] set —
+    * bit-identical to [[dedupByUrl]] over old ∪ new restricted to new
+    * ids, WITHOUT re-reading the old crawl, UNDER the monotone-id
+    * contract (every new id exceeds every old id — crawl ids are
+    * arrival-ordered, so an already-seen URL's survivor can never be
+    * displaced by a later crawl). One anti-join keyed on the canonical
+    * URL (bucket the at-rest set by it) + the same min_by pick within
+    * the batch. */
+  def dedupByUrlIncremental(
+      newDf: DataFrame,
+      idCol: String,
+      urlCol: String,
+      seen: DataFrame): DataFrame = {
+    val c = canonicalize(newDf, urlCol)
+    val unseen = c.join(seen.toDF("canonical_url"), Seq("canonical_url"), "left_anti")
+      .select(c.columns.map(col): _*)
+    firstPerUrl(unseen, idCol)
+  }
+
+  /** INCREMENTAL per-host cap: which docs of a NEW crawl batch survive
+    * `maxPerHost`, given the at-rest [[hostSeenCounts]] of the
+    * accumulated crawl — bit-identical to [[hostCap]] over old ∪ new
+    * restricted to new ids UNDER the monotone-id contract (smallest-id
+    * survivors = earliest-crawled, so accumulated hosts only ever fill
+    * up). Scale shape mirrors [[hostCap]]: the batch aggregates ONE
+    * k-bounded partial groupBy (≤ cap candidate ids per host per map
+    * task); hosts with headroom for the whole batch contribution pass
+    * through a broadcast anti-join; only boundary hosts' survivors
+    * come back via the broadcast keep-list. The at-rest counts join
+    * is keyed on host against the increment-sized aggregate — never
+    * against the crawl-sized relation. Null-host rows pass through. */
+  def hostCapIncremental(
+      newDf: DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxPerHost: Int,
+      counts: DataFrame): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    require(Similarity.isIntegralId(newDf.schema(idCol).dataType),
+      s"hostCapIncremental needs an integral id column, got $idCol")
+    val c = canonicalize(newDf, urlCol)
+    val batchAgg = c.filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("__bn"),
+        graft.functions.BoundedTopK
+          .smallestLongs(maxPerHost, col(idCol).cast("long")).as("__keep"))
+      .join(counts.toDF("host", "__seen"), Seq("host"), "left")
+      .withColumn("__headroom",
+        greatest(lit(maxPerHost).cast("long") - coalesce(col("__seen"), lit(0L)), lit(0L)))
+    // hosts whose whole batch contribution fits the headroom pass
+    // through untouched (the overwhelming majority of a crawl)
+    val boundary = batchAgg.filter(col("__bn") > col("__headroom"))
+    val keepIds = boundary
+      .select(col("host").as("__kh"), col("__headroom"),
+        posexplode(col("__keep")).as(Seq("__pos", "__kid")))
+      .filter(col("__pos") < col("__headroom"))
+      .select(col("__kh"), col("__kid"))
+    val under = c.join(broadcast(boundary.select(col("host"))), Seq("host"), "left_anti")
+    val capped = c.join(broadcast(keepIds),
+      col("host") === col("__kh") && col(idCol).cast("long") === col("__kid"),
+      "left_semi")
+    under.unionByName(capped)
   }
 
   /** Keeps at most `maxPerHost` documents per host (smallest-id

@@ -71,6 +71,49 @@ object Winnow {
       .filter(col("shared") >= minShared)
   }
 
+  /** INCREMENTAL winnowing near-dup: a NEW batch against the AT-REST
+    * fingerprint table of the accumulated corpus (a [[fingerprintTable]]
+    * — (id, fp), id column first, ids disjoint) — bit-identical to
+    * [[nearDuplicates]] over old ∪ new restricted to pairs with ≥ 1
+    * new doc, WITHOUT the old×old inverted-index self-join. The
+    * boilerplate `maxDf` cap counts document frequency over the UNION
+    * of both sides — exactly the df the batch run would see — so the
+    * restriction identity holds capped or not (the union-counting rule
+    * every incremental guard here follows); over-cap fps leave both
+    * sides via broadcast anti-joins. */
+  def nearDuplicatesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      k: Int = K,
+      w: Int = W,
+      minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    val fpN = fingerprintTable(newDocs, idCol, textCol, k, w)
+    val fpO = index.toDF(idCol, "fp")
+    val over = fpN.select(col("fp")).unionByName(fpO.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("fp"))
+    // using-columns joins move the key first — re-select by name
+    val gN = fpN.join(broadcast(over), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+    val gO = fpO.join(broadcast(over), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+    val newOld = gN.toDF("id_n", "fp")
+      .join(gO.toDF("id_o", "fp"), Seq("fp"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newNew = gN.toDF("id_a", "fp")
+      .join(gN.toDF("id_b", "fp"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    newOld.unionByName(newNew)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** DuckDB mirror of [[fingerprintTable]], as a SELECT producing
     * (doc_id, fp) from `documents`. */
   def fingerprintSql(k: Int = K, w: Int = W): String = {

@@ -812,6 +812,27 @@ object LlmQueries extends QueryModule {
               |SELECT f.doc_id, f.fp, cl.canonical_id, cl.cluster_size
               |FROM fps f JOIN cl USING (fp)""".stripMargin)),
 
+    // ----- INCREMENTAL exact dedup: the new batch (doc_id % 5 == 0)
+    // against the at-rest per-fingerprint index of the accumulated
+    // corpus — canonical = least(at-rest canonical, batch min), sizes
+    // summed; the old corpus is never re-fingerprinted. The oracle is
+    // the full batch run restricted to new ids — counts and canonicals
+    // must reflect the old members the incremental path never reads. -----
+    GraftQuery(
+      "q_doc_exact_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextStats.exactDupClustersIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          TextStats.exactDupIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"))
+      },
+      Some(s"""WITH fps AS (SELECT doc_id, ${polySql("lower(text)")} AS fp FROM documents),
+              |cl AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS cluster_size
+              |       FROM fps GROUP BY fp)
+              |SELECT f.doc_id, f.fp, cl.canonical_id, cl.cluster_size
+              |FROM fps f JOIN cl USING (fp)
+              |WHERE f.doc_id % 5 = 0""".stripMargin)),
+
     // ----- MinHash signatures (one shuffle row per doc) -----
     GraftQuery(
       "q_doc_minhash_sig",
@@ -1187,6 +1208,46 @@ object LlmQueries extends QueryModule {
            |WHERE $jac >= 0.1""".stripMargin
       }),
 
+    // ----- INCREMENTAL n-gram Jaccard: the new batch against the SAME
+    // at-rest shingle index the incremental MinHash path serves from
+    // (one stored artifact, two dedup flavors); union-counted df cap,
+    // old×old never joins. Oracle = the batch run restricted to pairs
+    // with a new member. -----
+    GraftQuery(
+      "q_doc_jaccard_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Jaccard.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          MinHash.shingleIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3),
+          n = 3, threshold = 0.1, maxDf = 50)
+      },
+      Some {
+        val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${Shingles.shinglesSql("toks", 3)} AS shingles FROM t),
+           |shx AS (SELECT DISTINCT doc_id, ${polySql("shingle")} AS h
+           |        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u),
+           |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shx GROUP BY h)
+           |         WHERE df <= 50),
+           |idx AS (SELECT s.doc_id, s.h FROM shx s JOIN rare USING (h)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+           |         WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |          FROM cand c
+           |          JOIN shx x ON x.doc_id = c.id_a
+           |          JOIN shx y ON y.doc_id = c.id_b AND y.h = x.h
+           |          GROUP BY c.id_a, c.id_b)
+           |SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           |       round($jac, 6) AS jaccard
+           |FROM inter i
+           |JOIN sizes sa ON sa.doc_id = i.id_a
+           |JOIN sizes sb ON sb.doc_id = i.id_b
+           |WHERE $jac >= 0.1""".stripMargin
+      }),
+
     // ----- LSH recall curve: banded MinHash vs exact-Jaccard truth -----
     // The oracle rebuilds BOTH pipelines (the shared minhash chain plus
     // a gt_-prefixed df-capped ground truth reusing its shx/sizes),
@@ -1310,6 +1371,28 @@ object LlmQueries extends QueryModule {
               |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
 
+    // ----- INCREMENTAL winnowing near-dup: the new batch against the
+    // at-rest fingerprint table; the boilerplate df cap counts over
+    // the union (exactly the batch df), old×old never self-joins.
+    // Oracle = the full batch pairing restricted to new-member pairs. -----
+    GraftQuery(
+      "q_doc_winnow_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Winnow.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          Winnow.fingerprintTable(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+          minShared = 5, maxDf = 10)
+      },
+      Some(s"""WITH fpt AS (${Winnow.fingerprintSql()}),
+              |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fpt GROUP BY fp)
+              |         WHERE df <= 10),
+              |idx AS (SELECT f.doc_id, f.fp FROM fpt f JOIN rare USING (fp))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+              |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+
     // ----- SimHash near-dup pairs via banded Hamming join -----
     GraftQuery(
       "q_doc_simhash_dup",
@@ -1328,6 +1411,35 @@ object LlmQueries extends QueryModule {
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            |FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($bandCollide)
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      }),
+
+    // ----- INCREMENTAL SimHash near-dup: the new batch against the
+    // at-rest fingerprint table (one BIGINT per accumulated doc);
+    // old×old never pairs. Oracle = the full batch pairing restricted
+    // to pairs with a new member. -----
+    GraftQuery(
+      "q_doc_simhash_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        SimHash.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          SimHash.fingerprintTable(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+          maxHamming = 3)
+      },
+      Some {
+        val hashes = s"list_transform(toks, t -> ${polySql("t")})"
+        val bandCollide = (0 until SimHash.Bands).map { b =>
+          val sh = b * SimHash.BandBits
+          val mask = (1L << SimHash.BandBits) - 1
+          s"((a.simhash >> $sh) & $mask) = ((b.simhash >> $sh) & $mask)"
+        }.mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |fp AS (SELECT doc_id, ${SimHash.simhashSql(hashes)} AS simhash FROM t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($bandCollide)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin
       }),
 
     // ----- IVF ANN: coarse-quantizer cells, nprobe=1 -----
@@ -3573,6 +3685,57 @@ object LlmQueries extends QueryModule {
            |      FROM u)
            |SELECT doc_id, host, canonical_url FROM r
            |WHERE host IS NULL OR rn <= 60""".stripMargin)),
+
+    // ----- INCREMENTAL URL dedup: a new crawl batch (doc_id >= 400 —
+    // crawl ids are arrival-ordered, the monotone contract the
+    // identity rests on) against the at-rest seen-URL set. Survivors =
+    // unseen URLs' first crawl within the batch; the old crawl is
+    // never re-read. Oracle = the full first-crawl-wins dedup
+    // restricted to new survivors (a group won by a new id IS a group
+    // with no old member, by monotonicity). -----
+    GraftQuery(
+      "q_doc_url_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def withUrl(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.dedupByUrlIncremental(
+          withUrl(docs.filter(col("doc_id") >= 400)), "doc_id", "url",
+          graft.llm.Urls.seenUrls(withUrl(docs.filter(col("doc_id") < 400)), "url"))
+          .select(col("doc_id"), col("canonical_url"))
+      },
+      Some(
+        s"""WITH u AS (SELECT doc_id, $urlCanonSql AS canonical_url FROM documents)
+           |SELECT min(doc_id) AS doc_id, canonical_url
+           |FROM u GROUP BY canonical_url
+           |HAVING min(doc_id) >= 400""".stripMargin)),
+
+    // ----- INCREMENTAL per-host cap: which docs of the new crawl
+    // batch survive maxPerHost given the at-rest per-host SEEN counts
+    // (counts of everything crawled, not kept — the cap ranks by id
+    // over all arrivals). Hosts with headroom for their whole batch
+    // contribution bypass the keep-list; only boundary hosts rank,
+    // k-bounded. Oracle = the full-corpus cap restricted to new ids. -----
+    GraftQuery(
+      "q_doc_host_cap_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def withUrl(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        graft.llm.Urls.hostCapIncremental(
+          withUrl(docs.filter(col("doc_id") >= 400)), "doc_id", "url",
+          maxPerHost = 60,
+          graft.llm.Urls.hostSeenCounts(withUrl(docs.filter(col("doc_id") < 400)), "url"))
+          .select(col("doc_id"), col("host"), col("canonical_url"))
+      },
+      Some(
+        s"""WITH u AS (SELECT doc_id, $urlHostSql AS host,
+           |                  $urlCanonSql AS canonical_url FROM documents),
+           |r AS (SELECT doc_id, host, canonical_url,
+           |      row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+           |      FROM u)
+           |SELECT doc_id, host, canonical_url FROM r
+           |WHERE (host IS NULL OR rn <= 60) AND doc_id >= 400""".stripMargin)),
 
     // ----- per-host diversity telemetry -----
     GraftQuery(
