@@ -124,7 +124,8 @@ object CurationSoak {
     // at-rest shingle index for the incremental-dedup A/B (build-once,
     // serve-every-increment — the production shape, like the SQ8 index)
     val shingleIndexDir = "/tmp/graft_shidx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    if (only.forall(_.contains("minhash_incremental"))) {
+    if (only.forall(o =>
+      o.contains("minhash_incremental") || o.contains("jaccard_incremental"))) {
       graft.llm.MinHash.shingleIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
         .write.mode("overwrite").parquet(shingleIndexDir)
@@ -142,6 +143,19 @@ object CurationSoak {
       "minhash_batch_restricted" -> { () =>
         graft.llm.MinHash.nearDuplicates(docs, "doc_id", "text",
           n = 3, threshold = 0.01)
+          .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      },
+      // n-gram Jaccard over the SAME at-rest shingle index — one
+      // stored artifact serves two dedup flavors; the absent term is
+      // the old×old inverted-index self-join
+      "jaccard_incremental" -> { () =>
+        graft.llm.Jaccard.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          spark.read.parquet(shingleIndexDir), n = 3, threshold = 0.1, maxDf = 50)
+      },
+      "jaccard_batch_restricted" -> { () =>
+        graft.llm.Jaccard.nearDuplicates(docs, "doc_id", "text",
+          n = 3, threshold = 0.1, maxDf = 50)
           .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
       },
       // Gopher's full repetition matrix — the widest single-scan

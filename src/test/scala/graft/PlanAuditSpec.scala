@@ -664,6 +664,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"first-crawl-wins lost its partial aggregation:\n$p")
   }
 
+  test("incremental crawl hygiene never windows; boundary keep-lists broadcast") {
+    val old = spark.range(3000).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 5).cast("string"),
+        lit(".example.com/p/"), col("id").cast("string")).as("url"))
+    val nw = spark.range(3000, 4000).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 5).cast("string"),
+        lit(".example.com/p/"), col("id").cast("string")).as("url"))
+    val capped = graft.llm.Urls.hostCapIncremental(nw, "doc_id", "url",
+      maxPerHost = 700, graft.llm.Urls.hostSeenCounts(old, "url"))
+    capped.collect()
+    val p1 = capped.queryExecution.executedPlan.toString
+    assert(!p1.contains("Window"),
+      s"hostCapIncremental regressed to a rank window:\n$p1")
+    assert(p1.contains("smallest_k_longs"),
+      s"k-bounded survivor aggregate missing:\n$p1")
+    assert(p1.contains("BroadcastHashJoin"),
+      s"boundary host set / keep-list must broadcast:\n$p1")
+    val deduped = graft.llm.Urls.dedupByUrlIncremental(nw, "doc_id", "url",
+      graft.llm.Urls.seenUrls(old, "url"))
+    deduped.collect()
+    val p2 = deduped.queryExecution.executedPlan.toString
+    assert(!p2.contains("Window"),
+      s"dedupByUrlIncremental regressed to a per-url window:\n$p2")
+    assert(p2.contains("min_by") || p2.contains("partial_min_by"),
+      s"first-crawl-wins lost its partial aggregation:\n$p2")
+  }
+
   test("poly_hash native expression stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(TextHash.polyHash(lower(col("text"))).as("fp"))
