@@ -69,7 +69,28 @@ object Jaccard {
     * frequency over the UNION (exactly the batch df), candidates are
     * new×old + new×new inverted-index collisions (old×old never
     * joins), and the exact-Jaccard verify reads only the index rows
-    * the candidate pairs touch. Ids must be disjoint. */
+    * the candidate pairs touch. Ids must be disjoint.
+    *
+    * `sideTables = Some((indexDfs, indexSizes))` (the [[indexDfs]] /
+    * [[indexSizes]] at-rest artifacts) removes the two remaining
+    * LINEAR passes over the index — the union df count and the sizes
+    * aggregate become increment-keyed joins against stored relations —
+    * making the whole step increment-sized. Output is bit-identical
+    * with or without them. */
+  /** At-rest side-tables that make [[nearDuplicatesIncremental]] fully
+    * increment-sized: the per-shingle document frequency and the
+    * per-document shingle-set size of the indexed corpus. Build once
+    * next to the shingle index (bucket dfs by h, sizes by the id) and
+    * maintain them by ADDING each increment's own aggregates —
+    * without them the incremental step pays one linear reduction over
+    * the index per increment for each (measured at sf1; see
+    * SCALING.md). */
+  def indexDfs(index: DataFrame): DataFrame =
+    index.toDF("__id", "h").groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  def indexSizes(index: DataFrame, idCol: String): DataFrame =
+    index.toDF(idCol, "h").groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+
   def nearDuplicatesIncremental(
       newDocs: DataFrame,
       idCol: String,
@@ -78,12 +99,26 @@ object Jaccard {
       n: Int = 3,
       threshold: Double = 0.1,
       maxDf: Int = 50,
-      hash: Column => Column = TextHash.polyHash): DataFrame = {
+      hash: Column => Column = TextHash.polyHash,
+      sideTables: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val shNew = MinHash.shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
     val shOld = index.toDF(idCol, "h")
-    val over = shNew.select(col("h")).unionByName(shOld.select(col("h")))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("h"))
+    // over-cap keys under the UNION df (exactly the batch df). Only
+    // increment-touched keys can generate candidates (every pair has a
+    // new member), so with the at-rest df side-table the check is an
+    // increment-keyed left join — no pass over the index; without it,
+    // one linear groupBy over the union.
+    val over = sideTables match {
+      case Some((dfs, _)) =>
+        shNew.groupBy(col("h")).agg(count(lit(1)).as("__ndf"))
+          .join(dfs.toDF("h", "__odf"), Seq("h"), "left")
+          .filter(col("__ndf") + coalesce(col("__odf"), lit(0L)) > maxDf)
+          .select(col("h"))
+      case None =>
+        shNew.select(col("h")).unionByName(shOld.select(col("h")))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("h"))
+    }
     // using-columns joins move the key first — re-select by name
     val gN = shNew.join(broadcast(over), Seq("h"), "left_anti")
       .select(col(idCol), col("h"))
@@ -98,17 +133,20 @@ object Jaccard {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val pairs = newOld.unionByName(newNew).distinct()
-    // the remaining corpus-term is LINEAR and named: the union df count
-    // and the sizes aggregate each pay one pass over the at-rest index
-    // (a production deployment stores per-h df and per-id size
-    // side-tables next to the index and adds the increment's — then
-    // the whole step is increment-sized). Restricting the verify to
-    // pair members via a semi-join was measured at sf1 and LOST (12.5 s
-    // plain / 12.5 s broadcast vs 9.2 s): the pair subtree gets
-    // re-executed per reference, costing more than the linear pass it
-    // saves. The quadratic old×old term stays structurally absent.
+    // sizes: with the at-rest side-table, the old half is a stored
+    // relation the id-keyed join reads (only pair members survive it —
+    // no aggregate over the index); without it, one linear groupBy.
+    // (Restricting the verify to pair members via a semi-join was also
+    // measured at sf1 and LOST — 12.5 s plain/broadcast vs 9.2 s: the
+    // pair subtree re-executes per reference, costing more than the
+    // linear pass it saves. The quadratic old×old term is structurally
+    // absent either way.)
     val sh = shNew.unionByName(shOld)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val newSizes = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sizes = sideTables match {
+      case Some((_, idxSizes)) => newSizes.unionByName(idxSizes.toDF(idCol, "sz"))
+      case None => sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    }
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))

@@ -1217,10 +1217,18 @@ object LlmQueries extends QueryModule {
       "q_doc_jaccard_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // the at-rest df/size side-tables on (the fully increment-sized
+        // shape — its plain twin is spec-pinned identical); the oracle
+        // is still the full batch replay, so the side-table df/size
+        // arithmetic is verified against ground truth, not against the
+        // plain arm
+        val index = MinHash.shingleIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
         Jaccard.nearDuplicatesIncremental(
-          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
-          MinHash.shingleIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3),
-          n = 3, threshold = 0.1, maxDf = 50)
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", index,
+          n = 3, threshold = 0.1, maxDf = 50,
+          sideTables = Some((Jaccard.indexDfs(index),
+            Jaccard.indexSizes(index, "doc_id"))))
       },
       Some {
         val jac = "CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)"

@@ -129,6 +129,12 @@ object CurationSoak {
       graft.llm.MinHash.shingleIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
         .write.mode("overwrite").parquet(shingleIndexDir)
+      // the df/size side-tables that make the Jaccard step fully
+      // increment-sized — built once next to the index, like it
+      graft.llm.Jaccard.indexDfs(spark.read.parquet(shingleIndexDir))
+        .write.mode("overwrite").parquet(s"$shingleIndexDir-dfs")
+      graft.llm.Jaccard.indexSizes(spark.read.parquet(shingleIndexDir), "doc_id")
+        .write.mode("overwrite").parquet(s"$shingleIndexDir-sizes")
     }
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
@@ -157,6 +163,16 @@ object CurationSoak {
         graft.llm.Jaccard.nearDuplicates(docs, "doc_id", "text",
           n = 3, threshold = 0.1, maxDf = 50)
           .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      },
+      // with the at-rest df/size side-tables: the two linear index
+      // passes become increment-keyed joins against stored relations
+      "jaccard_incremental_sidetables" -> { () =>
+        graft.llm.Jaccard.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          spark.read.parquet(shingleIndexDir), n = 3, threshold = 0.1, maxDf = 50,
+          sideTables = Some((
+            spark.read.parquet(s"$shingleIndexDir-dfs"),
+            spark.read.parquet(s"$shingleIndexDir-sizes"))))
       },
       // Gopher's full repetition matrix — the widest single-scan
       // explode in the quality family (9 n-gram sizes + lines + paras

@@ -44,15 +44,21 @@ class IncrementalCrawlSpec extends AnyFunSuite {
 
   test("jaccard incremental equals the batch run restricted to new-doc pairs") {
     val isNew = col("doc_id") % 5 === 0
+    val index = MinHash.shingleIndex(docs.filter(!isNew), "doc_id", "text", n = 3)
     val inc = Jaccard.nearDuplicatesIncremental(
-      docs.filter(isNew), "doc_id", "text",
-      MinHash.shingleIndex(docs.filter(!isNew), "doc_id", "text", n = 3),
+      docs.filter(isNew), "doc_id", "text", index,
       n = 3, threshold = 0.1, maxDf = 50)
     val batch = Jaccard.nearDuplicates(docs, "doc_id", "text",
       n = 3, threshold = 0.1, maxDf = 50)
       .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
     assert(rowsOf(inc) === rowsOf(batch))
     assert(inc.count() > 0, "fixture must produce pairs or the identity is vacuous")
+    // the at-rest df/size side-tables change the shape, not the answer
+    val incSide = Jaccard.nearDuplicatesIncremental(
+      docs.filter(isNew), "doc_id", "text", index,
+      n = 3, threshold = 0.1, maxDf = 50,
+      sideTables = Some((Jaccard.indexDfs(index), Jaccard.indexSizes(index, "doc_id"))))
+    assert(rowsOf(incSide) === rowsOf(batch))
   }
 
   test("exact-dedup incremental: batch-restricted rows, correct old-aware sizes") {
