@@ -161,6 +161,81 @@ private[graft] case class TopKScoreIdAgg(
     copy(score = newChildren(0), id = newChildren(1))
 }
 
+/** [[TopKScoreIdAgg]] with one BIGINT payload column riding along —
+  * ARRAY<STRUCT<s: DOUBLE, id: BIGINT, p: BIGINT>> in (score DESC,
+  * id ASC) rank order. The payload NEVER participates in the ordering
+  * (identical entries modulo payload cannot exist — ids are unique per
+  * group), it just avoids a second id-keyed join to recover a carried
+  * aggregate (the BM25 shape: (doc_id, n_hit_terms) per query — a
+  * re-join would re-execute the whole scored subtree per reference). */
+private[graft] case class TopKScoreIdPayloadAgg(
+    k: Int,
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends BoundedTopKBufferAgg {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override protected def entryFields: Seq[Expression] = Seq(score, id, payload)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = true),
+      StructField("p", LongType, nullable = true))),
+    containsNull = false)
+
+  /** Same total order as [[TopKScoreIdAgg]]: (score DESC NullsLast,
+    * id ASC NullsFirst); the payload is cargo. */
+  private def compareEntry(
+      sNull: Boolean, s: Double, iNull: Boolean, i: Long, b: InternalRow): Int = {
+    val bn = b.isNullAt(0)
+    if (sNull != bn) return if (sNull) 1 else -1
+    if (!sNull) {
+      val c = java.lang.Double.compare(b.getDouble(0), s)
+      if (c != 0) return c
+    }
+    val bin = b.isNullAt(1)
+    if (iNull != bin) return if (iNull) -1 else 1
+    if (iNull) 0 else java.lang.Long.compare(i, b.getLong(1))
+  }
+
+  override protected def rankCompare(a: InternalRow, b: InternalRow): Int = {
+    val an = a.isNullAt(0)
+    val ain = a.isNullAt(1)
+    compareEntry(an, if (an) 0.0 else a.getDouble(0),
+      ain, if (ain) 0L else a.getLong(1), b)
+  }
+
+  /** Allocation-free reject before evaluating/boxing the payload. */
+  override def update(
+      buffer: ArrayBuffer[InternalRow], input: InternalRow): ArrayBuffer[InternalRow] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val sNull = s == null
+    val iNull = i == null
+    if (buffer.length >= k && compareEntry(
+      sNull, if (sNull) 0.0 else s.asInstanceOf[Double],
+      iNull, if (iNull) 0L else i.asInstanceOf[Long], buffer.last) >= 0) buffer
+    else insertBounded(buffer,
+      new GenericInternalRow(Array[Any](s, i, InternalRow.copyValue(payload.eval(input)))))
+  }
+
+  override def eval(buffer: ArrayBuffer[InternalRow]): Any =
+    new GenericArrayData(buffer.toArray[Any])
+
+  override def prettyName: String = "top_k_score_id_payload"
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScoreIdPayloadAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScoreIdPayloadAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
+}
+
 /** The k smallest non-null BIGINT values of a group, ascending, as
   * ARRAY<BIGINT> — the crawl-cap shape (smallest-id survivors per
   * host). Nulls are skipped: a null id cannot survive the equi-join
@@ -218,6 +293,13 @@ object BoundedTopK {
   def topKByScore(k: Int, score: Column, id: Column): Column =
     ColumnShim.column(TopKScoreIdAgg(k,
       ColumnShim.expression(score), ColumnShim.expression(id)).toAggregateExpression())
+
+  /** ARRAY<STRUCT<s, id, p>> of the k best (score DESC, id ASC)
+    * entries with a BIGINT payload riding along, rank-ordered. */
+  def topKByScorePayload(k: Int, score: Column, id: Column, payload: Column): Column =
+    ColumnShim.column(TopKScoreIdPayloadAgg(k,
+      ColumnShim.expression(score), ColumnShim.expression(id),
+      ColumnShim.expression(payload)).toAggregateExpression())
 
   /** ARRAY<BIGINT> of the k smallest non-null values, ascending. */
   def smallestLongs(k: Int, id: Column): Column =

@@ -43,7 +43,21 @@ object BandedHamming {
     * work, but a single-task cliff exactly on the hot keys the guard
     * exists for); the partial aggregation counts map-side and the
     * crawl-sized relation never funnels through the hot key at all.
-    * Same drops, bit-identical survivors. */
+    * Same drops, bit-identical survivors.
+    *
+    * Broadcast-size precondition: the over-cap key set is bounded by
+    * |rows|/maxBucket, so the forced broadcast assumes a PRODUCTION
+    * cap (thousands+) — the regime every caller here runs in, where
+    * the set is megabytes at crawl scale. A degenerate cap (the
+    * `require` floor allows maxBucket = 2) against a crawl-sized
+    * relation could push it past executor memory, where the old
+    * window arm would merely be slow; callers choosing tiny caps
+    * should size |rows|/maxBucket against
+    * `spark.sql.autoBroadcastJoinThreshold` first. The same bound
+    * governs the union-counted guards in the incremental MinHash/
+    * Winnow/Jaccard arms and the endpoint broadcast in
+    * [[DedupClusters]] (bounded by 2·|newPairs| — increment-sized by
+    * contract there). */
   private[graft] def dropOverCap(
       keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val over = keyed.groupBy(keyCols.map(col): _*)

@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   * |Q|-row df table — both broadcast. The per-document side is a single
   * pass over the token stream filtered to the query terms BEFORE the
   * tf `groupBy`, so the shuffle carries only matching (doc, term) rows,
-  * not the corpus. Top-k is a rank-over-score window, skew-free because
-  * scores are already one row per document.
+  * not the corpus. Top-k is the house k-BOUNDED partial aggregation
+  * ([[graft.functions.BoundedTopK]], payload arm — `n_hit_terms` rides
+  * the keep-list): each map task holds at most k (score, doc, hits)
+  * entries per query, so a query containing one POPULAR term — whose
+  * scored relation is posting-list-sized, potentially corpus-sized —
+  * never lands on a single rank-window task. The per-query
+  * `row_number` window arm stays behind `nativeTopK = false` as the
+  * A/B shape (its bound is the posting-list size — empirical, not
+  * structural; the exact cliff class [[Similarity]]'s serving ladder
+  * removed).
   *
   * Float determinism: avgdl is an exact DECIMAL mean rounded to 6
   * decimals before entering the per-row formula; each per-term score is
@@ -29,6 +37,49 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** The ONE ranking tail both arms end in: a scored relation
+    * (optional `query_id`, `doc_id`, `n_hit_terms`, `score`) → top-k
+    * rows per query as (query_id?, rank, doc_id, n_hit_terms, score).
+    *
+    * Default: the k-bounded payload aggregate
+    * ([[graft.functions.BoundedTopK.topKByScorePayload]]) — O(k) state
+    * per query per map task, `n_hit_terms` riding the keep-list so no
+    * second id-keyed join (which would re-execute the whole scored
+    * subtree) recovers it. Bit-parity with the window arm: the SAME
+    * 6-decimal-rounded score doubles are compared, same
+    * (score DESC, doc_id ASC) total order, and neither score nor
+    * n_hit_terms is ever null here (both are aggregates over ≥ 1 row). */
+  private def rankTail(scored: DataFrame, k: Int, nativeTopK: Boolean): DataFrame = {
+    val keyCols = if (scored.columns.contains("query_id")) Seq(col("query_id")) else Nil
+    val outCols = Seq(col("rank"), col("doc_id"), col("n_hit_terms"), col("score"))
+    if (nativeTopK) {
+      scored.groupBy(keyCols: _*)
+        .agg(graft.functions.BoundedTopK.topKByScorePayload(k,
+          col("score"), col("doc_id"), col("n_hit_terms")).as("__top"))
+        .select(keyCols :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+        .select(keyCols ++ Seq(
+          (col("__pos") + 1).cast("long").as("rank"),
+          col("__e.id").as("doc_id"),
+          col("__e.p").as("n_hit_terms"),
+          col("__e.s").as("score")): _*)
+        .select(keyCols ++ outCols: _*)
+    } else if (keyCols.isEmpty) {
+      // limit BEFORE the rank window: TakeOrderedAndProject is a
+      // distributed partial top-k; the unpartitioned window then runs
+      // over only k rows, never the full scored relation
+      scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(outCols: _*)
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(keyCols ++ outCols: _*)
+    }
+  }
+
   /** Top-k documents by BM25 relevance to `terms`.
     * Output: rank, doc_id, n_hit_terms, score. */
   def topk(
@@ -36,7 +87,8 @@ object Bm25 {
       idCol: String,
       textCol: String,
       terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
     val t = docs.select(
       col(idCol).cast("long").as("doc_id"),
       Shingles.tokens(col(textCol)).as("toks"))
@@ -69,13 +121,7 @@ object Bm25 {
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
       .select(col("doc_id"), col("n_hit_terms"),
         round(col("s").cast("double"), 6).as("score"))
-    // limit BEFORE the rank window: TakeOrderedAndProject is a
-    // distributed partial top-k; the unpartitioned window then runs
-    // over only k rows, never the full scored relation
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(col("rank"), col("doc_id"), col("n_hit_terms"), col("score"))
+    rankTail(scored, k, nativeTopK)
   }
 
   /** Multi-query BM25: top-k per query for a small literal query set —
@@ -86,8 +132,10 @@ object Bm25 {
     * carries only matching (doc, term) rows), per-term scores are
     * corpus-global (df does not depend on the query), and the
     * query-membership join is a broadcast of the tiny (query_id, term)
-    * relation. The per-query rank window partitions by query_id, so
-    * adding queries adds no new corpus passes.
+    * relation. The per-query top-k is the k-bounded payload aggregate
+    * (see [[rankTail]]), so adding queries adds no new corpus passes
+    * AND a one-popular-term query's posting-list-sized scored relation
+    * never concentrates on one task.
     *
     * Output: query_id, rank, doc_id, n_hit_terms, score. */
   def topkPerQuery(
@@ -95,7 +143,8 @@ object Bm25 {
       idCol: String,
       textCol: String,
       queries: Seq[(Long, Seq[String])],
-      k: Int): DataFrame = {
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
@@ -129,11 +178,6 @@ object Bm25 {
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
       .select(col("query_id"), col("doc_id"), col("n_hit_terms"),
         round(col("s").cast("double"), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("n_hit_terms"), col("score"))
+    rankTail(scored, k, nativeTopK)
   }
 }

@@ -30,7 +30,13 @@ object Hybrid {
   /** Fuse two per-query rankings. Inputs must have columns
     * (query_id, doc_id, rank); ranks are 1-based. Output per query:
     * fused_rank, doc_id, rrf (6-dp), rank_lex, rank_dense (0 = the
-    * document was absent from that list). */
+    * document was absent from that list).
+    *
+    * The per-query rank window below is STRUCTURALLY bounded — it
+    * ranks the full-outer join of two already-top-k lists, ≤ 2k rows
+    * per query by construction — so it is NOT the unbounded-partition
+    * cliff class [[Bm25.rankTail]]/[[Similarity]] replaced with the
+    * k-bounded aggregate; no arm swap is needed here. */
   def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     def side(df: DataFrame, rankName: String): DataFrame =
       df.select(col("query_id"), col("doc_id"), col("rank").as(rankName))

@@ -60,6 +60,20 @@ object Jaccard {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** At-rest side-tables that make [[nearDuplicatesIncremental]] fully
+    * increment-sized: the per-shingle document frequency and the
+    * per-document shingle-set size of the indexed corpus. Build once
+    * next to the shingle index (bucket dfs by h, sizes by the id) and
+    * maintain them by ADDING each increment's own aggregates —
+    * without them the incremental step pays one linear reduction over
+    * the index per increment for each (measured at sf1; see
+    * SCALING.md). */
+  def indexDfs(index: DataFrame): DataFrame =
+    index.toDF("__id", "h").groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  def indexSizes(index: DataFrame, idCol: String): DataFrame =
+    index.toDF(idCol, "h").groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+
   /** INCREMENTAL n-gram Jaccard near-dup: a NEW batch against the
     * accumulated corpus's at-rest [[MinHash.shingleIndex]] — the SAME
     * (id, shingle-hash) artifact the incremental MinHash path serves
@@ -77,20 +91,6 @@ object Jaccard {
     * aggregate become increment-keyed joins against stored relations —
     * making the whole step increment-sized. Output is bit-identical
     * with or without them. */
-  /** At-rest side-tables that make [[nearDuplicatesIncremental]] fully
-    * increment-sized: the per-shingle document frequency and the
-    * per-document shingle-set size of the indexed corpus. Build once
-    * next to the shingle index (bucket dfs by h, sizes by the id) and
-    * maintain them by ADDING each increment's own aggregates —
-    * without them the incremental step pays one linear reduction over
-    * the index per increment for each (measured at sf1; see
-    * SCALING.md). */
-  def indexDfs(index: DataFrame): DataFrame =
-    index.toDF("__id", "h").groupBy(col("h")).agg(count(lit(1)).as("df"))
-
-  def indexSizes(index: DataFrame, idCol: String): DataFrame =
-    index.toDF(idCol, "h").groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-
   def nearDuplicatesIncremental(
       newDocs: DataFrame,
       idCol: String,

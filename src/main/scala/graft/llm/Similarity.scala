@@ -111,8 +111,13 @@ object Similarity {
     * compared, same (score best-first, id ASC) total order, rounding
     * on output. `ascending = true` (the L2 arm) ranks by negated
     * score inside the aggregate — exact for doubles (Double.compare
-    * on negations reverses, ±0 included); null scores are out of
-    * contract there (a cosine/L2 of non-null vectors is never null). */
+    * on negations reverses, ±0 included); null AND NaN scores are out
+    * of contract there: a cosine/L2 of non-null vectors is never
+    * null, and NaN only arises from NaN vector components (the window
+    * arm ranks a NaN distance last while the negated aggregate —
+    * -NaN = NaN, the greatest double — would rank it first, so the
+    * parity claim excludes NaN inputs by contract rather than paying
+    * an is-NaN filter on every scored row). */
   private def rankPerQuery(
       scored: DataFrame,
       k: Int,

@@ -360,12 +360,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"bucket join degraded to SMJ:\n$p")
   }
 
-  test("bm25: top-k is a partial TakeOrdered, never a global sort") {
+  test("bm25: top-k is the k-bounded payload aggregate, no window anywhere") {
     val df = graft.llm.Bm25.topk(Tables.documents(spark, sf), "doc_id", "text",
       Seq("spark", "join", "window", "stream"), 25)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("TakeOrderedAndProject"), s"top-k lost the partial path:\n$p")
+    assert(p.contains("top_k_score_id_payload"), s"top-k lost the bounded aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"a rank window ranks the posting-list-sized scored relation:\n$p")
     assert(!p.contains("SortMergeJoin"), s"df/stats join degraded to SMJ:\n$p")
   }
 
@@ -431,13 +433,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bc persist lost — four corpus re-explosions return:\n$p")
   }
 
-  test("per-query bm25: query membership joins broadcast, top-k windows per query") {
+  test("per-query bm25: membership joins broadcast, top-k is the bounded aggregate") {
     val df = graft.llm.Bm25.topkPerQuery(Tables.documents(spark, sf), "doc_id",
       "text", graft.queries.SketchQueries.RrfQueries, k = 20)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"qt/df join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"a broadcast side degraded to SMJ:\n$p")
+    assert(p.contains("top_k_score_id_payload"), s"top-k lost the bounded aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"a per-query rank window ranks posting-list-sized partitions:\n$p")
   }
 
   test("clustered-corpus transform is shuffle-free: a stateless projection that fuses") {

@@ -428,6 +428,17 @@ class LlmSpec extends AnyFunSuite {
     assert(r.find(_._2 == 1L).get._3 === 2L) // both terms hit
   }
 
+  test("bm25: the bounded-aggregate tail matches the window arm bit-for-bit") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val terms = Seq("spark", "join", "window", "stream")
+    assert(rows(Bm25.topk(docs, "doc_id", "text", terms, 25)) ===
+      rows(Bm25.topk(docs, "doc_id", "text", terms, 25, nativeTopK = false)))
+    val qs = graft.queries.SketchQueries.RrfQueries
+    assert(rows(Bm25.topkPerQuery(docs, "doc_id", "text", qs, 20)) ===
+      rows(Bm25.topkPerQuery(docs, "doc_id", "text", qs, 20, nativeTopK = false)))
+  }
+
   test("dsir: target-slice lookalikes weigh higher than off-distribution docs") {
     // target slice: doc_id % 17 == 3 -> only doc 3
     val corpus = Seq(
