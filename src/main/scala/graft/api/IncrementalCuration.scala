@@ -15,33 +15,72 @@ import org.apache.spark.sql.functions._
   *  - scoring/gating are row-local (identical to batch by
   *    construction);
   *  - near-dup pairing reads the at-rest shingle index
-  *    ([[MinHash.nearDuplicatesIncremental]], union-counted cap);
+  *    ([[MinHash.nearDuplicatesIncremental]], union-counted cap — or
+  *    [[Jaccard.nearDuplicatesIncremental]] with its at-rest
+  *    df/size side-tables, [[stepJaccard]]);
   *  - the keep decision reads the at-rest component labels
-  *    ([[DedupClusters.updateComponents]] — CC on the contracted
-  *    increment-sized graph only).
+  *    ([[DedupClusters.updateComponentsWithRevokedKeeps]] — CC on the
+  *    contracted increment-sized graph only).
   *
   * Identity contract (spec-pinned in IncrementalCurationSpec): with
-  * crawl ids MONOTONE (every new id exceeds every old id — the
-  * arrival-order property real crawl ids have), a step's survivors
-  * equal the batch pipeline over old ∪ new restricted to new ids, and
-  * the advanced state equals the state built from old ∪ new. Chaining
-  * steps therefore equals one big batch run — the increments compose.
+  * batch ids MONOTONE (every new id exceeds every old id — the
+  * arrival-order property real crawl ids have, and what each state's
+  * [[Urls.idWatermark]] guard enforces fail-fast), a step's survivors
+  * equal the batch pipeline over old ∪ new restricted to new ids, the
+  * REVOKED set it also returns is exactly the previously-emitted
+  * survivors a batch run would now drop (see [[step]]), and the
+  * advanced state equals the state built from old ∪ new. Chaining
+  * steps therefore equals one big batch: accumulated survivors =
+  * (Σ step survivors) minus (Σ later revocations).
   *
   * State tables are plain DataFrames so production can persist each
   * one where it belongs (bucket `seenUrls` by canonical_url,
-  * `hostCounts` by host, `shingleIndex` by h, `labels` by component —
-  * then every read here is exchange-free on the corpus side).
+  * `hostCounts` by host, `shingleIndex`/`dfs` by h, `sizes` by the
+  * id, `labels` by component — then every read here is exchange-free
+  * on the corpus side).
   */
 object IncrementalCuration {
 
-  /** At-rest crawl-hygiene state: every canonical URL ever crawled and
+  /** At-rest crawl-hygiene state: every canonical URL ever crawled,
     * the per-host counts of the URL-DEDUPED stream (hostCap ranks over
-    * what survived URL dedup — the batch composition's intermediate). */
-  final case class UrlState(seenUrls: DataFrame, hostCounts: DataFrame)
+    * what survived URL dedup — the batch composition's intermediate),
+    * and the max-id watermark guarding the monotone-id contract
+    * ([[Urls.idWatermark]]; `None` trusts the caller — the
+    * pre-watermark behavior, where a backfill batch silently returns
+    * wrong survivors instead of raising). */
+  final case class UrlState(
+      seenUrls: DataFrame,
+      hostCounts: DataFrame,
+      maxId: Option[DataFrame] = None)
 
   /** At-rest dedup state of the GATED accumulated corpus: its shingle
-    * index and the component labels of its near-dup graph. */
-  final case class State(shingleIndex: DataFrame, labels: DataFrame)
+    * index, the component labels of its near-dup graph, and the
+    * max-id watermark (here guarding ID-DISJOINTNESS of each batch —
+    * re-submitted ids would duplicate index rows; the dedup algebra
+    * itself needs only disjointness, see [[step]]). */
+  final case class State(
+      shingleIndex: DataFrame,
+      labels: DataFrame,
+      maxId: Option[DataFrame] = None)
+
+  /** [[State]] under the exact n-gram Jaccard flavor: the SAME
+    * (id, h) shingle index plus its [[Jaccard.indexDfs]] /
+    * [[Jaccard.indexSizes]] side-tables — carried precisely so the
+    * step never pays a linear pass over the index (the df check and
+    * the size lookup become increment-keyed joins; maintenance is
+    * increment-ADD, the rule their Scaladoc states). */
+  final case class JaccardState(
+      shingleIndex: DataFrame,
+      dfs: DataFrame,
+      sizes: DataFrame,
+      labels: DataFrame,
+      maxId: Option[DataFrame] = None)
+
+  /** Advance a 1-row [[Urls.idWatermark]] by a new batch. */
+  private def advance(
+      maxId: Option[DataFrame], newDocs: DataFrame, idCol: String): Option[DataFrame] =
+    maxId.map(_.unionByName(Urls.idWatermark(newDocs, idCol))
+      .agg(max(col("max_id")).as("max_id")))
 
   /** Bootstrap [[UrlState]] from an accumulated crawl (production
     * persists and advances it instead of rebuilding). */
@@ -51,10 +90,14 @@ object IncrementalCuration {
       Urls.seenUrls(docs, urlCol),
       Urls.hostSeenCounts(
         Urls.dedupByUrl(docs, idCol, urlCol).drop("host", "canonical_url"),
-        urlCol))
+        urlCol),
+      Some(Urls.idWatermark(docs, idCol)))
 
   /** Incremental [[CurationPipeline.urlHygiene]]: the new batch's
-    * survivors plus the advanced state. */
+    * survivors plus the advanced state. First-crawl-wins and
+    * earliest-fills-first make THIS step's output genuinely depend on
+    * the monotone-id contract, so the state's watermark (when carried)
+    * turns a backfill batch into a scan-time error. */
   def urlHygieneStep(
       newDocs: DataFrame,
       state: UrlState,
@@ -62,14 +105,15 @@ object IncrementalCuration {
       urlCol: String = "url",
       maxPerHost: Int = 10000): (DataFrame, UrlState) = {
     val urlDeduped = Urls
-      .dedupByUrlIncremental(newDocs, idCol, urlCol, state.seenUrls)
+      .dedupByUrlIncremental(newDocs, idCol, urlCol, state.seenUrls, state.maxId)
       .drop("host", "canonical_url")
     val survivors = Urls.hostCapIncremental(
-      urlDeduped, idCol, urlCol, maxPerHost, state.hostCounts)
+      urlDeduped, idCol, urlCol, maxPerHost, state.hostCounts, state.maxId)
     val nextState = UrlState(
       state.seenUrls.unionByName(Urls.seenUrls(newDocs, urlCol)).distinct(),
       state.hostCounts.unionByName(Urls.hostSeenCounts(urlDeduped, urlCol))
-        .groupBy(col("host")).agg(sum(col("n_seen")).as("n_seen")))
+        .groupBy(col("host")).agg(sum(col("n_seen")).as("n_seen")),
+      advance(state.maxId, newDocs, idCol))
     (survivors, nextState)
   }
 
@@ -85,36 +129,120 @@ object IncrementalCuration {
       threshold = dupThreshold, maxBucket = maxBucket)
     State(
       MinHash.shingleIndex(gated, "doc_id", "text"),
-      DedupClusters.connectedComponentsGraphX(pairs, "id_a", "id_b"))
+      DedupClusters.connectedComponentsGraphX(pairs, "id_a", "id_b"),
+      Some(Urls.idWatermark(docs, "doc_id")))
+  }
+
+  /** Bootstrap [[JaccardState]]: same journey under the exact-Jaccard
+    * dedup flavor, side-tables included. */
+  def jaccardStateOf(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.1,
+      maxDf: Int = 50): JaccardState = {
+    val gated = CurationPipeline.gate(CurationPipeline.score(docs), minQuality)
+    val index = MinHash.shingleIndex(gated, "doc_id", "text")
+    val pairs = Jaccard.nearDuplicates(gated, "doc_id", "text",
+      threshold = jaccardThreshold, maxDf = maxDf)
+    JaccardState(
+      index,
+      Jaccard.indexDfs(index),
+      Jaccard.indexSizes(index, "doc_id"),
+      DedupClusters.connectedComponentsGraphX(pairs, "id_a", "id_b"),
+      Some(Urls.idWatermark(docs, "doc_id")))
+  }
+
+  /** The shared gate + incremental-keep tail of [[step]] /
+    * [[stepJaccard]]: survivors of the new batch under the updated
+    * labels, plus the revoked old keeps. A new doc survives iff it is
+    * its merged component's minimum; `revoked` is the OLD-side keep
+    * delta ([[DedupClusters.updateComponentsWithRevokedKeeps]]) — an
+    * increment can bridge two old components, flipping the
+    * larger-labeled component's previously-emitted canonical to
+    * dropped (monotone ids do NOT prevent this; a consumer chaining
+    * daily survivor sets must subtract `revoked` or it silently
+    * retains docs a batch run would drop). */
+  private def keepStep(
+      gatedNew: DataFrame,
+      oldLabels: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (labels, revoked) = DedupClusters.updateComponentsWithRevokedKeeps(
+      oldLabels, newPairs, gatedNew.select(col("doc_id")))
+    val dropped = labels.toDF("doc_id", "__comp")
+      .filter(col("__comp") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val survivors = gatedNew.join(dropped, Seq("doc_id"), "left_anti")
+    (survivors, revoked.toDF("doc_id"), labels)
   }
 
   /** One daily step of [[CurationPipeline.run]]'s stages 1–4: score →
     * gate → incremental near-dup pairs → incremental keep decision.
-    * Returns the batch's curated survivors (with the batch pipeline's
-    * score columns) and the advanced [[State]]. Chunking/packing/
-    * mixing compose downstream exactly as in the batch pipeline. */
+    * Returns `(survivors, revoked, nextState)`: the batch's curated
+    * survivors (with the batch pipeline's score columns), the
+    * previously-emitted OLD survivors this increment retracts (see
+    * [[keepStep]] — subtract them from any accumulated survivor set),
+    * and the advanced [[State]]. Chunking/packing/mixing compose
+    * downstream exactly as in the batch pipeline.
+    *
+    * Contract: batch ids must be DISJOINT from the at-rest corpus
+    * (the watermark enforces the stronger monotone form fail-fast
+    * when carried); given disjoint ids the survivor/revoked identity
+    * is exact with NO ordering assumption — the min-label keep rule
+    * is order-independent, and retractions are surfaced, not
+    * assumed away. */
   def step(
       newDocs: DataFrame,
       state: State,
       minQuality: Double = 0.5,
       dupThreshold: Double = 0.8,
-      maxBucket: Option[Int] = Some(10000)): (DataFrame, State) = {
-    val gatedNew = CurationPipeline.gate(CurationPipeline.score(newDocs), minQuality)
+      maxBucket: Option[Int] = Some(10000)): (DataFrame, DataFrame, State) = {
+    val guarded = state.maxId
+      .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.step"))
+      .getOrElse(newDocs)
+    val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
     val newPairs = MinHash.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
       threshold = dupThreshold, maxBucket = maxBucket)
       .select(col("id_a"), col("id_b"))
-    val labels = DedupClusters.updateComponents(state.labels, newPairs)
-    // keep decision for the new ids only: a new doc survives iff it is
-    // its component's minimum (monotone ids ⇒ old keeps never flip)
-    val dropped = labels.toDF("doc_id", "__comp")
-      .filter(col("__comp") =!= col("doc_id"))
-      .select(col("doc_id"))
-    val survivors = gatedNew.join(dropped, Seq("doc_id"), "left_anti")
+    val (survivors, revoked, labels) = keepStep(gatedNew, state.labels, newPairs)
     val nextState = State(
       state.shingleIndex.unionByName(
         MinHash.shingleIndex(gatedNew, "doc_id", "text")),
-      labels)
-    (survivors, nextState)
+      labels,
+      advance(state.maxId, newDocs, "doc_id"))
+    (survivors, revoked, nextState)
+  }
+
+  /** [[step]] under the exact n-gram Jaccard flavor — every stage
+    * increment-sized: pairing reads the at-rest index through the
+    * df/size side-tables (no linear index pass), the keep decision is
+    * the same contraction CC, and state advancement is increment-ADD
+    * (dfs summed per shingle hash, sizes appended — ids are disjoint
+    * by contract). */
+  def stepJaccard(
+      newDocs: DataFrame,
+      state: JaccardState,
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.1,
+      maxDf: Int = 50): (DataFrame, DataFrame, JaccardState) = {
+    val guarded = state.maxId
+      .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.stepJaccard"))
+      .getOrElse(newDocs)
+    val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
+    val newPairs = Jaccard.nearDuplicatesIncremental(
+      gatedNew, "doc_id", "text", state.shingleIndex,
+      threshold = jaccardThreshold, maxDf = maxDf,
+      sideTables = Some((state.dfs, state.sizes)))
+      .select(col("id_a"), col("id_b"))
+    val (survivors, revoked, labels) = keepStep(gatedNew, state.labels, newPairs)
+    val newIndex = MinHash.shingleIndex(gatedNew, "doc_id", "text")
+    val nextState = JaccardState(
+      state.shingleIndex.unionByName(newIndex),
+      state.dfs.unionByName(Jaccard.indexDfs(newIndex))
+        .groupBy(col("h")).agg(sum(col("df")).as("df")),
+      state.sizes.unionByName(Jaccard.indexSizes(newIndex, "doc_id")),
+      labels,
+      advance(state.maxId, newDocs, "doc_id"))
+    (survivors, revoked, nextState)
   }
 }

@@ -251,10 +251,60 @@ object DedupClusters {
       bCol: String = "id_b",
       useGraphX: Boolean = true): DataFrame = {
     val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
-    val relabeled = oldLabels
+    applyRemap(oldLabels, remap, newRows)
+  }
+
+  /** The full-table side of [[updateComponents]]: one broadcast-join
+    * map pass relabels merged components, new rows append. */
+  private def applyRemap(
+      oldLabels: DataFrame, remap: DataFrame, newRows: DataFrame): DataFrame =
+    oldLabels
       .join(broadcast(remap), col("component") === col("__oldc"), "left")
       .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
-    relabeled.unionByName(newRows)
+      .unionByName(newRows)
+
+  /** [[updateComponents]] PLUS the revoked-keep delta, from ONE
+    * contraction pass: `(labels, revoked)` where `revoked` is every
+    * node that was a kept canonical (its component's minimum — or an
+    * unlabeled singleton) BEFORE the increment and is not after it.
+    * This is the retraction signal a consumer chaining daily survivor
+    * sets needs: without it, accumulated survivors silently retain
+    * docs a batch run would drop whenever an increment BRIDGES two
+    * old components (the larger label's canonical flips to dropped —
+    * monotone ids do NOT prevent this).
+    *
+    * Two increment-sized row classes, no corpus pass beyond
+    * [[updateComponents]]'s own:
+    *  - merged old canonicals: every remap key `__oldc` is, by the
+    *    min-label invariant, a node whose at-rest row is
+    *    (node, node) — currently kept — and its new label is strictly
+    *    smaller, so it flips;
+    *  - old singletons the increment links under a smaller id: rows
+    *    of `newRows` with `component != node` that are NOT the
+    *    increment's own nodes. `newNodes` (one column, the increment
+    *    batch's node ids — increment-sized, broadcast like the
+    *    endpoint set) is what tells them apart from new docs, which
+    *    were never previously kept and so never revoke.
+    *
+    * Identity (spec-pinned in IncrementalCcSpec): revoked =
+    * keeps(before) ∩ nodes \ keeps(after), for keeps = { n : label(n)
+    * = n or n unlabeled }. Requires only DISJOINT ids between the
+    * at-rest corpus and `newNodes` — no monotone-id assumption. */
+  def updateComponentsWithRevokedKeeps(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      newNodes: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): (DataFrame, DataFrame) = {
+    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
+    val labels = applyRemap(oldLabels, remap, newRows)
+    val revoked = remap.select(col("__oldc").as("node"))
+      .unionByName(newRows
+        .filter(col("node") =!= col("component"))
+        .join(broadcast(newNodes.toDF("node")), Seq("node"), "left_anti")
+        .select(col("node")))
+    (labels, revoked)
   }
 
   /** The CHANGED rows only of [[updateComponents]]: old rows whose

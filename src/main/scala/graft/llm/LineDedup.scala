@@ -29,9 +29,7 @@ object LineDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxOccurrences: Long = 2L): DataFrame = {
-    val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
-      .withColumn("__h", xxhash64(col("__line")))
+    val lines = lineRows(docs, idCol, textCol)
 
     val banned = lines.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxOccurrences)
@@ -51,4 +49,74 @@ object LineDedup {
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
+
+  private def lineRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+
+  /** The at-rest state table for [[dedupLinesIncremental]]: per-line-
+    * hash OCCURRENCE counts of the accumulated corpus — `(h, cnt)`.
+    * Build once (bucket by h), advance per increment by adding the
+    * increment's own [[lineCounts]] and re-summing per hash (the same
+    * increment-ADD rule as [[Jaccard.indexDfs]]). */
+  def lineCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      .select(xxhash64(col("__line")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+
+  /** INCREMENTAL corpus-level line dedup: a NEW batch cleaned against
+    * the accumulated corpus's at-rest [[lineCounts]] — bit-identical
+    * to [[dedupLines]] over old ∪ new RESTRICTED to the new ids,
+    * without re-reading the old corpus. The union-counting rule the
+    * incremental dedup family shares: a line is banned when its
+    * at-rest count PLUS its in-batch count exceeds `maxOccurrences`
+    * (exactly the batch rule), and only increment-touched hashes can
+    * ban a new line, so the check is an increment-keyed left join
+    * against the stored counts — never a pass over the corpus.
+    *
+    * What this arm deliberately does NOT emit: rewrites of OLD
+    * documents whose lines newly crossed the threshold (a batch rerun
+    * would strip those too). [[newlyBannedLines]] surfaces the
+    * hash-level delta so a consumer can schedule old-shard rewrites
+    * against a (line-hash → doc) inverted index if it keeps one;
+    * resolving hashes to documents here would require exactly the
+    * corpus pass this arm exists to avoid. */
+  def dedupLinesIncremental(
+      newDocs: DataFrame,
+      counts: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxOccurrences: Long = 2L): DataFrame = {
+    val lines = lineRows(newDocs, idCol, textCol)
+    val banned = lines.groupBy(col("__h")).agg(count(lit(1)).as("__bcnt"))
+      .join(counts.toDF("__h", "__ocnt"), Seq("__h"), "left")
+      .filter(col("__bcnt") + coalesce(col("__ocnt"), lit(0L)) > maxOccurrences)
+      .select(col("__h"))
+    val rebuilt = lines.join(banned, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as(textCol))
+    newDocs.select(col(idCol)).dropDuplicates(idCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
+  /** The hash-level at-rest delta of an increment: line hashes whose
+    * total count first EXCEEDS `maxOccurrences` because of this batch
+    * (at-rest ≤ max < at-rest + batch) — the lines a batch rerun would
+    * now strip from OLD documents too. Increment-keyed, like the ban
+    * check itself. Output: (h, cnt) with the new union count. */
+  def newlyBannedLines(
+      newDocs: DataFrame,
+      counts: DataFrame,
+      textCol: String = "text",
+      maxOccurrences: Long = 2L): DataFrame =
+    lineCounts(newDocs, textCol).toDF("h", "__bcnt")
+      .join(counts.toDF("h", "__ocnt"), Seq("h"), "left")
+      .filter(coalesce(col("__ocnt"), lit(0L)) <= maxOccurrences &&
+        col("__bcnt") + coalesce(col("__ocnt"), lit(0L)) > maxOccurrences)
+      .select(col("h"), (col("__bcnt") + coalesce(col("__ocnt"), lit(0L))).as("cnt"))
 }

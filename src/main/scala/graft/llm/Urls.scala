@@ -122,6 +122,36 @@ object Urls {
     canonicalize(df, urlCol).filter(col("host").isNotNull)
       .groupBy(col("host")).agg(count(lit(1)).as("n_seen"))
 
+  /** The at-rest max-id watermark (one row, `max_id` BIGINT; null on
+    * an empty corpus) — the third crawl-hygiene state table: the
+    * incremental arms' MONOTONE-ID contract (every new id exceeds
+    * every old id) is what makes first-crawl-wins and
+    * earliest-fills-first exact without re-reading the old crawl, and
+    * this is the watermark that turns a violating BACKFILL batch from
+    * a silently wrong answer into an error. Advance it with
+    * `unionByName` + a max re-aggregate, like the other state tables. */
+  def idWatermark(df: DataFrame, idCol: String): DataFrame =
+    df.agg(max(col(idCol).cast("long")).as("max_id"))
+
+  /** Fail-fast monotone-id guard: passes `df` through unchanged but
+    * raises (at scan time, wherever the first violating row is) when
+    * any id fails to exceed the [[idWatermark]] — the check rides the
+    * increment scan as a broadcast of the 1-row watermark plus one
+    * codegen'd comparison per row: zero shuffles, zero extra actions,
+    * and chained lazy steps stay lazy. A null watermark (empty
+    * at-rest corpus) admits everything. */
+  private[graft] def requireMonotone(
+      df: DataFrame, idCol: String, watermark: DataFrame, op: String): DataFrame =
+    df.crossJoin(broadcast(watermark.select(col("max_id").as("__wm"))))
+      .filter(assert_true(
+        coalesce(col(idCol).cast("long") > col("__wm"), lit(true)),
+        concat(lit(s"$op: monotone-id contract violated — batch id "),
+          col(idCol).cast("string"),
+          lit(" <= at-rest max-id watermark "), col("__wm").cast("string"),
+          lit(" (a backfill batch: run the batch path, or rebuild the" +
+            " at-rest state from the full corpus)"))).isNull)
+      .select(df.columns.map(col): _*)
+
   /** INCREMENTAL first-crawl-wins URL dedup: the survivors a NEW crawl
     * batch contributes, against the at-rest [[seenUrls]] set —
     * bit-identical to [[dedupByUrl]] over old ∪ new restricted to new
@@ -130,13 +160,23 @@ object Urls {
     * arrival-ordered, so an already-seen URL's survivor can never be
     * displaced by a later crawl). One anti-join keyed on the canonical
     * URL (bucket the at-rest set by it) + the same min_by pick within
-    * the batch. */
+    * the batch.
+    *
+    * `watermark` (an [[idWatermark]] table; default-on in the composed
+    * [[graft.api.IncrementalCuration]] journey) makes the contract
+    * fail-fast: a backfill batch raises instead of silently keeping
+    * old survivors that the batch run would displace. `None` trusts
+    * the caller (the pre-watermark behavior). */
   def dedupByUrlIncremental(
       newDf: DataFrame,
       idCol: String,
       urlCol: String,
-      seen: DataFrame): DataFrame = {
-    val c = canonicalize(newDf, urlCol)
+      seen: DataFrame,
+      watermark: Option[DataFrame] = None): DataFrame = {
+    val guarded = watermark
+      .map(w => requireMonotone(newDf, idCol, w, "dedupByUrlIncremental"))
+      .getOrElse(newDf)
+    val c = canonicalize(guarded, urlCol)
     val unseen = c.join(seen.toDF("canonical_url"), Seq("canonical_url"), "left_anti")
       .select(c.columns.map(col): _*)
     firstPerUrl(unseen, idCol)
@@ -153,17 +193,26 @@ object Urls {
     * through a broadcast anti-join; only boundary hosts' survivors
     * come back via the broadcast keep-list. The at-rest counts join
     * is keyed on host against the increment-sized aggregate — never
-    * against the crawl-sized relation. Null-host rows pass through. */
+    * against the crawl-sized relation. Null-host rows pass through.
+    *
+    * `watermark`: same fail-fast contract guard as
+    * [[dedupByUrlIncremental]] — a batch with any id at or below the
+    * at-rest [[idWatermark]] raises instead of silently mis-filling
+    * host capacity. */
   def hostCapIncremental(
       newDf: DataFrame,
       idCol: String,
       urlCol: String,
       maxPerHost: Int,
-      counts: DataFrame): DataFrame = {
+      counts: DataFrame,
+      watermark: Option[DataFrame] = None): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
     require(Similarity.isIntegralId(newDf.schema(idCol).dataType),
       s"hostCapIncremental needs an integral id column, got $idCol")
-    val c = canonicalize(newDf, urlCol)
+    val guarded = watermark
+      .map(w => requireMonotone(newDf, idCol, w, "hostCapIncremental"))
+      .getOrElse(newDf)
+    val c = canonicalize(guarded, urlCol)
     val batchAgg = c.filter(col("host").isNotNull)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("__bn"),

@@ -783,6 +783,44 @@ object LlmQueries extends QueryModule {
            |FROM (SELECT DISTINCT doc_id FROM d) ids LEFT JOIN r USING (doc_id)""".stripMargin
       }),
 
+    // ----- INCREMENTAL line dedup: the new batch (doc_id % 5 == 0)
+    // cleaned against the at-rest per-line-hash counts of the
+    // accumulated corpus (union-counting: at-rest + in-batch counts
+    // reproduce exactly the batch ban rule). The oracle replays the
+    // FULL batch line dedup over old ∪ new and restricts to new ids —
+    // the shared footer is banned by accumulated occurrences the
+    // incremental path never re-reads. -----
+    GraftQuery(
+      "q_doc_line_dedup_incremental",
+      (s, d) => {
+        val salted = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit("\nSHARED BOILERPLATE FOOTER\nunique "),
+            col("doc_id")).as("text"))
+        graft.llm.LineDedup.dedupLinesIncremental(
+          salted.filter(col("doc_id") % 5 === 0),
+          graft.llm.LineDedup.lineCounts(salted.filter(col("doc_id") % 5 =!= 0)),
+          maxOccurrences = 2L)
+      },
+      Some {
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    text || chr(10) || 'SHARED BOILERPLATE FOOTER' || chr(10) ||
+           |    'unique ' || doc_id AS text
+           |  FROM documents
+           |),
+           |l AS (
+           |  SELECT doc_id, generate_subscripts(lines, 1) AS idx, unnest(lines) AS line
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d)
+           |),
+           |b AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
+           |k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+           |      FROM k GROUP BY doc_id)
+           |SELECT ids.doc_id, coalesce(r.text, '') AS text
+           |FROM (SELECT DISTINCT doc_id FROM d WHERE doc_id % 5 = 0) ids
+           |LEFT JOIN r USING (doc_id)""".stripMargin
+      }),
+
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
     GraftQuery(
       "q_doc_lang_agg",

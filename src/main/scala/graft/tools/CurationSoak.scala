@@ -98,6 +98,12 @@ object CurationSoak {
         .otherwise(concat(lit("https://h"), (col("id") % 20011).cast("string"),
           lit(".example.com/p/"), col("id").cast("string"))).as("url"))
 
+    // skewed-term BM25 corpus: every doc contains "common" (a 20M-doc
+    // posting list), plus a ~1/97 term and a unique token
+    def skewDocs = spark.range(20000000L).select(col("id").as("doc_id"),
+      concat(lit("common t"), (col("id") % 97).cast("string"),
+        lit(" u"), col("id").cast("string")).as("text"))
+
     // serving-sized synthetic corpus for the ranking A/B: 1M 16-dim
     // vectors of deterministic pseudo-random floats (pure projection —
     // no fixture i/o; identical cost in both arms)
@@ -119,6 +125,30 @@ object CurationSoak {
         .join(oldE.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cell"), col("keep"))
         .write.mode("overwrite").parquet(s"$semIdxDir/index")
+    }
+
+    // at-rest line-hash counts for the incremental line-dedup A/B —
+    // docs salted with a shared footer + a unique line (the oracle's
+    // shape) so the banned path fires on every document
+    def saltedDocs = docs.select(col("doc_id"),
+      concat(col("text"), lit("\nSHARED BOILERPLATE FOOTER\nunique "),
+        col("doc_id")).as("text"))
+    val lineIdxDir = "/tmp/graft_lineidx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("line_dedup_incremental"))) {
+      graft.llm.LineDedup.lineCounts(saltedDocs.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(lineIdxDir)
+    }
+
+    // at-rest composed-journey state (bootstrap over the 80% "old"
+    // corpus, persisted as production would) for the end-to-end
+    // daily-step A/B — index, labels, and watermark written once
+    val journeyDir = "/tmp/graft_journey_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("journey_step"))) {
+      val st = graft.api.IncrementalCuration.stateOf(
+        docs.filter(col("doc_id") % 5 =!= 0), dupThreshold = 0.01)
+      st.shingleIndex.write.mode("overwrite").parquet(s"$journeyDir/index")
+      st.labels.write.mode("overwrite").parquet(s"$journeyDir/labels")
+      st.maxId.get.write.mode("overwrite").parquet(s"$journeyDir/maxid")
     }
 
     // at-rest shingle index for the incremental-dedup A/B (build-once,
@@ -173,6 +203,60 @@ object CurationSoak {
           sideTables = Some((
             spark.read.parquet(s"$shingleIndexDir-dfs"),
             spark.read.parquet(s"$shingleIndexDir-sizes"))))
+      },
+      // incremental line dedup: the 20% daily batch cleaned against
+      // the at-rest per-line-hash counts vs the full-corpus batch run
+      // restricted — the absent term is the old-corpus explode+count
+      "line_dedup_incremental" -> { () =>
+        graft.llm.LineDedup.dedupLinesIncremental(
+          saltedDocs.filter(col("doc_id") % 5 === 0),
+          spark.read.parquet(lineIdxDir))
+      },
+      "line_dedup_batch_restricted" -> { () =>
+        graft.llm.LineDedup.dedupLines(saltedDocs)
+          .filter(col("doc_id") % 5 === 0)
+      },
+      // the COMPOSED daily step, end to end: score → gate →
+      // incremental pairs → contraction-CC keep (+ revoked) + the
+      // state-advance append (the increment's own index rows —
+      // recomputed here where production shares the scored pass, so
+      // the incremental arm is measured CONSERVATIVELY) vs the
+      // bootstrap batch run over the full corpus with ITS index build
+      "journey_step_incremental" -> { () =>
+        val nw = docs.filter(col("doc_id") % 5 === 0)
+        val state = graft.api.IncrementalCuration.State(
+          spark.read.parquet(s"$journeyDir/index"),
+          spark.read.parquet(s"$journeyDir/labels"),
+          Some(spark.read.parquet(s"$journeyDir/maxid")))
+        val (sv, rv, _) = graft.api.IncrementalCuration.step(
+          nw, state, dupThreshold = 0.01)
+        val append = graft.llm.MinHash.shingleIndex(
+          graft.api.CurationPipeline.gate(graft.api.CurationPipeline.score(nw)),
+          "doc_id", "text")
+        sv.select(col("doc_id")).unionByName(rv)
+          .unionByName(append.select(col("doc_id")))
+      },
+      "journey_batch_bootstrap" -> { () =>
+        val gated = graft.api.CurationPipeline.gate(
+          graft.api.CurationPipeline.score(docs))
+        val pairs = graft.api.CurationPipeline.nearDuplicatePairs(
+          gated, threshold = 0.01)
+        graft.api.CurationPipeline.dedup(gated, pairs).select(col("doc_id"))
+          .unionByName(graft.llm.MinHash.shingleIndex(gated, "doc_id", "text")
+            .select(col("doc_id")))
+      },
+      // BM25 under a manufactured skewed term: "common" sits in EVERY
+      // one of 20M synthetic docs, so the scored relation for the
+      // query is corpus-sized — the per-query rank window lands it all
+      // on ONE task; the k-bounded payload aggregate ships ≤ k entries
+      // per map partition (generation is inline — both arms pay it)
+      "bm25_skew" -> { () =>
+        Bm25.topkPerQuery(skewDocs, "doc_id", "text",
+          Seq((0L, Seq("common", "t3"))), 25)
+      },
+      "bm25_skew_window" -> { () =>
+        Bm25.topkPerQuery(skewDocs, "doc_id", "text",
+          Seq((0L, Seq("common", "t3"))), 25, nativeTopK = false)
       },
       // Gopher's full repetition matrix — the widest single-scan
       // explode in the quality family (9 n-gram sizes + lines + paras

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the composed daily-increment journey against the batch
-  * pipeline: one step over a monotone-id batch equals
+  * pipeline: one step over a disjoint-id batch equals
   * [[CurationPipeline]] over old ∪ new restricted to new ids, the
-  * advanced state equals the state rebuilt from the union, and two
-  * chained steps equal one big batch.
+  * ACCUMULATED survivor chain (step survivors minus later
+  * revocations) equals the batch survivor set, the advanced state
+  * equals the state rebuilt from the union, and the watermark guard
+  * fails a backfill batch fast.
   *
   * State tables are materialized between steps (localCheckpoint) —
   * exactly what production does by persisting them as the at-rest
@@ -29,10 +31,17 @@ class IncrementalCurationSpec extends AnyFunSuite {
     df.select(col("doc_id")).as[Long].collect().toSet
 
   private def atRest(s: IncrementalCuration.State): IncrementalCuration.State =
-    IncrementalCuration.State(s.shingleIndex.localCheckpoint(), s.labels.localCheckpoint())
+    IncrementalCuration.State(s.shingleIndex.localCheckpoint(),
+      s.labels.localCheckpoint(), s.maxId.map(_.localCheckpoint()))
+
+  private def atRestJ(s: IncrementalCuration.JaccardState): IncrementalCuration.JaccardState =
+    IncrementalCuration.JaccardState(s.shingleIndex.localCheckpoint(),
+      s.dfs.localCheckpoint(), s.sizes.localCheckpoint(),
+      s.labels.localCheckpoint(), s.maxId.map(_.localCheckpoint()))
 
   private def atRestUrl(s: IncrementalCuration.UrlState): IncrementalCuration.UrlState =
-    IncrementalCuration.UrlState(s.seenUrls.localCheckpoint(), s.hostCounts.localCheckpoint())
+    IncrementalCuration.UrlState(s.seenUrls.localCheckpoint(),
+      s.hostCounts.localCheckpoint(), s.maxId.map(_.localCheckpoint()))
 
   private def batchSurvivors(all: DataFrame, dupThreshold: Double): DataFrame = {
     val gated = CurationPipeline.gate(CurationPipeline.score(all), 0.5)
@@ -45,21 +54,60 @@ class IncrementalCurationSpec extends AnyFunSuite {
     val d0 = docs.filter(col("doc_id") < 150)
     val d1 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 220)
     val d2 = docs.filter(col("doc_id") >= 220)
-    val (_, s1) = IncrementalCuration.step(
+    val (s1v, r1, s1) = IncrementalCuration.step(
       d1, atRest(IncrementalCuration.stateOf(d0, dupThreshold = threshold)),
       dupThreshold = threshold)
-    val (survivors2, s2) = IncrementalCuration.step(d2, atRest(s1),
+    val acc1 = (ids(batchSurvivors(d0, threshold)) ++ ids(s1v)) -- ids(r1)
+    val (s2v, r2, s2) = IncrementalCuration.step(d2, atRest(s1),
       dupThreshold = threshold)
     val batch = batchSurvivors(docs, threshold).filter(col("doc_id") >= 220)
-    assert(ids(survivors2) === ids(batch))
+    assert(ids(s2v) === ids(batch))
     // the fixture must exercise drops on the new side
-    assert(ids(survivors2).size < d2.count(),
+    assert(ids(s2v).size < d2.count(),
       "some new doc must lose to an accumulated near-duplicate")
+    // the CONSUMER identity: accumulated survivors (bootstrap batch +
+    // step survivors − revocations) equal the one-big-batch set —
+    // without subtracting revoked, a bridged old canonical would
+    // linger in the accumulated set
+    val accumulated = (acc1 ++ ids(s2v)) -- ids(r2)
+    assert(accumulated === ids(batchSurvivors(docs, threshold)))
     // advanced state equals the union-built state
     val unionState = IncrementalCuration.stateOf(docs, dupThreshold = threshold)
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
     assert(rows(s2.labels) === rows(unionState.labels))
     assert(rows(s2.shingleIndex) === rows(unionState.shingleIndex))
+    assert(rows(s2.maxId.get) === rows(unionState.maxId.get))
+  }
+
+  test("jaccard-flavor chained steps compose, side-tables advancing by increment-add") {
+    val threshold = 0.05
+    val d0 = docs.filter(col("doc_id") < 150)
+    val d1 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 220)
+    val d2 = docs.filter(col("doc_id") >= 220)
+    def batchJ(all: DataFrame): DataFrame = {
+      val gated = CurationPipeline.gate(CurationPipeline.score(all), 0.5)
+      CurationPipeline.dedup(gated,
+        graft.llm.Jaccard.nearDuplicates(gated, "doc_id", "text", threshold = threshold))
+    }
+    val (s1v, r1, s1) = IncrementalCuration.stepJaccard(
+      d1, atRestJ(IncrementalCuration.jaccardStateOf(d0, jaccardThreshold = threshold)),
+      jaccardThreshold = threshold)
+    val (s2v, r2, s2) = IncrementalCuration.stepJaccard(d2, atRestJ(s1),
+      jaccardThreshold = threshold)
+    assert(ids(s2v) === ids(batchJ(docs).filter(col("doc_id") >= 220)))
+    assert(ids(s2v).size < d2.count(),
+      "some new doc must lose to an accumulated near-duplicate")
+    val accumulated =
+      (((ids(batchJ(d0)) ++ ids(s1v)) -- ids(r1)) ++ ids(s2v)) -- ids(r2)
+    assert(accumulated === ids(batchJ(docs)))
+    // advanced state equals the union-built state — including the
+    // increment-ADDED df/size side-tables
+    val unionState = IncrementalCuration.jaccardStateOf(docs, jaccardThreshold = threshold)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(s2.labels) === rows(unionState.labels))
+    assert(rows(s2.shingleIndex) === rows(unionState.shingleIndex))
+    assert(rows(s2.dfs) === rows(unionState.dfs))
+    assert(rows(s2.sizes) === rows(unionState.sizes))
   }
 
   test("url hygiene step equals the batch composition restricted to new ids") {
@@ -81,5 +129,38 @@ class IncrementalCurationSpec extends AnyFunSuite {
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
     assert(rows(next.seenUrls) === rows(unionState.seenUrls))
     assert(rows(next.hostCounts) === rows(unionState.hostCounts))
+    assert(rows(next.maxId.get) === rows(unionState.maxId.get))
+  }
+
+  test("watermark guard: a backfill batch raises instead of returning wrong survivors") {
+    def withUrl(df: DataFrame) =
+      df.select(col("doc_id"),
+        concat(lit("https://h.example.com/p/"),
+          col("doc_id").cast("string")).as("url"))
+    val state = atRestUrl(IncrementalCuration.urlStateOf(
+      withUrl(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))))
+    // a batch whose ids sit BELOW the at-rest watermark (a backfill)
+    val backfill = withUrl(docs.filter(col("doc_id") < 100))
+    val (survivors, _) = IncrementalCuration.urlHygieneStep(backfill, state)
+    val e = intercept[Exception] { survivors.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("monotone-id contract violated")),
+      s"unexpected error: $e")
+    // the dedup step guards too — it raises during step() itself
+    // (GraphX's Pregel evaluates the guarded pair subtree eagerly),
+    // so the whole call sits inside the intercept
+    val dState = atRest(IncrementalCuration.stateOf(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)))
+    val e2 = intercept[Exception] {
+      val (sv, _, _) = IncrementalCuration.step(docs.filter(col("doc_id") < 100), dState)
+      sv.collect()
+    }
+    assert(msgs(e2).exists(_.contains("monotone-id contract violated")),
+      s"unexpected error: $e2")
+    // and a clean monotone batch still passes through the guard
+    val (ok, _) = IncrementalCuration.urlHygieneStep(
+      withUrl(docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)), state)
+    assert(ok.count() > 0)
   }
 }

@@ -111,6 +111,64 @@ class IncrementalCcSpec extends AnyFunSuite {
     assert(gotInc(20L) === (2L, false))
   }
 
+  test("revoked keeps: a bridge increment retracts the larger-labeled canonical") {
+    // old graph: {1,2} and {5,6} — kept canonicals 1 and 5 (plus all
+    // untouched singletons); a NEW node 9 bridges the two components
+    val old = Seq((1L, 2L), (5L, 6L))
+    val oldLabels = DedupClusters.connectedComponentsGraphX(
+      old.toDF("id_a", "id_b"), "id_a", "id_b")
+    val inc = Seq((9L, 2L), (9L, 6L)).toDF("id_a", "id_b")
+    val (labels, revoked) = DedupClusters.updateComponentsWithRevokedKeeps(
+      oldLabels, inc, Seq(9L).toDF("node"))
+    assert(labelsOf(labels) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L))
+    // 5 was kept, now shadowed by 1; 9 is NEW (never kept — not revoked)
+    assert(revoked.as[Long].collect().toSet === Set(5L))
+  }
+
+  test("revoked keeps: an old singleton linked under a smaller id is retracted") {
+    val old = Seq((1L, 2L))
+    val oldLabels = DedupClusters.connectedComponentsGraphX(
+      old.toDF("id_a", "id_b"), "id_a", "id_b")
+    // 7 is an OLD kept singleton (no at-rest row); new doc 0 shadows it,
+    // and new doc 30 links old singleton 31 WITHOUT shadowing it
+    val inc = Seq((0L, 7L), (30L, 31L)).toDF("id_a", "id_b")
+    val (labels, revoked) = DedupClusters.updateComponentsWithRevokedKeeps(
+      oldLabels, inc, Seq(0L, 30L).toDF("node"))
+    assert(labelsOf(labels) ===
+      Map(1L -> 1L, 2L -> 1L, 0L -> 0L, 7L -> 0L, 30L -> 30L, 31L -> 30L))
+    // 31's label 30 is a NEW doc's id, so 31 flips; 30 itself is new
+    assert(revoked.as[Long].collect().toSet === Set(7L, 31L))
+  }
+
+  test("revoked keeps equal the keep-set difference on seeded random chained increments") {
+    val rng = new scala.util.Random(7L)
+    for (trial <- 0 until 3) {
+      val n = 25
+      def kept(labels: Map[Long, Long], universe: Range): Set[Long] =
+        universe.map(_.toLong).filter(x => labels.getOrElse(x, x) == x).toSet
+      val old = Seq.fill(18)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      var labels = DedupClusters.connectedComponentsGraphX(
+        old.toDF("id_a", "id_b"), "id_a", "id_b").localCheckpoint()
+      var universe = 0 until n
+      for (batch <- 0 until 2) {
+        val newIds = (n + 10 * batch) until (n + 10 * (batch + 1))
+        // pairs always touch ≥ 1 new id (the incremental-pairing shape)
+        val inc = Seq.fill(8)((newIds(rng.nextInt(10)).toLong,
+          rng.nextInt(newIds.end).toLong)).filter { case (a, b) => a != b }
+        val before = kept(labelsOf(labels), universe)
+        val (next, revoked) = DedupClusters.updateComponentsWithRevokedKeeps(
+          labels, inc.toDF("id_a", "id_b"), newIds.map(_.toLong).toDF("node"))
+        labels = next.localCheckpoint()
+        universe = 0 until newIds.end
+        val after = kept(labelsOf(labels), universe)
+        val expected = before -- after
+        assert(revoked.as[Long].collect().toSet === expected,
+          s"trial $trial batch $batch")
+      }
+    }
+  }
+
   test("old-by-old increment pairs (re-crawl overlap) merge correctly too") {
     val old = Seq((1L, 2L), (5L, 6L))
     val oldLabels = DedupClusters.connectedComponentsGraphX(

@@ -86,6 +86,37 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(ok === 2L)
   }
 
+  test("incremental line dedup: union counting equals the batch restriction") {
+    // maxOccurrences = 2 → banned iff total occurrences > 2
+    val old = Seq(
+      (1L, "alpha\nFOOTER"),
+      (2L, "FOOTER\nbeta"),    // FOOTER ×2 at rest (not yet banned)
+      (3L, "EDGE\nEDGE\nEDGE") // EDGE already over the cap at rest
+    ).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "FOOTER\nkeep ten"),          // FOOTER crosses ONLY via old+new
+      (11L, "NEWSPAM\nNEWSPAM\nNEWSPAM"), // banned within the batch alone
+      (12L, "EDGE\nkeep twelve"),         // banned via the at-rest count alone
+      (13L, "FOOTER")                     // all lines banned → empty row
+    ).toDF("doc_id", "text")
+    val counts = LineDedup.lineCounts(old).localCheckpoint()
+    val inc = LineDedup.dedupLinesIncremental(nw, counts).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc === Map(10L -> "keep ten", 11L -> "", 12L -> "keep twelve", 13L -> ""))
+    // the restriction identity against the batch run over old ∪ new
+    val batch = LineDedup.dedupLines(old.unionByName(nw))
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc === batch)
+    // hash-level delta: FOOTER and NEWSPAM newly cross; EDGE was
+    // already banned at rest and must NOT reappear
+    def h(line: String) = Seq(line).toDF("l")
+      .select(xxhash64(col("l"))).collect().head.getLong(0)
+    val newly = LineDedup.newlyBannedLines(nw, counts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newly === Map(h("FOOTER") -> 4L, h("NEWSPAM") -> 3L))
+  }
+
   test("topBigramCoverage: counts, fraction, lexicographic tie-break") {
     val df = Seq(
       ("rep", "a b a b a b c"),      // "a b" x3 of 6 bigrams, n=7
