@@ -245,4 +245,52 @@ object IncrementalCuration {
       advance(state.maxId, newDocs, "doc_id"))
     (survivors, revoked, nextState)
   }
+
+  /** At-rest corpus-level line-dedup state: the per-line-hash
+    * occurrence counts ([[LineDedup.lineCounts]] — the ban rule's
+    * input) and the (line-hash → doc) inverted index
+    * ([[LineDedup.lineIndex]] — what resolves an increment's
+    * newly-banned hashes to the OLD documents needing a rewrite).
+    * Both advance by increment-ADD; neither needs an ordering
+    * contract (the ban rule is a symmetric count). */
+  final case class LineState(counts: DataFrame, index: DataFrame)
+
+  /** Bootstrap [[LineState]] from an accumulated corpus. */
+  def lineStateOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): LineState =
+    LineState(
+      LineDedup.lineCounts(docs, textCol),
+      LineDedup.lineIndex(docs, idCol, textCol))
+
+  /** Incremental [[CurationPipeline.c4Clean]]-adjacent line-dedup
+    * step — BOTH halves of the increment's effect: the NEW batch
+    * cleaned against the at-rest counts
+    * ([[LineDedup.dedupLinesIncremental]]) and the OLD-document
+    * rewrites the increment forces, resolved through the at-rest
+    * inverted index ([[LineDedup.rewritesIncremental]] — bounded by
+    * `maxOccurrences · |newly-banned hashes|`, never a corpus pass).
+    * `oldDocs` is read ONLY through an id-keyed semi-join against
+    * that increment-bounded affected set (id-partition-prunable at
+    * rest). Returns `(cleanedNew, oldRewrites, nextState)`; applying
+    * the rewrites to the stored corpus keeps it identical to a batch
+    * [[LineDedup.dedupLines]] over everything seen (spec-pinned in
+    * IncrementalCurationSpec). Ids need only be DISJOINT across
+    * batches (re-submitted ids would double-count their lines). */
+  def lineDedupStep(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      state: LineState,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxOccurrences: Long = 2L): (DataFrame, DataFrame, LineState) = {
+    val cleaned = LineDedup.dedupLinesIncremental(
+      newDocs, state.counts, idCol, textCol, maxOccurrences)
+    val rewrites = LineDedup.rewritesIncremental(
+      oldDocs, state.index, state.counts, newDocs, idCol, textCol, maxOccurrences)
+    val nextState = LineState(
+      state.counts.unionByName(LineDedup.lineCounts(newDocs, textCol))
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt")),
+      state.index.unionByName(LineDedup.lineIndex(newDocs, idCol, textCol)))
+    (cleaned, rewrites, nextState)
+  }
 }

@@ -89,27 +89,43 @@ object Bm25 {
       terms: Seq[String],
       k: Int,
       nativeTopK: Boolean = true): DataFrame = {
-    val t = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      Shingles.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    // one broadcast row: corpus size and exact-mean doc length
-    val stats = t.agg(
-      count(lit(1)).as("n_docs"),
-      // integer sum is exact; cast-to-double BEFORE the division so
-      // both engines do the same double/long divide (decimal-division
-      // scale rules differ between engines)
-      round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val t = tokenRelation(docs, idCol, textCol)
     val tk = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
       .filter(col("w").isin(terms: _*))
     val tf = tk.groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
+    rankTail(perDocScores(scoreCore(tf, statsOf(t)), Nil), k, nativeTopK)
+  }
+
+  /** (doc_id, toks, dl) over the non-empty documents — the shared
+    * front of both scan arms and the index build. */
+  private def tokenRelation(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Shingles.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+  /** One broadcast row: corpus size and exact-mean doc length. The
+    * integer sum is exact; cast-to-double BEFORE the division so both
+    * engines do the same double/long divide (decimal-division scale
+    * rules differ between engines). */
+  private def statsOf(t: DataFrame): DataFrame = t.agg(
+    count(lit(1)).as("n_docs"),
+    round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+
+  /** The ONE scoring core every arm routes through: a tf relation
+    * (doc_id, dl, w, tf) already restricted to the query terms, plus a
+    * 1-row (n_docs, avgdl) stats relation → per-(doc, term) DECIMAL
+    * scores. df is |Q| rows computed from the restricted tf itself
+    * (document frequency among non-empty docs — identical whether tf
+    * came from a corpus scan or the at-rest posting lists), so the
+    * scan and index arms are bit-identical by construction. */
+  private def scoreCore(tf: DataFrame, stats: DataFrame): DataFrame = {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df")) // |Q| rows
-    val perTerm = tf
-      .join(broadcast(df), "w")
+    tf.join(broadcast(df), "w")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("w"),
         // K1+1 written as the literal 2.2 (not computed) so the oracle's
         // parsed literal is bit-identical
         round(
@@ -117,11 +133,17 @@ object Bm25 {
             (col("tf") * lit(2.2)) /
             (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))),
           6).cast("decimal(20,9)").as("sc"))
-    val scored = perTerm.groupBy(col("doc_id"))
+  }
+
+  /** Per-term scores → the per-doc (or per-(query, doc)) scored
+    * relation rankTail consumes: order-insensitive DECIMAL sum, hit
+    * count, 6-decimal double on output. */
+  private def perDocScores(perTerm: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col) :+ col("doc_id")
+    perTerm.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
-      .select(col("doc_id"), col("n_hit_terms"),
-        round(col("s").cast("double"), 6).as("score"))
-    rankTail(scored, k, nativeTopK)
+      .select(keys ++ Seq(col("n_hit_terms"),
+        round(col("s").cast("double"), 6).as("score")): _*)
   }
 
   /** Multi-query BM25: top-k per query for a small literal query set —
@@ -145,39 +167,107 @@ object Bm25 {
       queries: Seq[(Long, Seq[String])],
       k: Int,
       nativeTopK: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val qt = queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }
-      .toDF("query_id", "w")
-    val t = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      Shingles.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    val stats = t.agg(
-      count(lit(1)).as("n_docs"),
-      round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val t = tokenRelation(docs, idCol, textCol)
     val tk = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
       .filter(col("w").isin(allTerms: _*))
     val tf = tk.groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val perTerm = tf
-      .join(broadcast(df), "w")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("w"),
-        round(
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))),
-          6).cast("decimal(20,9)").as("sc"))
-    val scored = perTerm
-      .join(broadcast(qt), "w")
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_terms"), sum(col("sc")).as("s"))
-      .select(col("query_id"), col("doc_id"), col("n_hit_terms"),
-        round(col("s").cast("double"), 6).as("score"))
+    val scored = perDocScores(
+      scoreCore(tf, statsOf(t)).join(broadcast(queryTerms(docs, queries)), "w"),
+      Seq("query_id"))
+    rankTail(scored, k, nativeTopK)
+  }
+
+  /** The tiny (query_id, w) membership relation. */
+  private def queryTerms(docs: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }.toDF("query_id", "w")
+  }
+
+  // ---------- at-rest inverted index (build once, serve every query) ----------
+
+  /** Build the at-rest BM25 inverted index: one posting row per
+    * (term, doc) — `(w, doc_id, tf, dl)`. The build pays the corpus
+    * tokenize+explode ONCE; serving ([[topkFromIndex]]) then reads
+    * ONLY the query terms' posting lists — store the table
+    * partitioned (or bucketed) by `w` and the scan prunes to the
+    * touched terms, so query cost scales with posting-list sizes, not
+    * corpus size. Maintenance under corpus growth is increment-ADD
+    * ([[indexAdd]]): disjoint new ids contribute disjoint posting
+    * rows, and df/avgdl are recomputed from the union at serve time,
+    * exactly as a batch rebuild would. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenRelation(docs, idCol, textCol)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .groupBy(col("w"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The index's 1-row corpus-stats side-table, `(n_docs, sum_dl)` —
+    * EXACT integer aggregates (not the rounded mean) precisely so
+    * maintenance is lossless addition: summing two disjoint corpora's
+    * (n_docs, sum_dl) rows gives the union's row bit-exactly, whereas
+    * averaged averages would drift. The rounded `avgdl` the formula
+    * needs is derived at serve time ([[servingStats]]) with the SAME
+    * cast-double-then-round as the scan arm. */
+  def indexStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenRelation(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Advance an at-rest index by a new batch (ids DISJOINT from every
+    * doc already indexed — re-submitted ids would double their posting
+    * rows): postings append (increment-sized — the old posting lists
+    * are untouched; with the table partitioned by `w` this is a pure
+    * file append), stats add. Serving the advanced index is identical
+    * to rebuilding from the union corpus ([[scoreCore]] recomputes df
+    * and avgdl from union postings/stats — spec-pinned). */
+  def indexAdd(
+      postings: DataFrame,
+      stats: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = (
+    postings.unionByName(buildIndex(newDocs, idCol, textCol)),
+    stats.unionByName(indexStats(newDocs, idCol, textCol))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+
+  /** (n_docs, avgdl) from the stored exact stats — the same
+    * double/long divide and 6-decimal round as [[statsOf]]. */
+  private def servingStats(stats: DataFrame): DataFrame =
+    stats.select(col("n_docs"),
+      round(col("sum_dl").cast("double") / col("n_docs"), 6).as("avgdl"))
+
+  /** [[topk]] served from the at-rest index: bit-identical output (the
+    * arms share [[scoreCore]]/[[perDocScores]]/[[rankTail]]; the tf
+    * relation is the stored posting rows instead of a fresh corpus
+    * tokenize — same (doc_id, dl, w, tf) tuples by construction), with
+    * NO corpus pass: the only inputs are the query terms' posting
+    * lists and the 1-row stats table. */
+  def topkFromIndex(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
+    val tf = postings.filter(col("w").isin(terms: _*))
+    rankTail(perDocScores(scoreCore(tf, servingStats(stats)), Nil), k, nativeTopK)
+  }
+
+  /** [[topkPerQuery]] served from the at-rest index — see
+    * [[topkFromIndex]]; the query-membership join broadcasts the tiny
+    * (query_id, term) relation exactly like the scan arm. */
+  def topkPerQueryFromIndex(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      nativeTopK: Boolean = true): DataFrame = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = postings.filter(col("w").isin(allTerms: _*))
+    val scored = perDocScores(
+      scoreCore(tf, servingStats(stats)).join(broadcast(queryTerms(postings, queries)), "w"),
+      Seq("query_id"))
     rankTail(scored, k, nativeTopK)
   }
 }

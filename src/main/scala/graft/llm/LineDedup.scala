@@ -119,4 +119,82 @@ object LineDedup {
       .filter(coalesce(col("__ocnt"), lit(0L)) <= maxOccurrences &&
         col("__bcnt") + coalesce(col("__ocnt"), lit(0L)) > maxOccurrences)
       .select(col("h"), (col("__bcnt") + coalesce(col("__ocnt"), lit(0L))).as("cnt"))
+
+  /** The (line-hash → doc) inverted index that makes OLD-shard
+    * rewrites increment-sized: `(h, idCol)` DISTINCT pairs. Build once
+    * next to [[lineCounts]] (bucket by h — [[rewritesIncremental]]'s
+    * lookup is then exchange-free); advance per increment by APPENDING
+    * the increment's own index rows (disjoint ids contribute disjoint
+    * pairs — no re-aggregation at all). */
+  def lineIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(xxhash64(col("__line")).as("h"), col(idCol))
+      .distinct()
+
+  /** The OLD-document rewrites an increment forces — the other half of
+    * [[dedupLinesIncremental]]'s contract (which rewrites only the NEW
+    * batch and surfaces [[newlyBannedLines]] as a hash-level delta).
+    * With the [[lineIndex]] at rest, resolving that delta to documents
+    * is increment-sized, not a corpus pass:
+    *
+    *  1. newly-banned hashes (increment-keyed, see
+    *     [[newlyBannedLines]]);
+    *  2. affected old docs = one semi-join of the index against the
+    *     broadcast banned set — at most `maxOccurrences` old docs per
+    *     newly-banned hash (its at-rest count was ≤ the cap), so the
+    *     affected set is increment-BOUNDED, and broadcasting it back
+    *     onto `oldDocs` (id-keyed, partition-prunable) fetches only
+    *     the texts that change;
+    *  3. rebuild those docs under the union ban rule (at-rest + batch
+    *     counts > cap) — the at-rest counts are read through a
+    *     semi-join restricted to the affected docs' own line hashes.
+    *
+    * Output: `(idCol, textCol)` — bit-identical to
+    * `dedupLines(old ∪ new)` RESTRICTED to the old docs containing a
+    * newly-banned line (every other old doc is untouched by a batch
+    * rerun: union counts only grow, so a doc's rebuild changes iff one
+    * of its lines crosses the cap BECAUSE of this batch). Spec-pinned
+    * and oracle-replayed (`q_doc_line_dedup_rewrites`). */
+  def rewritesIncremental(
+      oldDocs: DataFrame,
+      index: DataFrame,
+      counts: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxOccurrences: Long = 2L): DataFrame = {
+    val nb = newlyBannedLines(newDocs, counts, textCol, maxOccurrences)
+      .select(col("h"))
+    val affectedIds = index.join(broadcast(nb), Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
+    val affected = oldDocs.join(broadcast(affectedIds), Seq(idCol), "left_semi")
+    val lines = lineRows(affected, idCol, textCol)
+    // union ban rule over ONLY the affected docs' line hashes: restrict
+    // the corpus-sized at-rest counts map-side, then assemble the
+    // banned set from increment-bounded relations
+    val touched = lines.select(col("__h")).distinct()
+    val atRest = counts.toDF("__h", "__ocnt")
+      .join(broadcast(touched), Seq("__h"), "left_semi")
+    val inBatch = lineCounts(newDocs, textCol).toDF("__h", "__bcnt")
+      .join(broadcast(touched), Seq("__h"), "left_semi")
+    val banned = touched
+      .join(broadcast(atRest), Seq("__h"), "left")
+      .join(broadcast(inBatch), Seq("__h"), "left")
+      .filter(coalesce(col("__ocnt"), lit(0L)) + coalesce(col("__bcnt"), lit(0L)) >
+        maxOccurrences)
+      .select(col("__h"))
+    val rebuilt = lines.join(banned, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as(textCol))
+    affectedIds
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
 }

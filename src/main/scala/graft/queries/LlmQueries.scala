@@ -157,6 +157,39 @@ object LlmQueries extends QueryModule {
        |    AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_nll
        |FROM lp GROUP BY doc_id)""".stripMargin
 
+  /** From-scratch BM25 top-25 for the fixed probe query — shared by
+    * `q_doc_bm25` (corpus-scan arm) and `q_doc_bm25_indexed` (the
+    * at-rest inverted-index arm): one oracle, two plans, bit-identical
+    * scores required of both. */
+  private val bm25Sql: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t AS (SELECT doc_id, toks, len(toks) AS dl FROM t0 WHERE len(toks) > 0),
+       |st AS (SELECT count(*) AS n_docs,
+       |  round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl FROM t),
+       |tk AS (SELECT doc_id, dl, unnest(toks) AS w FROM t),
+       |ftk AS (SELECT * FROM tk WHERE w IN ('spark','join','window','stream')),
+       |tf AS (SELECT doc_id, dl, w, count(*) AS tf
+       |       FROM ftk GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |pt AS (SELECT tf.doc_id,
+       |  CAST(round(
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |       (st.n_docs - df.df + CAST(0.5 AS DOUBLE)) /
+       |       (df.df + CAST(0.5 AS DOUBLE))) *
+       |    (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |    (tf.tf + CAST(1.2 AS DOUBLE) *
+       |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+       |       CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)), 6)
+       |    AS DECIMAL(20,9)) AS sc
+       |  FROM tf JOIN df USING (w) CROSS JOIN st),
+       |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
+       |       round(CAST(sum(sc) AS DOUBLE), 6) AS score
+       |       FROM pt GROUP BY doc_id)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       |         doc_id, n_hit_terms, score
+       |  FROM sc) WHERE rank <= 25""".stripMargin
+
   /** The video frame-hash fixture corpus (see `q_media_vhash`): 12
     * block-rotating patterns ([[graft.llm.Multimodal.syntheticAviBlocks]],
     * pattern seed = id % 12, 5 DIB frames), ids 0..23 two exact copies
@@ -819,6 +852,55 @@ object LlmQueries extends QueryModule {
            |SELECT ids.doc_id, coalesce(r.text, '') AS text
            |FROM (SELECT DISTINCT doc_id FROM d WHERE doc_id % 5 = 0) ids
            |LEFT JOIN r USING (doc_id)""".stripMargin
+      }),
+
+    // ----- INCREMENTAL line dedup, the OLD-document half: the rewrites
+    // an increment forces on already-cleaned old shards, resolved
+    // through the at-rest (line-hash -> doc) inverted index. The salt
+    // adds a 3-doc group line ('grp ' || doc_id div 3) so increments
+    // (doc_id % 5 == 0) push some groups over the cap whose OLD count
+    // was <= 2 (newly banned -> their old members are rewritten) while
+    // other groups are all-old (banned at rest -> untouched here). The
+    // oracle replays the FULL batch dedup over old ∪ new restricted to
+    // exactly the old docs containing a newly-banned line. -----
+    GraftQuery(
+      "q_doc_line_dedup_rewrites",
+      (s, d) => {
+        val salted = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit("\nSHARED BOILERPLATE FOOTER\ngrp "),
+            expr("doc_id div 3"), lit("\nunique "), col("doc_id")).as("text"))
+        val old = salted.filter(col("doc_id") % 5 =!= 0)
+        graft.llm.LineDedup.rewritesIncremental(
+          old,
+          graft.llm.LineDedup.lineIndex(old),
+          graft.llm.LineDedup.lineCounts(old),
+          salted.filter(col("doc_id") % 5 === 0),
+          maxOccurrences = 2L)
+      },
+      Some {
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    text || chr(10) || 'SHARED BOILERPLATE FOOTER' || chr(10) ||
+           |    'grp ' || (doc_id // 3) || chr(10) || 'unique ' || doc_id AS text
+           |  FROM documents
+           |),
+           |l AS (
+           |  SELECT doc_id, generate_subscripts(lines, 1) AS idx, unnest(lines) AS line
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d)
+           |),
+           |oc AS (SELECT line, count(*) AS ocnt FROM l WHERE doc_id % 5 <> 0 GROUP BY line),
+           |nc AS (SELECT line, count(*) AS ncnt FROM l WHERE doc_id % 5 = 0 GROUP BY line),
+           |nb AS (SELECT nc.line FROM nc LEFT JOIN oc USING (line)
+           |       WHERE coalesce(oc.ocnt, 0) <= 2 AND coalesce(oc.ocnt, 0) + nc.ncnt > 2),
+           |aff AS (SELECT DISTINCT l.doc_id FROM l JOIN nb USING (line)
+           |        WHERE l.doc_id % 5 <> 0),
+           |b AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
+           |k AS (SELECT l.* FROM l ANTI JOIN b USING (line)
+           |      WHERE l.doc_id IN (SELECT doc_id FROM aff)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+           |      FROM k GROUP BY doc_id)
+           |SELECT aff.doc_id, coalesce(r.text, '') AS text
+           |FROM aff LEFT JOIN r USING (doc_id)""".stripMargin
       }),
 
     // ----- per-(lang, source) corpus aggregates (exact integer sums) -----
@@ -3965,34 +4047,22 @@ object LlmQueries extends QueryModule {
       "q_doc_bm25",
       (s, d) => Bm25.topk(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "join", "window", "stream"), 25),
-      Some(
-        s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |t AS (SELECT doc_id, toks, len(toks) AS dl FROM t0 WHERE len(toks) > 0),
-           |st AS (SELECT count(*) AS n_docs,
-           |  round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl FROM t),
-           |tk AS (SELECT doc_id, dl, unnest(toks) AS w FROM t),
-           |ftk AS (SELECT * FROM tk WHERE w IN ('spark','join','window','stream')),
-           |tf AS (SELECT doc_id, dl, w, count(*) AS tf
-           |       FROM ftk GROUP BY doc_id, dl, w),
-           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-           |pt AS (SELECT tf.doc_id,
-           |  CAST(round(
-           |    ln(CAST(1.0 AS DOUBLE) +
-           |       (st.n_docs - df.df + CAST(0.5 AS DOUBLE)) /
-           |       (df.df + CAST(0.5 AS DOUBLE))) *
-           |    (tf.tf * CAST(2.2 AS DOUBLE)) /
-           |    (tf.tf + CAST(1.2 AS DOUBLE) *
-           |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-           |       CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)), 6)
-           |    AS DECIMAL(20,9)) AS sc
-           |  FROM tf JOIN df USING (w) CROSS JOIN st),
-           |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
-           |       round(CAST(sum(sc) AS DOUBLE), 6) AS score
-           |       FROM pt GROUP BY doc_id)
-           |SELECT * FROM (
-           |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-           |         doc_id, n_hit_terms, score
-           |  FROM sc) WHERE rank <= 25""".stripMargin)),
+      Some(bm25Sql)),
+
+    // ----- BM25 served from the AT-REST inverted index (build-once /
+    // serve-every-query): identical output to q_doc_bm25 — the oracle
+    // is the same from-scratch SQL, so the index build + posting-list
+    // serve must reproduce the corpus-scan scores bit-for-bit. -----
+    GraftQuery(
+      "q_doc_bm25_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Bm25.topkFromIndex(
+          Bm25.buildIndex(docs, "doc_id", "text"),
+          Bm25.indexStats(docs, "doc_id", "text"),
+          Seq("spark", "join", "window", "stream"), 25)
+      },
+      Some(bm25Sql)),
 
     // ----- DSIR importance weights: hashed-unigram log-likelihood
     // ratio vs a deterministic target slice (see [[graft.llm.Dsir]]).

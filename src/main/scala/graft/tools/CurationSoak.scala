@@ -139,6 +139,18 @@ object CurationSoak {
         .write.mode("overwrite").parquet(lineIdxDir)
     }
 
+    // at-rest BM25 inverted index over the SKEW corpus (build-once /
+    // serve-every-query): postings clustered by term so the serve
+    // filter prunes row groups to the touched posting lists
+    val bm25IdxDir = "/tmp/graft_bm25idx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.contains("bm25_skew_indexed"))) {
+      Bm25.buildIndex(skewDocs, "doc_id", "text")
+        .repartition(64, col("w")).sortWithinPartitions("w")
+        .write.mode("overwrite").parquet(bm25IdxDir)
+      Bm25.indexStats(skewDocs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$bm25IdxDir-stats")
+    }
+
     // at-rest composed-journey state (bootstrap over the 80% "old"
     // corpus, persisted as production would) for the end-to-end
     // daily-step A/B — index, labels, and watermark written once
@@ -257,6 +269,15 @@ object CurationSoak {
       "bm25_skew_window" -> { () =>
         Bm25.topkPerQuery(skewDocs, "doc_id", "text",
           Seq((0L, Seq("common", "t3"))), 25, nativeTopK = false)
+      },
+      // the same query served from the AT-REST inverted index: no
+      // corpus tokenize/explode in the per-query path — the absent
+      // term is the 60M-token generate+filter both scan arms pay
+      "bm25_skew_indexed" -> { () =>
+        Bm25.topkPerQueryFromIndex(
+          spark.read.parquet(bm25IdxDir),
+          spark.read.parquet(s"$bm25IdxDir-stats"),
+          Seq((0L, Seq("common", "t3"))), 25)
       },
       // Gopher's full repetition matrix — the widest single-scan
       // explode in the quality family (9 n-gram sizes + lines + paras

@@ -371,6 +371,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"df/stats join degraded to SMJ:\n$p")
   }
 
+  test("bm25 indexed serve: no corpus re-tokenize, bounded top-k, broadcast joins") {
+    val docs = Tables.documents(spark, sf)
+    val postings = graft.llm.Bm25.buildIndex(docs, "doc_id", "text").localCheckpoint()
+    val stats = graft.llm.Bm25.indexStats(docs, "doc_id", "text").localCheckpoint()
+    val df = graft.llm.Bm25.topkFromIndex(postings, stats,
+      Seq("spark", "join", "window", "stream"), 25)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the serve plan's only inputs are the posting lists and the 1-row
+    // stats — a 'toks' column anywhere means the corpus tokenize crept
+    // back into the per-query path
+    assert(!p.contains("toks"), s"serve plan re-tokenizes the corpus:\n$p")
+    assert(p.contains("top_k_score_id_payload"), s"top-k lost the bounded aggregate:\n$p")
+    assert(!p.contains("Window"), s"rank window in the indexed serve:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df/stats join degraded to SMJ:\n$p")
+  }
+
   test("ngram lm: the one-row vocabulary aggregate broadcasts into scoring") {
     val df = graft.llm.NgramLm.scored(Tables.documents(spark, sf), "doc_id", "text")
     df.collect()

@@ -163,4 +163,45 @@ class IncrementalCurationSpec extends AnyFunSuite {
       withUrl(docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)), state)
     assert(ok.count() > 0)
   }
+
+  test("line-dedup step: cleaned batch + old rewrites chain to the batch corpus") {
+    import graft.llm.LineDedup
+    // the oracle's salt shape: a footer line shared by EVERY doc
+    // (banned at bootstrap), a 3-doc group line whose groups straddle
+    // the batch boundaries (newly banned as members arrive -> old
+    // rewrites), and a unique line (never banned)
+    val salted = graft.core.Tables.documents(spark, sf).select(col("doc_id"),
+      concat(col("text"), lit("\nSHARED BOILERPLATE FOOTER\ngrp "),
+        expr("doc_id div 3"), lit("\nunique "), col("doc_id")).as("text"))
+    // split points must not be multiples of 3, or no grp group
+    // straddles the boundary and the steps stop forcing rewrites
+    val d0 = salted.filter(col("doc_id") < 100)
+    val b1 = salted.filter(col("doc_id") >= 100 && col("doc_id") < 181)
+    val b2 = salted.filter(col("doc_id") >= 181)
+    def texts(df: DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def atRestL(s: IncrementalCuration.LineState) =
+      IncrementalCuration.LineState(
+        s.counts.localCheckpoint(), s.index.localCheckpoint())
+    // the published corpus: bootstrap clean, then per step the new
+    // batch's cleaned rows plus the forced old rewrites REPLACE stale
+    // entries — at every boundary it must equal the batch clean over
+    // everything seen so far
+    val s0 = atRestL(IncrementalCuration.lineStateOf(d0))
+    var published = texts(LineDedup.dedupLines(d0))
+    val (c1, r1, s1) = IncrementalCuration.lineDedupStep(b1, d0, s0)
+    assert(texts(r1).nonEmpty, "step 1 must force old rewrites")
+    published = published ++ texts(c1) ++ texts(r1)
+    assert(published === texts(LineDedup.dedupLines(d0.unionByName(b1))))
+    val (c2, r2, s2) = IncrementalCuration.lineDedupStep(
+      b2, d0.unionByName(b1), atRestL(s1))
+    assert(texts(r2).nonEmpty, "step 2 must force old rewrites")
+    published = published ++ texts(c2) ++ texts(r2)
+    assert(published === texts(LineDedup.dedupLines(salted)))
+    // state advance equals the union-built state, row for row
+    val unionState = IncrementalCuration.lineStateOf(salted)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(s2.counts) === rows(unionState.counts))
+    assert(rows(s2.index) === rows(unionState.index))
+  }
 }

@@ -439,6 +439,29 @@ class LlmSpec extends AnyFunSuite {
       rows(Bm25.topkPerQuery(docs, "doc_id", "text", qs, 20, nativeTopK = false)))
   }
 
+  test("bm25: the at-rest index serves bit-identical scores and advances by increment-add") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val terms = Seq("spark", "join", "window", "stream")
+    val postings = Bm25.buildIndex(docs, "doc_id", "text").localCheckpoint()
+    val stats = Bm25.indexStats(docs, "doc_id", "text").localCheckpoint()
+    assert(rows(Bm25.topkFromIndex(postings, stats, terms, 25)) ===
+      rows(Bm25.topk(docs, "doc_id", "text", terms, 25)))
+    val qs = graft.queries.SketchQueries.RrfQueries
+    assert(rows(Bm25.topkPerQueryFromIndex(postings, stats, qs, 20)) ===
+      rows(Bm25.topkPerQuery(docs, "doc_id", "text", qs, 20)))
+    // maintenance identity: the old index advanced by a disjoint batch
+    // equals the index rebuilt from the union corpus, row for row
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val nw = docs.filter(col("doc_id") % 5 === 0)
+    val (p2, s2) = Bm25.indexAdd(
+      Bm25.buildIndex(old, "doc_id", "text"),
+      Bm25.indexStats(old, "doc_id", "text"),
+      nw, "doc_id", "text")
+    assert(rows(p2) === rows(postings))
+    assert(rows(s2) === rows(stats))
+  }
+
   test("dsir: target-slice lookalikes weigh higher than off-distribution docs") {
     // target slice: doc_id % 17 == 3 -> only doc 3
     val corpus = Seq(

@@ -117,6 +117,40 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(newly === Map(h("FOOTER") -> 4L, h("NEWSPAM") -> 3L))
   }
 
+  test("line dedup rewrites: the increment's old-doc half equals the batch restriction") {
+    // maxOccurrences = 2. GRP sits in exactly two old docs (<= cap) and
+    // one new doc pushes it over -> newly banned -> docs 1 and 2 are the
+    // affected set. EDGE is banned AT REST (4 old occurrences) -> doc 4,
+    // which holds EDGE but no newly-banned line, must NOT be rewritten;
+    // doc 1's rebuild must still strip EDGE alongside GRP.
+    val old = Seq(
+      (1L, "alpha\nGRP\nEDGE"),
+      (2L, "GRP"),                // every line newly banned -> empty row
+      (3L, "EDGE\nEDGE\nEDGE"),
+      (4L, "EDGE\ngamma")
+    ).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "GRP\nnew ten"),
+      (11L, "NEWSPAM\nNEWSPAM\nNEWSPAM") // newly banned but in no old doc
+    ).toDF("doc_id", "text")
+    val counts = LineDedup.lineCounts(old).localCheckpoint()
+    val index = LineDedup.lineIndex(old).localCheckpoint()
+    val got = LineDedup.rewritesIncremental(old, index, counts, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "alpha", 2L -> ""))
+    // the restriction identity: batch dedup over old ∪ new, restricted
+    // to the affected old ids
+    val batch = LineDedup.dedupLines(old.unionByName(nw))
+      .filter(col("doc_id").isin(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === batch)
+    // index maintenance is pure append: old index + the increment's own
+    // rows equals the union-built index
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(index.unionByName(LineDedup.lineIndex(nw))) ===
+      rows(LineDedup.lineIndex(old.unionByName(nw))))
+  }
+
   test("topBigramCoverage: counts, fraction, lexicographic tie-break") {
     val df = Seq(
       ("rep", "a b a b a b c"),      // "a b" x3 of 6 bigrams, n=7

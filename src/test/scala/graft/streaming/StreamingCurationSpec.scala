@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.api.{CurationPipeline, IncrementalCuration}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch parity for the streaming curation journey: a document stream
+  * split across arbitrary micro-batches must leave the
+  * [[StreamingCuration.CurationStore]] holding EXACTLY the survivors
+  * (and state) one batch [[CurationPipeline]] run over every document
+  * ever seen would produce — including a trigger whose near-duplicate
+  * BRIDGES two at-rest components and so RETRACTS a previously-emitted
+  * survivor (the case a survivors-only accumulator gets wrong).
+  *
+  * The bridge is manufactured: two synthetic old docs with disjoint
+  * vocabulary (separate singleton components, both bootstrap
+  * survivors) and a later stream doc spliced from half of each — a
+  * near-dup of BOTH, merging them under the smaller id and revoking
+  * the larger. minQuality = 0 keeps the gate out of the fixture's way
+  * (the quality path is pinned by CurationPipelineSpec). */
+class StreamingCurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val threshold = 0.05
+
+  // A splice bridge must band-collide (4×3 over the 12 fixed MinHash
+  // perms) with BOTH parents while the parents don't collide with each
+  // other — at ~0.5 Jaccard per side that's a property of the specific
+  // shingle hashes, not of similarity alone, so the texts were found by
+  // deterministic search over seeded word sequences (stopwords
+  // interleaved so language ID stays confident). The collisions are
+  // fixed by the library's pinned hash constants; the spec would fail
+  // loudly if they ever drifted.
+  private val t1 = "with w12x812 with w12x133 in w12x211 in w12x15 in " +
+    "w12x221 a w12x872 the w12x507 in w12x764 in w12x31 and w12x803 a " +
+    "w12x682 a w12x717 and w12x238 in w12x658 in w12x277"
+  private val t2 = "with w13x100 in w13x998 with w13x710 of w13x213 of " +
+    "w13x114 the w13x316 to w13x155 of w13x154 and w13x769 of w13x24 in " +
+    "w13x478 in w13x869 and w13x937 of w13x282 of w13x355"
+  // first 22 words of t1 + t2 from word 4: a banded near-dup of both
+  private val bridge =
+    (t1.split(" ").take(22) ++ t2.split(" ").drop(4)).mkString(" ")
+
+  private def real(lo: Long, hi: Long) =
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+
+  private def synth(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def ids(df: DataFrame): Set[Long] = {
+    import spark.implicits._
+    df.select(col("doc_id")).as[Long].collect().toSet
+  }
+
+  private def batchSurvivors(all: DataFrame): DataFrame = {
+    val gated = CurationPipeline.gate(CurationPipeline.score(all), 0.0)
+    CurationPipeline.dedup(gated,
+      CurationPipeline.nearDuplicatePairs(gated, threshold = threshold))
+  }
+
+  test("micro-batched doc stream equals one batch pipeline, retractions included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, String, Long)]
+    val d0 = real(0, 60).unionByName(synth(Seq(100L -> t1, 101L -> t2)))
+    val stream = source.toDF().toDF(d0.columns: _*)
+
+    // bootstrap from a prior batch run — the production shape
+    val store = new StreamingCuration.CurationStore(
+      IncrementalCuration.stateOf(d0, minQuality = 0.0, dupThreshold = threshold),
+      batchSurvivors(d0))
+    val bootIds = ids(store.survivors)
+    assert(bootIds.contains(100L) && bootIds.contains(101L),
+      "both synthetic singletons must survive the bootstrap")
+    val q = StreamingCuration.attach(stream, store,
+      minQuality = 0.0, dupThreshold = threshold,
+      queryName = "curation_journey_spec")
+    try {
+      def docRows(df: DataFrame) =
+        df.as[(Long, String, String, String, Long)].collect().toIndexedSeq
+      val batches = Seq(
+        real(110, 160),
+        real(161, 200).unionByName(synth(Seq(210L -> bridge))))
+      var seen = d0
+      batches.foreach { b =>
+        source.addData(docRows(b))
+        q.processAllAvailable()
+        seen = seen.unionByName(b)
+        assert(ids(store.survivors) === ids(batchSurvivors(seen)))
+      }
+      // the bridge doc merged {100} and {101}: 101 was emitted by the
+      // bootstrap and must now be RETRACTED, 210 loses to the merged
+      // component's canonical, 100 stays
+      val fin = ids(store.survivors)
+      assert(fin.contains(100L) && !fin.contains(101L) && !fin.contains(210L),
+        s"bridge retraction missing: $fin")
+      // an empty trigger leaves the store untouched
+      q.processAllAvailable()
+      assert(ids(store.survivors) === fin)
+      // the advanced state equals the union-built state
+      val unionState = IncrementalCuration.stateOf(
+        seen, minQuality = 0.0, dupThreshold = threshold)
+      def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rowSet(store.state.labels) === rowSet(unionState.labels))
+      assert(rowSet(store.state.shingleIndex) === rowSet(unionState.shingleIndex))
+      assert(rowSet(store.state.maxId.get) === rowSet(unionState.maxId.get))
+    } finally q.stop()
+  }
+}
