@@ -188,9 +188,26 @@ object DedupClusters {
       aCol: String,
       bCol: String,
       useGraphX: Boolean): (DataFrame, DataFrame) = {
+    // MATERIALIZE the edge relation (eager localCheckpoint): it is
+    // increment-sized by contract (safe at any corpus scale) and
+    // feeds every downstream branch — endpoints, the contracted
+    // graph, remap, newRows. A consumer materializing survivors AND
+    // revoked AND the advanced state would otherwise re-run the whole
+    // upstream PAIR GENERATION (banded LSH join — the expensive
+    // subtree) once per branch: measured 9× slower than the batch
+    // bootstrap at the sf1 journey soak. A lazy `.persist()` does NOT
+    // fix it — under AQE the cache registers but never fills when the
+    // first consumer is GraphX's `.rdd` scan (verified via
+    // getRDDStorageInfo: 0 cached partitions, warm re-reads re-paying
+    // the join) — so the checkpoint is eager, the same
+    // materialization boundary the spec and production put between
+    // steps. Blocks are GC-cleaned once the step's DataFrames go
+    // unreferenced, so per-micro-batch callers
+    // (StreamingDedupClusters) don't leak.
     val e = newPairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .filter(col("__src") =!= col("__dst"))
       .distinct()
+      .localCheckpoint()
     val endpoints = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
       .distinct()

@@ -153,11 +153,16 @@ object CurationSoak {
 
     // at-rest composed-journey state (bootstrap over the 80% "old"
     // corpus, persisted as production would) for the end-to-end
-    // daily-step A/B — index, labels, and watermark written once
+    // daily-step A/B — index, labels, and watermark written once.
+    // The split is the TOP ~20% of ids (not doc_id % 5): the step's
+    // default-on watermark guard enforces the monotone-id contract a
+    // production daily batch actually has, so the soak increment must
+    // arrive ABOVE the at-rest corpus, exactly like a real crawl day
+    val journeyCut = docs.stat.approxQuantile("doc_id", Array(0.8), 0.0).head.toLong
     val journeyDir = "/tmp/graft_journey_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     if (only.forall(_.contains("journey_step"))) {
       val st = graft.api.IncrementalCuration.stateOf(
-        docs.filter(col("doc_id") % 5 =!= 0), dupThreshold = 0.01)
+        docs.filter(col("doc_id") < journeyCut), dupThreshold = 0.01)
       st.shingleIndex.write.mode("overwrite").parquet(s"$journeyDir/index")
       st.labels.write.mode("overwrite").parquet(s"$journeyDir/labels")
       st.maxId.get.write.mode("overwrite").parquet(s"$journeyDir/maxid")
@@ -235,7 +240,7 @@ object CurationSoak {
       // the incremental arm is measured CONSERVATIVELY) vs the
       // bootstrap batch run over the full corpus with ITS index build
       "journey_step_incremental" -> { () =>
-        val nw = docs.filter(col("doc_id") % 5 === 0)
+        val nw = docs.filter(col("doc_id") >= journeyCut)
         val state = graft.api.IncrementalCuration.State(
           spark.read.parquet(s"$journeyDir/index"),
           spark.read.parquet(s"$journeyDir/labels"),
