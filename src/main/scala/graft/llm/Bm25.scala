@@ -192,12 +192,17 @@ object Bm25 {
     * (term, doc) — `(w, doc_id, tf, dl)`. The build pays the corpus
     * tokenize+explode ONCE; serving ([[topkFromIndex]]) then reads
     * ONLY the query terms' posting lists — store the table
-    * partitioned (or bucketed) by `w` and the scan prunes to the
-    * touched terms, so query cost scales with posting-list sizes, not
-    * corpus size. Maintenance under corpus growth is increment-ADD
-    * ([[indexAdd]]): disjoint new ids contribute disjoint posting
-    * rows, and df/avgdl are recomputed from the union at serve time,
-    * exactly as a batch rebuild would. */
+    * RANGE-clustered by `(w, doc_id)` (repartitionByRange + sort) so
+    * file/row-group min-max stats prune untouched terms while a HOT
+    * term's posting list still SPLITS across files and reads in
+    * parallel. Do not hash-partition by `w` alone: that puts a
+    * stop-word-ish term's whole posting list (potentially
+    * corpus-sized) in one file — a single-task read, measured 5.8×
+    * slower than the range-clustered layout at a 20M-doc hot term
+    * (CurationSoak `bm25_skew_indexed`). Maintenance under corpus
+    * growth is increment-ADD ([[indexAdd]]): disjoint new ids
+    * contribute disjoint posting rows, and df/avgdl are recomputed
+    * from the union at serve time, exactly as a batch rebuild would. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenRelation(docs, idCol, textCol)
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))

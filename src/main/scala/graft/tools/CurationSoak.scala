@@ -140,12 +140,17 @@ object CurationSoak {
     }
 
     // at-rest BM25 inverted index over the SKEW corpus (build-once /
-    // serve-every-query): postings clustered by term so the serve
-    // filter prunes row groups to the touched posting lists
+    // serve-every-query): postings RANGE-clustered by (w, doc_id) —
+    // min/max stats still prune untouched terms' files, but a HOT
+    // term's posting list splits across many files and reads in
+    // parallel. (Hash-partitioning by w alone put the 20M-row
+    // "common" list in ONE file: a single-task read, measured 53 s —
+    // the very skew shape the house guards exist for.)
     val bm25IdxDir = "/tmp/graft_bm25idx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     if (only.forall(_.contains("bm25_skew_indexed"))) {
       Bm25.buildIndex(skewDocs, "doc_id", "text")
-        .repartition(64, col("w")).sortWithinPartitions("w")
+        .repartitionByRange(64, col("w"), col("doc_id"))
+        .sortWithinPartitions("w", "doc_id")
         .write.mode("overwrite").parquet(bm25IdxDir)
       Bm25.indexStats(skewDocs, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$bm25IdxDir-stats")
