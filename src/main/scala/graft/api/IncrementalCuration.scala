@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    ([[Urls.dedupByUrlIncremental]], [[Urls.hostCapIncremental]]);
   *  - scoring/gating are row-local (identical to batch by
   *    construction);
-  *  - near-dup pairing reads the at-rest shingle index
-  *    ([[MinHash.nearDuplicatesIncremental]], union-counted cap — or
+  *  - near-dup pairing reads the at-rest shingle index AND its stored
+  *    side-tables ([[MinHash.nearDuplicatesIncremental]] with the
+  *    [[MinHash.BandIndex]] band-key/bucket-count/size tables — or
   *    [[Jaccard.nearDuplicatesIncremental]] with its at-rest
-  *    df/size side-tables, [[stepJaccard]]);
+  *    df/size side-tables, [[stepJaccard]]) — no aggregate over the
+  *    accumulated corpus in either flavor;
   *  - the keep decision reads the at-rest component labels
   *    ([[DedupClusters.updateComponentsWithRevokedKeeps]] — CC on the
   *    contracted increment-sized graph only).
@@ -54,14 +56,21 @@ object IncrementalCuration {
       maxId: Option[DataFrame] = None)
 
   /** At-rest dedup state of the GATED accumulated corpus: its shingle
-    * index, the component labels of its near-dup graph, and the
-    * max-id watermark (here guarding ID-DISJOINTNESS of each batch —
+    * index, the component labels of its near-dup graph, the max-id
+    * watermark (here guarding ID-DISJOINTNESS of each batch —
     * re-submitted ids would duplicate index rows; the dedup algebra
-    * itself needs only disjointness, see [[step]]). */
+    * itself needs only disjointness, see [[step]]), and the banded-LSH
+    * side-tables ([[MinHash.BandIndex]]: band keys, bucket counts,
+    * sizes). `bands = None` is the bootstrap-only mode — each step
+    * then re-derives the old side's signatures from the shingle index,
+    * a corpus-sized groupBy that makes the composed daily step lose to
+    * its batch bootstrap (measured, SCALING.md); carry the side-tables
+    * (the [[stateOf]] default) to keep every stage increment-sized. */
   final case class State(
       shingleIndex: DataFrame,
       labels: DataFrame,
-      maxId: Option[DataFrame] = None)
+      maxId: Option[DataFrame] = None,
+      bands: Option[MinHash.BandIndex] = None)
 
   /** [[State]] under the exact n-gram Jaccard flavor: the SAME
     * (id, h) shingle index plus its [[Jaccard.indexDfs]] /
@@ -127,10 +136,12 @@ object IncrementalCuration {
     val gated = CurationPipeline.gate(CurationPipeline.score(docs), minQuality)
     val pairs = CurationPipeline.nearDuplicatePairs(gated,
       threshold = dupThreshold, maxBucket = maxBucket)
+    val index = MinHash.shingleIndex(gated, "doc_id", "text")
     State(
-      MinHash.shingleIndex(gated, "doc_id", "text"),
+      index,
       DedupClusters.connectedComponentsGraphX(pairs, "id_a", "id_b"),
-      Some(Urls.idWatermark(docs, "doc_id")))
+      Some(Urls.idWatermark(docs, "doc_id")),
+      Some(MinHash.bandIndexOf(index, "doc_id")))
   }
 
   /** Bootstrap [[JaccardState]]: same journey under the exact-Jaccard
@@ -202,14 +213,16 @@ object IncrementalCuration {
     val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
     val newPairs = MinHash.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
-      threshold = dupThreshold, maxBucket = maxBucket)
+      threshold = dupThreshold, maxBucket = maxBucket,
+      sideTables = state.bands)
       .select(col("id_a"), col("id_b"))
     val (survivors, revoked, labels) = keepStep(gatedNew, state.labels, newPairs)
+    val newIndex = MinHash.shingleIndex(gatedNew, "doc_id", "text")
     val nextState = State(
-      state.shingleIndex.unionByName(
-        MinHash.shingleIndex(gatedNew, "doc_id", "text")),
+      state.shingleIndex.unionByName(newIndex),
       labels,
-      advance(state.maxId, newDocs, "doc_id"))
+      advance(state.maxId, newDocs, "doc_id"),
+      state.bands.map(bi => MinHash.bandIndexAdd(bi, newIndex, "doc_id")))
     (survivors, revoked, nextState)
   }
 

@@ -51,13 +51,15 @@ object BandedHamming {
     * the set is megabytes at crawl scale. A degenerate cap (the
     * `require` floor allows maxBucket = 2) against a crawl-sized
     * relation could push it past executor memory, where the old
-    * window arm would merely be slow; callers choosing tiny caps
-    * should size |rows|/maxBucket against
-    * `spark.sql.autoBroadcastJoinThreshold` first. The same bound
-    * governs the union-counted guards in the incremental MinHash/
-    * Winnow/Jaccard arms and the endpoint broadcast in
-    * [[DedupClusters]] (bounded by 2·|newPairs| — increment-sized by
-    * contract there). */
+    * window arm would merely be slow. The same bound governs the
+    * union-counted guards in the incremental MinHash/Winnow/Jaccard
+    * arms and the endpoint broadcast in [[DedupClusters]] (bounded by
+    * 2·|newPairs| — increment-sized by contract there). When the
+    * bound is NOT trusted — tiny caps, bootstrap-sized "increments" —
+    * set [[Guards.ConfKey]] to `"auto"`: the hint is dropped and AQE's
+    * byte-accurate runtime stats decide, degrading an over-threshold
+    * guard set to a shuffled join instead of OOMing the driver
+    * (GuardBroadcastSpec pins both modes' executed plans). */
   private[graft] def dropOverCap(
       keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val over = keyed.groupBy(keyCols.map(col): _*)
@@ -66,7 +68,7 @@ object BandedHamming {
       .select(keyCols.map(col): _*)
     // a using-columns join moves the join keys FIRST — restore the
     // caller's column order by NAME (positional renames downstream)
-    keyed.join(broadcast(over), keyCols, "left_anti")
+    keyed.join(Guards.broadcastBounded(over), keyCols, "left_anti")
       .select(keyed.columns.map(col): _*)
   }
 
@@ -159,9 +161,9 @@ object BandedHamming {
     // NOTE: using-columns joins put the join keys FIRST in the output,
     // so rename by NAME (a positional toDF here once scrambled
     // media_id into the key column and silently emptied the result)
-    val gN = keyedN.join(broadcast(overCap), Seq("band", "key"), "left_anti")
+    val gN = keyedN.join(Guards.broadcastBounded(overCap), Seq("band", "key"), "left_anti")
       .select(col("media_id"), col("band"), col("key"))
-    val gO = keyedO.join(broadcast(overCap), Seq("band", "key"), "left_anti")
+    val gO = keyedO.join(Guards.broadcastBounded(overCap), Seq("band", "key"), "left_anti")
       .select(col("media_id"), col("band"), col("key"))
     val newOld = gN.select(col("media_id").as("id_n"), col("band"), col("key"))
       .join(gO.select(col("media_id").as("id_o"), col("band"), col("key")),

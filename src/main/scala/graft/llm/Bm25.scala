@@ -222,11 +222,24 @@ object Bm25 {
 
   /** Advance an at-rest index by a new batch (ids DISJOINT from every
     * doc already indexed — re-submitted ids would double their posting
-    * rows): postings append (increment-sized — the old posting lists
-    * are untouched; with the table partitioned by `w` this is a pure
-    * file append), stats add. Serving the advanced index is identical
-    * to rebuilding from the union corpus ([[scoreCore]] recomputes df
-    * and avgdl from union postings/stats — spec-pinned). */
+    * rows): the increment's posting rows are generated from the batch
+    * alone (increment-sized; the old posting lists are untouched) and
+    * APPENDED, stats add. Serving the advanced index is identical to
+    * rebuilding from the union corpus ([[scoreCore]] recomputes df and
+    * avgdl from union postings/stats — spec-pinned).
+    *
+    * Layout note for the recommended range-clustered (w, doc_id) store
+    * (see [[buildIndex]]): appended increments form NEW files whose
+    * (w, doc_id) ranges overlap the existing ones, so min-max pruning
+    * degrades one overlapping file-set per append — still pruned to
+    * the query terms' ranges, but each term now touches one file per
+    * appended increment. Re-cluster (compact) on a cadence — e.g.
+    * weekly, or when file count per term range exceeds a threshold —
+    * by rewriting `repartitionByRange(w, doc_id)`, exactly the
+    * standard compaction loop any log-structured store runs. Do NOT
+    * switch to hash-partitioning by `w` to make appends "pure": that
+    * layout single-files a hot term's corpus-sized posting list — the
+    * measured 5.8× single-task read [[buildIndex]] warns about. */
   def indexAdd(
       postings: DataFrame,
       stats: DataFrame,
@@ -236,6 +249,56 @@ object Bm25 {
     postings.unionByName(buildIndex(newDocs, idCol, textCol)),
     stats.unionByName(indexStats(newDocs, idCol, textCol))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+
+  /** Retire documents from an at-rest index: drop their posting rows
+    * and subtract their (n_docs, sum_dl) contribution — the
+    * maintenance path deletes and rewrites need (the other half of
+    * [[indexAdd]]'s grow-only story). `ids` is a one-column (doc_id)
+    * relation, bounded by the delete/rewrite batch — it rides the
+    * [[Guards]] broadcast knob like every other increment-bounded
+    * guard set. The removed docs' stats contribution is recovered from
+    * the postings themselves (each doc's `dl` repeats on every posting
+    * row; one distinct over the removed rows — increment-bounded —
+    * recovers it), so no access to the retired text is needed.
+    * Serving the shrunk index is identical to rebuilding from the
+    * shrunk corpus (spec-pinned in Bm25IndexSpec). */
+  def indexRemove(
+      postings: DataFrame,
+      stats: DataFrame,
+      ids: DataFrame): (DataFrame, DataFrame) = {
+    val idsDf = ids.toDF("doc_id")
+    val removed = postings.join(Guards.broadcastBounded(idsDf), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    // a using-columns join moves doc_id FIRST — restore the caller's
+    // posting column order by NAME
+    (postings.join(Guards.broadcastBounded(idsDf), Seq("doc_id"), "left_anti")
+       .select(postings.columns.map(col): _*),
+      stats.unionByName(removed.select((-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl")))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+  }
+
+  /** Re-index REWRITTEN documents — the maintenance path the
+    * line-dedup journey forces ([[LineDedup.rewritesIncremental]]
+    * mutates old docs' text, staling their posting rows): retire the
+    * old rows ([[indexRemove]] on the rewritten ids), then index the
+    * new text ([[indexAdd]]). A doc rewritten to empty (every line
+    * banned) contributes nothing on re-add — exactly as a full rebuild
+    * over the rewritten corpus would drop it ([[buildIndex]] filters
+    * empty docs), so serve-after-rewrite equals rebuild bit-for-bit
+    * (spec-pinned). Cost is bounded by the rewritten docs' posting
+    * rows — increment-sized, never a corpus pass. */
+  def indexRebuildDocs(
+      postings: DataFrame,
+      stats: DataFrame,
+      rewrites: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val (p1, s1) = indexRemove(postings, stats, rewrites.select(col(idCol)))
+    indexAdd(p1, s1, rewrites, idCol, textCol)
+  }
 
   /** (n_docs, avgdl) from the stored exact stats — the same
     * double/long divide and 6-decimal round as [[statsOf]]. */

@@ -214,13 +214,13 @@ object DedupClusters {
     // touched labels: increment-sized output, ONE map-side pass over
     // the at-rest table (the endpoint set broadcasts)
     val touched = oldLabels
-      .join(broadcast(endpoints), Seq("node"), "left_semi")
+      .join(Guards.broadcastBounded(endpoints), Seq("node"), "left_semi")
       .select(col("node"), col("component"))
     val tA = touched.select(col("node").as("__src"), col("component").as("__ca"))
     val tB = touched.select(col("node").as("__dst"), col("component").as("__cb"))
     val contracted = e
-      .join(broadcast(tA), Seq("__src"), "left")
-      .join(broadcast(tB), Seq("__dst"), "left")
+      .join(Guards.broadcastBounded(tA), Seq("__src"), "left")
+      .join(Guards.broadcastBounded(tB), Seq("__dst"), "left")
       .select(coalesce(col("__ca"), col("__src")).as("__u"),
         coalesce(col("__cb"), col("__dst")).as("__v"))
     // CC over the increment-sized contracted graph (self-loops — both
@@ -230,10 +230,10 @@ object DedupClusters {
     // contracted node ids partition cleanly: old component labels
     // (values of touched.component) vs previously-unlabeled node ids
     val oldCn = touched.select(col("component").as("node")).distinct()
-    val remap = cc.join(broadcast(oldCn), Seq("node"), "left_semi")
+    val remap = cc.join(Guards.broadcastBounded(oldCn), Seq("node"), "left_semi")
       .filter(col("node") =!= col("component")) // unchanged components drop out
       .select(col("node").as("__oldc"), col("component").as("__newc"))
-    val newRows = cc.join(broadcast(oldCn), Seq("node"), "left_anti")
+    val newRows = cc.join(Guards.broadcastBounded(oldCn), Seq("node"), "left_anti")
       .select(col("node"), col("component"))
     (remap, newRows)
   }
@@ -260,7 +260,23 @@ object DedupClusters {
     * remap) and is never shuffled — at a 100 TB corpus with a
     * 0.1%-daily increment, the label pass scales with the increment,
     * not the corpus. For partition-scoped rewrites of a stored label
-    * table, [[componentDelta]] emits only the rows that change. */
+    * table, [[componentDelta]] emits only the rows that change.
+    *
+    * EAGER-evaluation caveat: this call (and every sibling routing
+    * through the contraction core) materializes the increment's edge
+    * relation via `localCheckpoint` AT CALL TIME — Spark jobs for the
+    * pair-generation subtree run immediately, not at the first
+    * downstream action. Deliberate (a lazy plan re-executed the
+    * banded-LSH join once per consuming branch — measured 9× at the
+    * sf1 journey soak; `.persist()` never fills under AQE+GraphX,
+    * see the in-code note), but it changes the usual laziness
+    * contract, and localCheckpoint blocks are NON-RELIABLE executor
+    * memory: an executor loss makes the step's outputs unrecoverable
+    * (no lineage) — the step must re-run from its inputs. A
+    * production daily job that cannot simply re-run should persist
+    * the increment's pairs to reliable storage first (they are
+    * increment-sized) and pass THAT relation here — which also makes
+    * the materialization boundary caller-controlled. */
   def updateComponents(
       oldLabels: DataFrame,
       newPairs: DataFrame,
@@ -276,7 +292,7 @@ object DedupClusters {
   private def applyRemap(
       oldLabels: DataFrame, remap: DataFrame, newRows: DataFrame): DataFrame =
     oldLabels
-      .join(broadcast(remap), col("component") === col("__oldc"), "left")
+      .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"), "left")
       .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
       .unionByName(newRows)
 
@@ -319,7 +335,7 @@ object DedupClusters {
     val revoked = remap.select(col("__oldc").as("node"))
       .unionByName(newRows
         .filter(col("node") =!= col("component"))
-        .join(broadcast(newNodes.toDF("node")), Seq("node"), "left_anti")
+        .join(Guards.broadcastBounded(newNodes.toDF("node")), Seq("node"), "left_anti")
         .select(col("node")))
     (labels, revoked)
   }
@@ -338,7 +354,7 @@ object DedupClusters {
       useGraphX: Boolean = true): DataFrame = {
     val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
     val changed = oldLabels
-      .join(broadcast(remap), col("component") === col("__oldc"))
+      .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"))
       .select(col("node"), col("__newc").as("component"))
     changed.unionByName(newRows)
   }

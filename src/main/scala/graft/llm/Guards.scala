@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** The runtime knob for the family of FORCED guard broadcasts — the
+  * over-cap key sets ([[BandedHamming.dropOverCap]], the union-counted
+  * guards in [[MinHash]]/[[Jaccard]]/[[Winnow]]'s incremental arms),
+  * the endpoint set in [[DedupClusters.incrementalRemap]], and the
+  * affected-doc set in [[LineDedup.rewritesIncremental]]. Each of
+  * those relations is bounded by cap/increment GEOMETRY (≤ |rows|/cap
+  * keys, ≤ 2·|pairs| endpoints, ≤ cap·|banned| docs), so the forced
+  * `broadcast()` hint is safe in the production regime — but a
+  * degenerate cap, or a bootstrap-sized batch fed to an
+  * increment-sized contract, can push the set past driver memory,
+  * where a forced broadcast OOMs rather than degrades.
+  *
+  * `spark.graft.guardBroadcast` picks the behavior per session:
+  *
+  *  - `"force"` (default): today's hint — the planner broadcasts the
+  *    guard set unconditionally. Zero extra stages; the measured-fast
+  *    path everywhere the bound holds.
+  *  - `"auto"`: no hint. The join plans as a shuffle; with AQE on
+  *    (the session default here) Spark re-plans it into a broadcast
+  *    join at RUNTIME iff the guard side's measured size is under
+  *    `spark.sql.autoBroadcastJoinThreshold` — so the size cutoff is
+  *    Spark's own byte-accurate accounting, not a row guess, and an
+  *    over-threshold guard set degrades to a shuffled join instead of
+  *    OOMing the driver. Costs one extra shuffle map pass over the
+  *    guarded relation when the set IS small — the price of the
+  *    insurance; choose it when increments are not trusted to be
+  *    increment-sized.
+  *
+  * The knob is read at PLAN-BUILD time from the DataFrame's session,
+  * so callers flip it with `spark.conf.set(...)` around the call. */
+object Guards {
+
+  /** Session conf key selecting `"force"` (default) or `"auto"`. */
+  val ConfKey = "spark.graft.guardBroadcast"
+
+  /** `broadcast(df)` under `"force"` (default), bare `df` under
+    * `"auto"` — see the object doc for the semantics of each. */
+  private[graft] def broadcastBounded(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "force") match {
+      case "auto" => df
+      case _      => broadcast(df)
+    }
+}

@@ -120,9 +120,9 @@ object Jaccard {
           .filter(col("df") > maxDf).select(col("h"))
     }
     // using-columns joins move the key first — re-select by name
-    val gN = shNew.join(broadcast(over), Seq("h"), "left_anti")
+    val gN = shNew.join(Guards.broadcastBounded(over), Seq("h"), "left_anti")
       .select(col(idCol), col("h"))
-    val gO = shOld.join(broadcast(over), Seq("h"), "left_anti")
+    val gO = shOld.join(Guards.broadcastBounded(over), Seq("h"), "left_anti")
       .select(col(idCol), col("h"))
     val newOld = gN.toDF("id_n", "h")
       .join(gO.toDF("id_o", "h"), Seq("h"))

@@ -169,21 +169,21 @@ object LineDedup {
       maxOccurrences: Long = 2L): DataFrame = {
     val nb = newlyBannedLines(newDocs, counts, textCol, maxOccurrences)
       .select(col("h"))
-    val affectedIds = index.join(broadcast(nb), Seq("h"), "left_semi")
+    val affectedIds = index.join(Guards.broadcastBounded(nb), Seq("h"), "left_semi")
       .select(col(idCol)).distinct()
-    val affected = oldDocs.join(broadcast(affectedIds), Seq(idCol), "left_semi")
+    val affected = oldDocs.join(Guards.broadcastBounded(affectedIds), Seq(idCol), "left_semi")
     val lines = lineRows(affected, idCol, textCol)
     // union ban rule over ONLY the affected docs' line hashes: restrict
     // the corpus-sized at-rest counts map-side, then assemble the
     // banned set from increment-bounded relations
     val touched = lines.select(col("__h")).distinct()
     val atRest = counts.toDF("__h", "__ocnt")
-      .join(broadcast(touched), Seq("__h"), "left_semi")
+      .join(Guards.broadcastBounded(touched), Seq("__h"), "left_semi")
     val inBatch = lineCounts(newDocs, textCol).toDF("__h", "__bcnt")
-      .join(broadcast(touched), Seq("__h"), "left_semi")
+      .join(Guards.broadcastBounded(touched), Seq("__h"), "left_semi")
     val banned = touched
-      .join(broadcast(atRest), Seq("__h"), "left")
-      .join(broadcast(inBatch), Seq("__h"), "left")
+      .join(Guards.broadcastBounded(atRest), Seq("__h"), "left")
+      .join(Guards.broadcastBounded(inBatch), Seq("__h"), "left")
       .filter(coalesce(col("__ocnt"), lit(0L)) + coalesce(col("__bcnt"), lit(0L)) >
         maxOccurrences)
       .select(col("__h"))

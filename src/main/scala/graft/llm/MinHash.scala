@@ -172,13 +172,17 @@ object MinHash {
     * pairs × a distinct (id, h) shingle table → the
     * (id_a, id_b, inter, size_a, size_b, jaccard ≥ threshold) output.
     * [[nearDuplicates]] and [[nearDuplicatesIncremental]] both end
-    * here, so the verify semantics exist exactly once. */
+    * here, so the verify semantics exist exactly once. `sizesOpt`
+    * supplies a precomputed (id, sz) relation — the incremental arm's
+    * at-rest sizes — replacing the linear groupBy over `sh`. */
   private def exactJaccardVerify(
       sh: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      threshold: Double,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
@@ -213,6 +217,93 @@ object MinHash {
       hash: Column => Column = TextHash.polyHash): DataFrame =
     shingleHashes(docs, idCol, textCol, n, hash).distinct()
 
+  /** The at-rest LSH side-tables that make [[nearDuplicatesIncremental]]
+    * fully increment-sized — the [[Jaccard.indexDfs]]/[[Jaccard.indexSizes]]
+    * recipe applied to the banded flavor. Without them, every step
+    * re-derives the OLD side's signatures from the shingle index — a
+    * corpus-index-sized groupBy (12 min-aggregates over every (id, h)
+    * row) inside an operator whose contract is "increment-sized", plus
+    * a second corpus-sized groupBy for the union-counted `maxBucket`
+    * guard (measured at the sf1 journey soak: the per-step recompute
+    * made the composed daily step LOSE to the batch bootstrap). With
+    * them, the old side's contribution to pairing is a stored relation
+    * the (band, key) join reads, the guard is an increment-keyed left
+    * join against stored per-bucket counts, and the verify's size
+    * lookup is a stored relation — no aggregate ever runs over the
+    * accumulated corpus.
+    *
+    *  - `bandKeys` — (id, band, key): one row per indexed doc per
+    *    band, exactly the relation the LSH join buckets on. Store it
+    *    bucketed/clustered by (band, key); maintain by pure APPEND of
+    *    each increment's own rows (ids disjoint ⇒ rows disjoint).
+    *  - `bucketCounts` — (band, key, n): per-bucket doc counts, the
+    *    union-counted guard's old half. Maintain by increment-ADD
+    *    (union + sum per key — only increment-touched keys change).
+    *  - `sizes` — (id, sz): per-doc distinct-shingle counts
+    *    ([[Jaccard.indexSizes]] over the same shingle index — ONE
+    *    stored artifact serves both dedup flavors). Maintain by pure
+    *    append.
+    *
+    * Maintenance identity (spec-pinned in LlmSpec): `bandIndexAdd`
+    * over an increment's index rows equals `bandIndexOf` over the
+    * union index, row for row — so chained daily maintenance never
+    * drifts from a bootstrap rebuild. */
+  final case class BandIndex(
+      bandKeys: DataFrame,
+      bucketCounts: DataFrame,
+      sizes: DataFrame)
+
+  /** (id, band, key) band-key rows of a [[shingleIndex]] — the
+    * BOOTSTRAP derivation (one signature groupBy over the index;
+    * production runs it once and persists, then maintains by
+    * [[bandIndexAdd]]). */
+  def indexBandKeys(
+      index: DataFrame,
+      idCol: String,
+      bands: Int = Bands,
+      rows: Int = Rows): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
+      s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
+    bandKeyRows(
+      signaturesFromHashes(index.toDF(idCol, "h"), idCol, bands * rows),
+      idCol, bands, rows)
+  }
+
+  /** (band, key, n) per-bucket doc counts of a band-key table. */
+  def bandBucketCounts(bandKeys: DataFrame): DataFrame =
+    bandKeys.toDF("__id", "band", "key")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+
+  /** Bootstrap the full [[BandIndex]] from a [[shingleIndex]]. */
+  def bandIndexOf(
+      index: DataFrame,
+      idCol: String,
+      bands: Int = Bands,
+      rows: Int = Rows): BandIndex = {
+    val bk = indexBandKeys(index, idCol, bands, rows)
+    BandIndex(bk, bandBucketCounts(bk), Jaccard.indexSizes(index, idCol))
+  }
+
+  /** Advance a [[BandIndex]] by an increment's OWN [[shingleIndex]]
+    * rows (ids disjoint from everything already indexed): band keys
+    * and sizes append, bucket counts add per key — every term is
+    * increment-sized except the bucket-count re-aggregation, which
+    * production replaces with a merge-on-key write into the stored
+    * (band, key)-bucketed table. */
+  def bandIndexAdd(
+      bi: BandIndex,
+      newIndex: DataFrame,
+      idCol: String,
+      bands: Int = Bands,
+      rows: Int = Rows): BandIndex = {
+    val nbk = indexBandKeys(newIndex, idCol, bands, rows)
+    BandIndex(
+      bi.bandKeys.unionByName(nbk),
+      bi.bucketCounts.unionByName(bandBucketCounts(nbk))
+        .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n")),
+      bi.sizes.unionByName(Jaccard.indexSizes(newIndex, idCol)))
+  }
+
   /** Near-duplicates of a NEW batch against an indexed corpus, plus
     * within the batch itself — bit-identical to running
     * [[nearDuplicates]] over old ∪ new and keeping the pairs that
@@ -222,14 +313,26 @@ object MinHash {
     * [[shingleIndex]] table of the old corpus — (id, h), id column
     * first — with ids disjoint from the batch's.
     *
-    * Scale shape: the batch side is increment-sized everywhere; the
-    * index side pays one type-sized signature groupBy (keyed on the
-    * doc id — bucket the at-rest index by id to make it
-    * exchange-free) and the (band, key) join only materializes
-    * buckets an increment key lands in. Candidate volume is
-    * |new×old collisions| + |new×new collisions| — never
-    * |old|². Output shape and ordering match [[nearDuplicates]]
-    * (id_a < id_b). */
+    * Scale shape: the batch side is increment-sized everywhere. The
+    * index side's cost depends on `sideTables`:
+    *
+    *  - `None` (bootstrap-only mode): the old side's band keys are
+    *    re-derived from the shingle index — ONE corpus-index-sized
+    *    signature groupBy per call, plus a second for the union
+    *    `maxBucket` count. Correct, but the per-step cost grows with
+    *    the accumulated corpus — measured at the sf1 journey soak to
+    *    make the composed daily step LOSE to its batch bootstrap.
+    *  - `Some(BandIndex)` (production mode): the old side's band keys,
+    *    bucket counts, and sizes are STORED relations ([[bandIndexOf]]
+    *    once, [[bandIndexAdd]] per increment) — no aggregate ever
+    *    runs over the accumulated corpus; the guard becomes an
+    *    increment-keyed left join and the (band, key) join reads the
+    *    at-rest table (bucket it by (band, key) to make the old side
+    *    exchange-free). Output is bit-identical with or without.
+    *
+    * Candidate volume is |new×old collisions| + |new×new collisions|
+    * — never |old|². Output shape and ordering match
+    * [[nearDuplicates]] (id_a < id_b). */
   def nearDuplicatesIncremental(
       newDocs: DataFrame,
       idCol: String,
@@ -240,15 +343,19 @@ object MinHash {
       hash: Column => Column = TextHash.polyHash,
       maxBucket: Option[Int] = None,
       bands: Int = Bands,
-      rows: Int = Rows): DataFrame = {
+      rows: Int = Rows,
+      sideTables: Option[BandIndex] = None): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
     val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
     val shOld = index.toDF(idCol, "h")
     val bandNew0 = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
       idCol, bands, rows)
-    val bandOld0 = bandKeyRows(signaturesFromHashes(shOld, idCol, bands * rows),
-      idCol, bands, rows)
+    val bandOld0 = sideTables match {
+      case Some(bi) => bi.bandKeys.toDF(idCol, "band", "key")
+      case None => bandKeyRows(signaturesFromHashes(shOld, idCol, bands * rows),
+        idCol, bands, rows)
+    }
     // `maxBucket` is the same degenerate-bucket guard as
     // candidatePairs' — a hot band key (e.g. many near-empty docs
     // sharing a signature) otherwise recreates the quadratic new×old
@@ -258,18 +365,31 @@ object MinHash {
     // batch-restriction identity holds capped or not (the
     // BandedHamming.nearDuplicatesIncrementalOver rule); over-cap keys
     // leave BOTH sides via broadcast anti-joins, never a count window
-    // on the hot key.
+    // on the hot key. Only increment-touched keys can generate
+    // candidates (every pair has a new member), so with the at-rest
+    // bucket counts the union count is an increment-keyed left join —
+    // old-only over-cap keys stay unlisted, and stay pairless.
     val (bandNew, bandOld) = maxBucket match {
       case Some(m) =>
-        val over = bandNew0.select(col("band"), col("key"))
-          .unionByName(bandOld0.select(col("band"), col("key")))
-          .groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > m)
-          .select(col("band"), col("key"))
-        (bandNew0.join(broadcast(over), Seq("band", "key"), "left_anti")
+        val over = sideTables match {
+          case Some(bi) =>
+            bandNew0.groupBy(col("band"), col("key"))
+              .agg(count(lit(1)).as("__nn"))
+              .join(bi.bucketCounts.toDF("band", "key", "__on"),
+                Seq("band", "key"), "left")
+              .filter(col("__nn") + coalesce(col("__on"), lit(0L)) > m)
+              .select(col("band"), col("key"))
+          case None =>
+            bandNew0.select(col("band"), col("key"))
+              .unionByName(bandOld0.select(col("band"), col("key")))
+              .groupBy(col("band"), col("key"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > m)
+              .select(col("band"), col("key"))
+        }
+        (bandNew0.join(Guards.broadcastBounded(over), Seq("band", "key"), "left_anti")
            .select(col(idCol), col("band"), col("key")),
-         bandOld0.join(broadcast(over), Seq("band", "key"), "left_anti")
+         bandOld0.join(Guards.broadcastBounded(over), Seq("band", "key"), "left_anti")
            .select(col(idCol), col("band"), col("key")))
       case None => (bandNew0, bandOld0)
     }
@@ -283,7 +403,13 @@ object MinHash {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val pairs = newOld.unionByName(newNew).distinct()
-    exactJaccardVerify(shNew.unionByName(shOld), idCol, pairs, threshold)
+    // with side tables, the verify's size lookup reads the stored
+    // relation too — the last linear pass over the index disappears
+    val sizes = sideTables.map { bi =>
+      shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        .unionByName(bi.sizes.toDF(idCol, "sz"))
+    }
+    exactJaccardVerify(shNew.unionByName(shOld), idCol, pairs, threshold, sizes)
   }
 
   /** The banded-LSH S-curve: probability that a pair with Jaccard

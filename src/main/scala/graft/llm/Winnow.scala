@@ -96,9 +96,9 @@ object Winnow {
       .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select(col("fp"))
     // using-columns joins move the key first — re-select by name
-    val gN = fpN.join(broadcast(over), Seq("fp"), "left_anti")
+    val gN = fpN.join(Guards.broadcastBounded(over), Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
-    val gO = fpO.join(broadcast(over), Seq("fp"), "left_anti")
+    val gO = fpO.join(Guards.broadcastBounded(over), Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
     val newOld = gN.toDF("id_n", "fp")
       .join(gO.toDF("id_o", "fp"), Seq("fp"))

@@ -294,7 +294,13 @@ object FormationQueries extends QueryModule {
     // would degenerate the fold to always-update.
     // Kept segments resolve labels/formation from the last-update
     // segment's candidate — exactly the reference's stale-dict
-    // semantics (detection.py:129-148). -----
+    // semantics (detection.py:129-148).
+    // `selc AS MATERIALIZED`: the recursive fold joins selc once per
+    // recursion step, and without the hint DuckDB re-evaluates the
+    // whole candidate pipeline (the permutation brute force) each
+    // step — measured 778 s at sf0.01 vs 10 s materialized, identical
+    // rows. This one oracle otherwise dominates the driver's entire
+    // correctness sweep. -----
     GraftQuery(
       "q_efpi_hysteresis",
       (s, d) => Efpi.fit(s, efpiInput(s, d),
@@ -309,7 +315,7 @@ object FormationQueries extends QueryModule {
             |    string_agg(id, ',' ORDER BY id) AS ids_fp
             |  FROM spl GROUP BY game_id, team_id, segment_id
             |),
-            |selc AS (
+            |selc AS MATERIALIZED (
             |  SELECT s.game_id, s.team_id, s.period_id, s.segment_id, s.owning,
             |    s.cost, t.ids_fp,
             |    row_number() OVER (PARTITION BY s.game_id, s.team_id

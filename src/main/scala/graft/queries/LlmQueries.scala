@@ -996,6 +996,28 @@ object LlmQueries extends QueryModule {
               |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd
               |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin)),
 
+    // ----- the SAME increment served from the at-rest BandIndex
+    // side-tables (band keys + bucket counts + sizes — the production
+    // mode, where no aggregate ever runs over the accumulated index).
+    // The oracle is the IDENTICAL from-scratch SQL as
+    // q_doc_minhash_incremental, so the side-table serve is forced
+    // bit-identical to both the no-side-table arm and the batch
+    // restriction. -----
+    GraftQuery(
+      "q_doc_minhash_incr_banded",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = MinHash.shingleIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        MinHash.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", index,
+          n = 3, threshold = 0.01,
+          sideTables = Some(MinHash.bandIndexOf(index, "doc_id")))
+      },
+      Some(s"""WITH ${minhashNdCtes(0.01)}
+              |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd
+              |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin)),
+
     // ----- dedup clustering: connected components → keep/drop decision -----
     // Pairwise near-dup output alone doesn't say which docs to delete;
     // the actionable artifact is one row per doc with its duplicate

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.api.IncrementalCuration
-import graft.api.IncrementalCuration.State
+import graft.api.IncrementalCuration.{State, UrlState}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -12,17 +12,36 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and [[graft.api.CurationPipeline.run]] the one-shot bootstrap.
   *
   * Design mirrors [[StreamingDedupClusters]]: the journey's state
-  * (shingle index, component labels, id watermark) is an
-  * at-rest-TABLE update, not per-row keyed state, so the right
-  * primitive is `foreachBatch` — each micro-batch runs ONE
-  * incremental step (score → gate → incremental pairs against the
-  * held index → contraction-CC keep) and swaps the state forward.
-  * Per-batch cost is the incremental one: every stage touches work
-  * proportional to the batch, never the accumulated corpus.
+  * (optional URL-hygiene state, shingle index + banded-LSH
+  * side-tables, component labels, id watermark) is an at-rest-TABLE
+  * update, not per-row keyed state, so the right primitive is
+  * `foreachBatch` — each micro-batch runs ONE incremental step
+  * (URL hygiene when a [[UrlState]] is carried → score → gate →
+  * incremental pairs against the held index → contraction-CC keep)
+  * and swaps the state forward. The STEP's cost is the incremental
+  * one: every stage of the step touches work proportional to the
+  * batch, never the accumulated corpus (the banded side-tables are
+  * what keep the pairing stage increment-sized — see
+  * [[graft.llm.MinHash.BandIndex]]).
   *
-  * The store also maintains the ACCUMULATED survivor set under the
-  * step's retraction contract: survivors ∪= batch survivors, then
-  * −= the step's revoked old canonicals — so at any trigger boundary
+  * Honest cost accounting for the STORE itself: `advance` re-
+  * materializes the ACCUMULATED survivor set and state tables via
+  * `localCheckpoint` each trigger, so per-trigger maintenance is
+  * O(accumulated corpus) — a deliberate trade for snapshot reads
+  * (`survivors`/`state` always see complete, materialized tables),
+  * NOT an incremental-maintenance claim. State lives as
+  * executor-memory blocks that grow with the corpus for the stream's
+  * lifetime; a long-running production deployment should persist the
+  * tables as parquet deltas in `foreachBatch` instead (append the
+  * increment's index/band/survivor rows, rewrite only changed label
+  * partitions — the bucketing [[IncrementalCuration]]'s Scaladoc
+  * prescribes) and compact periodically, keeping per-trigger I/O
+  * increment-sized. This in-memory store is the test/spec twin of
+  * that layout, not its replacement.
+  *
+  * The store maintains the accumulated survivor set under the step's
+  * retraction contract: survivors ∪= batch survivors, then −= the
+  * step's revoked old canonicals — so at any trigger boundary
   * `survivors` equals what one batch pipeline over every document
   * ever seen would emit (spec-pinned across bridging triggers; the
   * identity is exactly IncrementalCurationSpec's consumer identity,
@@ -34,31 +53,60 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingCuration {
 
   /** The journey state + accumulated survivors a document stream
-    * advances. Reads (`state`, `survivors`) always see a complete,
-    * materialized snapshot — updates localCheckpoint before swapping
-    * (the in-memory twin of production's parquet round-trip; persist
-    * the four tables bucketed as [[IncrementalCuration]]'s Scaladoc
-    * prescribes to make the store durable). `survivors` keeps the
-    * schema of the step's survivor rows (id + text + score columns),
-    * projected to `initialSurvivors`'s columns. */
-  final class CurationStore(initial: State, initialSurvivors: DataFrame) {
+    * advances. Reads (`state`, `survivors`, `urlState`) always see a
+    * complete, materialized snapshot — updates localCheckpoint before
+    * swapping (the in-memory twin of production's parquet round-trip;
+    * see the object doc for the growth/cost contract). `survivors`
+    * keeps the schema of the step's survivor rows (id + text + score
+    * columns), projected to `initialSurvivors`'s columns.
+    *
+    * Pass `initialUrl = Some(urlStateOf(...))` to run the FULL
+    * journey — each batch then flows through
+    * [[IncrementalCuration.urlHygieneStep]] (canonical-URL
+    * first-crawl-wins dedup + per-host cap against the at-rest crawl
+    * state) BEFORE score/gate/dedup, exactly like the batch
+    * composition `urlHygiene → run`. `None` curates a pre-hygiene
+    * stream (documents with no url column). */
+  final class CurationStore(
+      initial: State,
+      initialSurvivors: DataFrame,
+      initialUrl: Option[UrlState] = None) {
     @volatile private var st: State = checkpointed(initial)
     @volatile private var surv: DataFrame = initialSurvivors.localCheckpoint()
+    @volatile private var ust: Option[UrlState] = initialUrl.map(checkpointedUrl)
 
     def state: State = st
     def survivors: DataFrame = surv
+    def urlState: Option[UrlState] = ust
 
     private def checkpointed(s: State): State =
       State(s.shingleIndex.localCheckpoint(), s.labels.localCheckpoint(),
-        s.maxId.map(_.localCheckpoint()))
+        s.maxId.map(_.localCheckpoint()),
+        s.bands.map(bi => graft.llm.MinHash.BandIndex(
+          bi.bandKeys.localCheckpoint(),
+          bi.bucketCounts.localCheckpoint(),
+          bi.sizes.localCheckpoint())))
+
+    private def checkpointedUrl(u: UrlState): UrlState =
+      UrlState(u.seenUrls.localCheckpoint(), u.hostCounts.localCheckpoint(),
+        u.maxId.map(_.localCheckpoint()))
 
     private[streaming] def advance(
         batch: DataFrame,
         minQuality: Double,
         dupThreshold: Double,
-        maxBucket: Option[Int]): Unit = synchronized {
+        maxBucket: Option[Int],
+        maxPerHost: Int): Unit = synchronized {
+      val hygienic = ust match {
+        case Some(u) =>
+          val (kept, nextU) = IncrementalCuration.urlHygieneStep(
+            batch, u, maxPerHost = maxPerHost)
+          ust = Some(checkpointedUrl(nextU))
+          kept
+        case None => batch
+      }
       val (sv, revoked, next) =
-        IncrementalCuration.step(batch, st, minQuality, dupThreshold, maxBucket)
+        IncrementalCuration.step(hygienic, st, minQuality, dupThreshold, maxBucket)
       surv = surv
         .unionByName(sv.select(surv.columns.map(col): _*))
         .join(revoked, Seq("doc_id"), "left_anti")
@@ -69,7 +117,8 @@ object StreamingCuration {
 
   /** Attach the curation journey to a streaming document relation
     * (same schema the batch pipeline scores: the id, text, and any
-    * carried metadata columns). Every micro-batch advances `store`;
+    * carried metadata columns — plus a url column when the store
+    * carries a [[UrlState]]). Every micro-batch advances `store`;
     * read `store.survivors` / `store.state` at any time for the
     * currently-curated corpus and its at-rest state. */
   def attach(
@@ -78,13 +127,15 @@ object StreamingCuration {
       minQuality: Double = 0.5,
       dupThreshold: Double = 0.8,
       maxBucket: Option[Int] = Some(10000),
+      maxPerHost: Int = 10000,
       queryName: String = "curation_journey"): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // an empty trigger must not pay a step
-        if (!batch.isEmpty) store.advance(batch, minQuality, dupThreshold, maxBucket)
+        if (!batch.isEmpty)
+          store.advance(batch, minQuality, dupThreshold, maxBucket, maxPerHost)
       }
       .start()
 }

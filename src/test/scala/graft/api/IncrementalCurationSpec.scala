@@ -32,7 +32,11 @@ class IncrementalCurationSpec extends AnyFunSuite {
 
   private def atRest(s: IncrementalCuration.State): IncrementalCuration.State =
     IncrementalCuration.State(s.shingleIndex.localCheckpoint(),
-      s.labels.localCheckpoint(), s.maxId.map(_.localCheckpoint()))
+      s.labels.localCheckpoint(), s.maxId.map(_.localCheckpoint()),
+      s.bands.map(bi => graft.llm.MinHash.BandIndex(
+        bi.bandKeys.localCheckpoint(),
+        bi.bucketCounts.localCheckpoint(),
+        bi.sizes.localCheckpoint())))
 
   private def atRestJ(s: IncrementalCuration.JaccardState): IncrementalCuration.JaccardState =
     IncrementalCuration.JaccardState(s.shingleIndex.localCheckpoint(),
@@ -71,12 +75,18 @@ class IncrementalCurationSpec extends AnyFunSuite {
     // linger in the accumulated set
     val accumulated = (acc1 ++ ids(s2v)) -- ids(r2)
     assert(accumulated === ids(batchSurvivors(docs, threshold)))
-    // advanced state equals the union-built state
+    // advanced state equals the union-built state — including the
+    // increment-ADDED banded-LSH side-tables (stateOf carries them by
+    // default, so this chain ran the side-table serve path throughout)
     val unionState = IncrementalCuration.stateOf(docs, dupThreshold = threshold)
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
     assert(rows(s2.labels) === rows(unionState.labels))
     assert(rows(s2.shingleIndex) === rows(unionState.shingleIndex))
     assert(rows(s2.maxId.get) === rows(unionState.maxId.get))
+    assert(s2.bands.isDefined, "stateOf must carry the band side-tables")
+    assert(rows(s2.bands.get.bandKeys) === rows(unionState.bands.get.bandKeys))
+    assert(rows(s2.bands.get.bucketCounts) === rows(unionState.bands.get.bucketCounts))
+    assert(rows(s2.bands.get.sizes) === rows(unionState.bands.get.sizes))
   }
 
   test("jaccard-flavor chained steps compose, side-tables advancing by increment-add") {

@@ -462,6 +462,39 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(s2) === rows(stats))
   }
 
+  test("bm25 index lifecycle: removes and rewrites keep serve equal to rebuild") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val terms = Seq("spark", "join", "window", "stream")
+    val postings = Bm25.buildIndex(docs, "doc_id", "text").localCheckpoint()
+    val stats = Bm25.indexStats(docs, "doc_id", "text").localCheckpoint()
+    // retire a slice: postings AND stats equal the shrunk-corpus rebuild
+    val keptCorpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val (p1, s1) = Bm25.indexRemove(postings, stats,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    assert(rows(p1) === rows(Bm25.buildIndex(keptCorpus, "doc_id", "text")))
+    assert(rows(s1) === rows(Bm25.indexStats(keptCorpus, "doc_id", "text")))
+    assert(rows(Bm25.topkFromIndex(p1, s1, terms, 25)) ===
+      rows(Bm25.topk(keptCorpus, "doc_id", "text", terms, 25)))
+    // rewrite a slice (the line-dedup journey's output shape), one doc
+    // rewritten to EMPTY — it must drop from postings AND stats exactly
+    // as a full rebuild over the rewritten corpus drops it
+    val rewrites = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 22 === 0, lit(""))
+          .otherwise(concat(lit("rewritten body "), col("text"))).as("text"))
+    assert(rewrites.filter(col("text") === "").count() > 0,
+      "fixture must exercise the rewritten-to-empty case")
+    val rewrittenCorpus = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(rewrites)
+    val (p2b, s2b) = Bm25.indexRebuildDocs(postings, stats, rewrites, "doc_id", "text")
+    assert(rows(p2b) === rows(Bm25.buildIndex(rewrittenCorpus, "doc_id", "text")))
+    assert(rows(s2b) === rows(Bm25.indexStats(rewrittenCorpus, "doc_id", "text")))
+    assert(rows(Bm25.topkFromIndex(p2b, s2b, terms, 25)) ===
+      rows(Bm25.topk(rewrittenCorpus, "doc_id", "text", terms, 25)))
+  }
+
   test("dsir: target-slice lookalikes weigh higher than off-distribution docs") {
     // target slice: doc_id % 17 == 3 -> only doc 3
     val corpus = Seq(
@@ -682,5 +715,37 @@ class LlmSpec extends AnyFunSuite {
     // old×old pairs never surface — the whole point of the index path
     assert(!incRows.exists(r =>
       r.head.asInstanceOf[Long] % 5 != 0 && r(1).asInstanceOf[Long] % 5 != 0))
+  }
+
+  test("minhash band-index side-tables: serve identical, maintenance equals union bootstrap") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val isNew = col("doc_id") % 5 === 0
+    val oldIdx = MinHash.shingleIndex(
+      corpus.filter(!isNew), "doc_id", "text", n = 3).localCheckpoint()
+    val bi = MinHash.bandIndexOf(oldIdx, "doc_id")
+    def inc(side: Option[MinHash.BandIndex], cap: Option[Int]) =
+      MinHash.nearDuplicatesIncremental(corpus.filter(isNew), "doc_id", "text",
+        oldIdx, n = 3, threshold = 0.01, maxBucket = cap, sideTables = side)
+    // uncapped: the stored band keys + sizes serve bit-identically to
+    // re-deriving old-side signatures from the index
+    val plain = rows(inc(None, None))
+    assert(rows(inc(Some(bi), None)) === plain)
+    assert(plain.nonEmpty)
+    // capped: the increment-keyed join against stored bucket counts
+    // equals the union-counted guard — and the cap must BITE on this
+    // fixture or the guard path went unexercised
+    val cappedPlain = rows(inc(None, Some(2)))
+    assert(rows(inc(Some(bi), Some(2))) === cappedPlain)
+    assert(cappedPlain !== plain, "maxBucket=2 must drop at least one bucket")
+    // maintenance rule: bandIndexAdd over the increment's own index
+    // rows equals bandIndexOf over the union index, table for table
+    val newIdx = MinHash.shingleIndex(
+      corpus.filter(isNew), "doc_id", "text", n = 3).localCheckpoint()
+    val advanced = MinHash.bandIndexAdd(bi, newIdx, "doc_id")
+    val union = MinHash.bandIndexOf(oldIdx.unionByName(newIdx), "doc_id")
+    assert(rows(advanced.bandKeys) === rows(union.bandKeys))
+    assert(rows(advanced.bucketCounts) === rows(union.bucketCounts))
+    assert(rows(advanced.sizes) === rows(union.sizes))
   }
 }

@@ -113,4 +113,70 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(rowSet(store.state.maxId.get) === rowSet(unionState.maxId.get))
     } finally q.stop()
   }
+
+  test("full journey with URL hygiene: dup urls and an over-cap host cross batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 25
+    // every %10==7 doc shares ONE canonical url (first crawl wins —
+    // later duplicates must drop even when they arrive in a later
+    // trigger); every other %3==0 doc sits on a single hot host that
+    // crosses the cap mid-stream (earliest fill first); the rest get
+    // unique urls and pass through
+    def withUrl(df: DataFrame) = df.withColumn("url",
+      when(col("doc_id") % 10 === 7, lit("https://dup.example.com/same"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("https://hot.example.com/p/"), col("doc_id")))
+        .otherwise(concat(lit("https://h"), col("doc_id"),
+          lit(".example.com/p/"), col("doc_id"))))
+    def batchFull(all: DataFrame): DataFrame = {
+      val hyg = CurationPipeline.urlHygiene(all, maxPerHost = cap)
+      val gated = CurationPipeline.gate(CurationPipeline.score(hyg), 0.0)
+      CurationPipeline.dedup(gated,
+        CurationPipeline.nearDuplicatePairs(gated, threshold = threshold))
+    }
+    val d0 = withUrl(real(0, 60))
+    val source = MemoryStream[(Long, String, String, String, Long, String)]
+    val stream = source.toDF().toDF(d0.columns: _*)
+    val store = new StreamingCuration.CurationStore(
+      IncrementalCuration.stateOf(
+        CurationPipeline.urlHygiene(d0, maxPerHost = cap),
+        minQuality = 0.0, dupThreshold = threshold),
+      batchFull(d0),
+      Some(IncrementalCuration.urlStateOf(d0)))
+    val q = StreamingCuration.attach(stream, store,
+      minQuality = 0.0, dupThreshold = threshold, maxPerHost = cap,
+      queryName = "curation_full_journey_spec")
+    try {
+      def docRows(df: DataFrame) =
+        df.as[(Long, String, String, String, Long, String)].collect().toIndexedSeq
+      var seen = d0
+      Seq(withUrl(real(110, 160)), withUrl(real(161, 200))).foreach { b =>
+        source.addData(docRows(b))
+        q.processAllAvailable()
+        seen = seen.unionByName(b)
+        assert(ids(store.survivors) === ids(batchFull(seen)))
+      }
+      // the fixture must BITE at the hygiene stage across boundaries:
+      // every late arrival on the already-seen url drops, and the hot
+      // host saturates mid-stream so some streamed hot doc drops too
+      val hygAll = ids(CurationPipeline.urlHygiene(seen, maxPerHost = cap))
+      val lateDups = (110L until 200L).filter(_ % 10 == 7)
+      assert(lateDups.nonEmpty && lateDups.forall(!hygAll.contains(_)),
+        "later duplicates of a seen url must drop")
+      val seenIds = ids(seen)
+      val streamedHot = (110L until 200L)
+        .filter(i => i % 10 != 7 && i % 3 == 0 && seenIds.contains(i))
+      assert(streamedHot.exists(!hygAll.contains(_)),
+        "the hot host must saturate during the stream, dropping a late doc")
+      assert(streamedHot.exists(hygAll.contains),
+        "the cap must fill partway through the stream, not before it")
+      // url state advanced to the union-built state
+      val unionUrl = IncrementalCuration.urlStateOf(seen)
+      def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rowSet(store.urlState.get.seenUrls) === rowSet(unionUrl.seenUrls))
+      assert(rowSet(store.urlState.get.hostCounts) === rowSet(unionUrl.hostCounts))
+      assert(rowSet(store.urlState.get.maxId.get) === rowSet(unionUrl.maxId.get))
+    } finally q.stop()
+  }
 }

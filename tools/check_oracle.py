@@ -7,7 +7,7 @@ Registers each testdata parquet as a DuckDB view, runs every oracle in
 oracle_sql.json, loads the corresponding Spark result parquet, sorts
 columns by name, canonically sorts rows, and compares values.
 """
-import json, sys, math
+import json, sys, math, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -38,6 +38,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             dk = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -72,7 +73,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: first diff at sorted row {bad[0]}:\n  duckdb={bad[1]}\n  spark ={bad[2]}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(srows)} rows)")
+            print(f"OK   {name} ({len(srows)} rows, {time.time() - t0:.1f}s)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
