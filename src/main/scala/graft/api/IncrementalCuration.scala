@@ -210,7 +210,12 @@ object IncrementalCuration {
     val guarded = state.maxId
       .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.step"))
       .getOrElse(newDocs)
+    // persist the scored batch: it feeds the pair generation, the
+    // survivor anti-join, and the state-advance index rows — without
+    // it each consumer re-runs score/gate (and the watermark guard's
+    // assert scan) over the raw batch. Increment-sized by contract.
     val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
+      .persist()
     val newPairs = MinHash.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
       threshold = dupThreshold, maxBucket = maxBucket,
@@ -241,7 +246,9 @@ object IncrementalCuration {
     val guarded = state.maxId
       .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.stepJaccard"))
       .getOrElse(newDocs)
+    // persisted for the same three consumers as [[step]]'s
     val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
+      .persist()
     val newPairs = Jaccard.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
       threshold = jaccardThreshold, maxDf = maxDf,

@@ -347,7 +347,19 @@ object MinHash {
       sideTables: Option[BandIndex] = None): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
-    val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct()
+    // PERSIST the increment's distinct shingle relation: it feeds up to
+    // six consumers (signatures/band keys — twice more under the
+    // guard's anti-join — sizes, and both exact-verify join sides via
+    // the union), and per-consumer column pruning makes their
+    // exchanges non-identical, so ReusedExchange does NOT collapse
+    // them the way it does in the batch arm — each consumer would
+    // re-run the upstream batch plan (often score→gate→tokenize).
+    // Measured at the sf1 journey soak: the un-persisted form paid the
+    // new-side derivation ~6× (167 s pair stage; see SCALING.md r15).
+    // Increment-sized by contract, so MEMORY_AND_DISK is safe; lazy —
+    // fills on the first action, unlike the edge relation's eager
+    // checkpoint in DedupClusters (documented there).
+    val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct().persist()
     val shOld = index.toDF(idCol, "h")
     val bandNew0 = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
       idCol, bands, rows)
@@ -393,6 +405,10 @@ object MinHash {
            .select(col(idCol), col("band"), col("key")))
       case None => (bandNew0, bandOld0)
     }
+    // the new side's band keys feed three joins (new×old + both sides
+    // of new×new) — persist the increment-sized relation so the
+    // 12-min-agg signature groupBy runs once, not three times
+    bandNew.persist()
     val newOld = bandNew.toDF("id_n", "band", "key")
       .join(bandOld.toDF("id_o", "band", "key"), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_o"))

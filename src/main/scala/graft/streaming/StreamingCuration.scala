@@ -112,6 +112,16 @@ object StreamingCuration {
         .join(revoked, Seq("doc_id"), "left_anti")
         .localCheckpoint()
       st = checkpointed(next)
+      // the step's internal persists (scored batch, shingle/band-key
+      // relations — increment-sized each) live in the session's
+      // CacheManager, which never GCs entries: without this a
+      // long-running stream accumulates one set per trigger. Safe
+      // here because every snapshot above is already materialized as
+      // localCheckpoint blocks (clearCache does not touch those);
+      // the store assumes it owns its session's plan cache — callers
+      // sharing a session with other cached work should clear
+      // selectively instead.
+      batch.sparkSession.catalog.clearCache()
     }
   }
 

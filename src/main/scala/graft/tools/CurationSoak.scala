@@ -168,6 +168,26 @@ object CurationSoak {
     lazy val journeyCut =
       docs.stat.approxQuantile("doc_id", Array(0.8), 0.0).head.toLong
     val journeyDir = "/tmp/graft_journey_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    // the 4%-increment tier: the 20% arms above measure a stress
+    // ratio where increment-sized work is a fifth of the corpus; a
+    // production daily increment is ≤ 1%, so this arm is the one that
+    // shows the step's cost tracking the INCREMENT while the
+    // bootstrap's tracks the corpus
+    lazy val journeyCut4 =
+      docs.stat.approxQuantile("doc_id", Array(0.96), 0.0).head.toLong
+    val journeyDir4 = "/tmp/graft_journey4_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.exists(_.contains("journey4_step")))) {
+      val st = graft.api.IncrementalCuration.stateOf(
+        docs.filter(col("doc_id") < journeyCut4), dupThreshold = 0.01)
+      st.shingleIndex.write.mode("overwrite").parquet(s"$journeyDir4/index")
+      st.labels.write.mode("overwrite").parquet(s"$journeyDir4/labels")
+      st.maxId.get.write.mode("overwrite").parquet(s"$journeyDir4/maxid")
+      val bi = st.bands.get
+      bi.bandKeys.write.mode("overwrite").parquet(s"$journeyDir4/bandkeys")
+      bi.bucketCounts.write.mode("overwrite").parquet(s"$journeyDir4/bucketcounts")
+      bi.sizes.write.mode("overwrite").parquet(s"$journeyDir4/sizes")
+    }
+
     // substring match: BOTH journey arms (banded + nosides) share this
     // bootstrap, and neither equals the literal "journey_step"
     if (only.forall(_.exists(_.contains("journey_step")))) {
@@ -280,6 +300,46 @@ object CurationSoak {
           .unionByName(append.select(col("doc_id")))
           .unionByName(graft.llm.MinHash.indexBandKeys(append, "doc_id")
             .select(col("doc_id")))
+      },
+      // the production-ratio tier: a 4% increment against the 96%
+      // at-rest corpus, banded side-tables on — the arm where
+      // increment-proportional cost separates from corpus-proportional
+      "journey4_step_incremental" -> { () =>
+        val nw = docs.filter(col("doc_id") >= journeyCut4)
+        val state = graft.api.IncrementalCuration.State(
+          spark.read.parquet(s"$journeyDir4/index"),
+          spark.read.parquet(s"$journeyDir4/labels"),
+          Some(spark.read.parquet(s"$journeyDir4/maxid")),
+          Some(graft.llm.MinHash.BandIndex(
+            spark.read.parquet(s"$journeyDir4/bandkeys"),
+            spark.read.parquet(s"$journeyDir4/bucketcounts"),
+            spark.read.parquet(s"$journeyDir4/sizes"))))
+        val (sv, rv, _) = graft.api.IncrementalCuration.step(
+          nw, state, dupThreshold = 0.01)
+        val append = graft.llm.MinHash.shingleIndex(
+          graft.api.CurationPipeline.gate(graft.api.CurationPipeline.score(nw)),
+          "doc_id", "text")
+        sv.select(col("doc_id")).unionByName(rv)
+          .unionByName(append.select(col("doc_id")))
+          .unionByName(graft.llm.MinHash.indexBandKeys(append, "doc_id")
+            .select(col("doc_id")))
+      },
+      // the same 4% increment WITHOUT side-tables: the old-side
+      // signature groupBy is a FIXED corpus cost, so at production
+      // ratios this arm exposes exactly the term the BandIndex deletes
+      "journey4_step_nosides" -> { () =>
+        val nw = docs.filter(col("doc_id") >= journeyCut4)
+        val state = graft.api.IncrementalCuration.State(
+          spark.read.parquet(s"$journeyDir4/index"),
+          spark.read.parquet(s"$journeyDir4/labels"),
+          Some(spark.read.parquet(s"$journeyDir4/maxid")))
+        val (sv, rv, _) = graft.api.IncrementalCuration.step(
+          nw, state, dupThreshold = 0.01)
+        val append = graft.llm.MinHash.shingleIndex(
+          graft.api.CurationPipeline.gate(graft.api.CurationPipeline.score(nw)),
+          "doc_id", "text")
+        sv.select(col("doc_id")).unionByName(rv)
+          .unionByName(append.select(col("doc_id")))
       },
       // the r14 shape (no side-tables): the step re-derives old-side
       // signatures from the index — the corpus-sized term the banded
