@@ -135,13 +135,21 @@ object BandedHamming {
     * still collides in some band. The `maxBucket` guard counts
     * bucket sizes over the UNION of both sides — the same buckets the
     * batch run would see, so the restriction identity holds capped or
-    * not. Ids must be disjoint across the two inputs. */
+    * not. Ids must be disjoint across the two inputs.
+    *
+    * `indexBucketCounts = Some([[bucketCountsTableOver]] artifact)`
+    * replaces the one remaining index-sized aggregate (the union
+    * bucket count) with an increment-keyed left join against the
+    * stored per-bucket counts — only buckets an increment key lands
+    * in can generate candidates, so old-only over-cap buckets stay
+    * unlisted AND pairless; output bit-identical with or without. */
   def nearDuplicatesIncrementalOver(
       newHashes: DataFrame,
       indexHashes: DataFrame,
       bandCols: Seq[String],
       maxHamming: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      indexBucketCounts: Option[DataFrame] = None): DataFrame = {
     require(bandCols.size >= 2, s"need at least 2 bands, got $bandCols")
     require(maxHamming >= 0 && maxHamming <= bandCols.size - 1,
       s"maxHamming must be in 0..${bandCols.size - 1} for the ${bandCols.size}-band " +
@@ -152,12 +160,22 @@ object BandedHamming {
     val keyedN = bandKeyRows(hN, bandCols)
     val keyedO = bandKeyRows(hO, bandCols)
     // union bucket sizes (what the batch window would count); over-cap
-    // keys drop from BOTH sides — one index-sized groupBy, no window
-    val overCap = keyedN.unionByName(keyedO)
-      .groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select(col("band"), col("key"))
+    // keys drop from BOTH sides — one index-sized groupBy without the
+    // side-table, an increment-keyed join with it
+    val overCap = indexBucketCounts match {
+      case Some(counts) =>
+        keyedN.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__nn"))
+          .join(counts.toDF("band", "key", "__on"), Seq("band", "key"), "left")
+          .filter(col("__nn") + coalesce(col("__on"), lit(0L)) > maxBucket)
+          .select(col("band"), col("key"))
+      case None =>
+        keyedN.unionByName(keyedO)
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("band"), col("key"))
+    }
     // NOTE: using-columns joins put the join keys FIRST in the output,
     // so rename by NAME (a positional toDF here once scrambled
     // media_id into the key column and silently emptied the result)
@@ -187,14 +205,28 @@ object BandedHamming {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The at-rest per-(band, key) bucket-count side-table that makes
+    * [[nearDuplicatesIncrementalOver]]'s cap fully increment-sized —
+    * the [[MinHash.bandBucketCounts]] recipe for the media families.
+    * Build once next to the hash table; maintain by increment-ADD
+    * (union with the increment's own counts + per-key sum). */
+  def bucketCountsTableOver(hashes: DataFrame, bandCols: Seq[String]): DataFrame =
+    bandKeyRows(hashes.select(col("media_id") +: bandCols.map(col): _*), bandCols)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+
+  /** [[bucketCountsTableOver]] for the 4 × 16-bit layout. */
+  def bucketCountsTable(hashes: DataFrame): DataFrame =
+    bucketCountsTableOver(hashes, NarrowBands)
+
   /** [[nearDuplicatesIncrementalOver]] for the 4 × 16-bit layout. */
   def nearDuplicatesIncremental(
       newHashes: DataFrame,
       indexHashes: DataFrame,
       maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame =
+      maxBucket: Int = 10000,
+      indexBucketCounts: Option[DataFrame] = None): DataFrame =
     nearDuplicatesIncrementalOver(newHashes, indexHashes, NarrowBands,
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, indexBucketCounts)
 
   /** OFFSET-TOLERANT near-duplicate pairs over a FRAME-KEYED hash
     * table `(media_id, frame_no, b0..b3)` — the shared core of

@@ -71,6 +71,14 @@ object Winnow {
       .filter(col("shared") >= minShared)
   }
 
+  /** The at-rest per-fingerprint document-frequency side-table that
+    * makes [[nearDuplicatesIncremental]] fully increment-sized — the
+    * [[Jaccard.indexDfs]] recipe for this family. Build once next to
+    * the fingerprint table (bucket by fp); maintain by increment-ADD
+    * (union + per-fp sum — only increment-touched fps change). */
+  def indexDfs(index: DataFrame): DataFrame =
+    index.toDF("__id", "fp").groupBy(col("fp")).agg(count(lit(1)).as("df"))
+
   /** INCREMENTAL winnowing near-dup: a NEW batch against the AT-REST
     * fingerprint table of the accumulated corpus (a [[fingerprintTable]]
     * — (id, fp), id column first, ids disjoint) — bit-identical to
@@ -80,7 +88,14 @@ object Winnow {
     * of both sides — exactly the df the batch run would see — so the
     * restriction identity holds capped or not (the union-counting rule
     * every incremental guard here follows); over-cap fps leave both
-    * sides via broadcast anti-joins. */
+    * sides via broadcast anti-joins.
+    *
+    * `dfs = Some(indexDfs table)` replaces the one remaining
+    * corpus-sized aggregate (the union df count) with an
+    * increment-keyed left join against the stored relation — only fps
+    * the increment touches can generate candidates, so old-only
+    * over-cap fps stay unlisted AND pairless, and the output is
+    * bit-identical with or without. */
   def nearDuplicatesIncremental(
       newDocs: DataFrame,
       idCol: String,
@@ -89,12 +104,21 @@ object Winnow {
       k: Int = K,
       w: Int = W,
       minShared: Int = 2,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50,
+      dfs: Option[DataFrame] = None): DataFrame = {
     val fpN = fingerprintTable(newDocs, idCol, textCol, k, w)
     val fpO = index.toDF(idCol, "fp")
-    val over = fpN.select(col("fp")).unionByName(fpO.select(col("fp")))
-      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select(col("fp"))
+    val over = dfs match {
+      case Some(d) =>
+        fpN.groupBy(col("fp")).agg(count(lit(1)).as("__ndf"))
+          .join(d.toDF("fp", "__odf"), Seq("fp"), "left")
+          .filter(col("__ndf") + coalesce(col("__odf"), lit(0L)) > maxDf)
+          .select(col("fp"))
+      case None =>
+        fpN.select(col("fp")).unionByName(fpO.select(col("fp")))
+          .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select(col("fp"))
+    }
     // using-columns joins move the key first — re-select by name
     val gN = fpN.join(Guards.broadcastBounded(over), Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))

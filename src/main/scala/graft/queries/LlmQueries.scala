@@ -1543,6 +1543,30 @@ object LlmQueries extends QueryModule {
               |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
 
+    // ----- the SAME increment served through the at-rest df
+    // side-table (Winnow.indexDfs — the guard becomes an
+    // increment-keyed join; no aggregate over the accumulated
+    // fingerprint table). Identical from-scratch SQL, so the
+    // side-table serve is forced bit-identical. -----
+    GraftQuery(
+      "q_doc_winnow_incr_dfs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = Winnow.fingerprintTable(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        Winnow.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", index,
+          minShared = 5, maxDf = 10, dfs = Some(Winnow.indexDfs(index)))
+      },
+      Some(s"""WITH fpt AS (${Winnow.fingerprintSql()}),
+              |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fpt GROUP BY fp)
+              |         WHERE df <= 10),
+              |idx AS (SELECT f.doc_id, f.fp FROM fpt f JOIN rare USING (fp))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+              |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+
     // ----- SimHash near-dup pairs via banded Hamming join -----
     GraftQuery(
       "q_doc_simhash_dup",
@@ -3151,6 +3175,38 @@ object LlmQueries extends QueryModule {
            |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3
            |  AND (a.media_id % 4 = 0 OR b.media_id % 4 = 0)""".stripMargin)),
 
+    // ----- the SAME media increment served through the at-rest
+    // per-bucket-count side-table (BandedHamming.bucketCountsTable —
+    // the cap's union count becomes an increment-keyed join, no
+    // aggregate over the accumulated hash table). The generous cap
+    // drops nothing here, so the output must equal the uncapped
+    // brute-force oracle — identical SQL as q_media_dhash_incremental
+    // forces the side-table guard bit-identical. -----
+    GraftQuery(
+      "q_media_dhash_incr_counts",
+      (s, _) => {
+        import s.implicits._
+        val hashes = ImageDedup.dHash(dhashCorpus(s))
+        val old = hashes.filter(col("media_id") % 4 =!= 0)
+        BandedHamming.nearDuplicatesIncremental(
+          hashes.filter(col("media_id") % 4 === 0), old, maxHamming = 3,
+          indexBucketCounts = Some(BandedHamming.bucketCountsTable(old)))
+      },
+      Some(
+        s"""WITH $dhashDimsSql,
+           |${ImageDedup.hashSql(dhashR, dhashG, dhashB)}
+           |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           |       CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |            bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM hx a JOIN hx b ON a.media_id < b.media_id
+           |WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b1, b.b1) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b2, b.b2) AS BIGINT)) +
+           |      bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3
+           |  AND (a.media_id % 4 = 0 OR b.media_id % 4 = 0)""".stripMargin)),
+
     // ----- multimodal: per-frame video dHash over REAL AVI walks —
     // the video analog of q_media_dhash: 48 clips × 5 lossless DIB
     // frames, 12 block-rotating patterns (seed = id % 12), exact
@@ -4085,6 +4141,35 @@ object LlmQueries extends QueryModule {
           Seq("spark", "join", "window", "stream"), 25)
       },
       Some(bm25Sql)),
+
+    // ----- BM25 index LIFECYCLE under document rewrites (the
+    // line-dedup journey's output shape): the full-corpus index is
+    // maintained through indexRebuildDocs for every doc_id % 11 == 0
+    // (with % 22 == 0 rewritten to EMPTY — those must fall out of
+    // postings AND stats), then served. The oracle recomputes BM25
+    // from scratch over the REWRITTEN corpus, so the retire-and-re-add
+    // maintenance must equal a ground-up rebuild bit-for-bit. -----
+    GraftQuery(
+      "q_doc_bm25_rebuilt",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rewrites = docs.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 22 === 0, lit(""))
+              .otherwise(concat(lit("rewritten body "), col("text"))).as("text"))
+        val (p2, s2) = Bm25.indexRebuildDocs(
+          Bm25.buildIndex(docs, "doc_id", "text"),
+          Bm25.indexStats(docs, "doc_id", "text"),
+          rewrites, "doc_id", "text")
+        Bm25.topkFromIndex(p2, s2, Seq("spark", "join", "window", "stream"), 25)
+      },
+      Some(s"""WITH rdocs AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 11 = 0 THEN
+              |    CASE WHEN doc_id % 22 = 0 THEN ''
+              |         ELSE 'rewritten body ' || text END
+              |  ELSE text END AS text
+              |FROM documents),
+              |${bm25Sql.stripPrefix("WITH ").replace("FROM documents", "FROM rdocs")}""".stripMargin)),
 
     // ----- DSIR importance weights: hashed-unigram log-likelihood
     // ratio vs a deterministic target slice (see [[graft.llm.Dsir]]).

@@ -52,6 +52,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingCuration {
 
+  /** What [[attach]] drives: one incremental step per non-empty
+    * micro-batch. [[CurationStore]] is the in-memory twin (snapshot
+    * reads, executor-memory state); [[PersistentCurationStore]] the
+    * durable parquet layout (increment-sized appends, epoch-versioned
+    * keyed merges). */
+  trait JourneyStore {
+    private[streaming] def advance(
+        batch: DataFrame,
+        minQuality: Double,
+        dupThreshold: Double,
+        maxBucket: Option[Int],
+        maxPerHost: Int): Unit
+  }
+
   /** The journey state + accumulated survivors a document stream
     * advances. Reads (`state`, `survivors`, `urlState`) always see a
     * complete, materialized snapshot — updates localCheckpoint before
@@ -70,7 +84,7 @@ object StreamingCuration {
   final class CurationStore(
       initial: State,
       initialSurvivors: DataFrame,
-      initialUrl: Option[UrlState] = None) {
+      initialUrl: Option[UrlState] = None) extends JourneyStore {
     @volatile private var st: State = checkpointed(initial)
     @volatile private var surv: DataFrame = initialSurvivors.localCheckpoint()
     @volatile private var ust: Option[UrlState] = initialUrl.map(checkpointedUrl)
@@ -133,7 +147,7 @@ object StreamingCuration {
     * currently-curated corpus and its at-rest state. */
   def attach(
       docs: DataFrame,
-      store: CurationStore,
+      store: JourneyStore,
       minQuality: Double = 0.5,
       dupThreshold: Double = 0.8,
       maxBucket: Option[Int] = Some(10000),

@@ -148,9 +148,7 @@ object CurationSoak {
     // the very skew shape the house guards exist for.)
     val bm25IdxDir = "/tmp/graft_bm25idx_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     if (only.forall(_.contains("bm25_skew_indexed"))) {
-      Bm25.buildIndex(skewDocs, "doc_id", "text")
-        .repartitionByRange(64, col("w"), col("doc_id"))
-        .sortWithinPartitions("w", "doc_id")
+      Bm25.clusterIndex(Bm25.buildIndex(skewDocs, "doc_id", "text"))
         .write.mode("overwrite").parquet(bm25IdxDir)
       Bm25.indexStats(skewDocs, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$bm25IdxDir-stats")

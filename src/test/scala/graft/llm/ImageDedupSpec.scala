@@ -181,6 +181,22 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(incremental(10000).nonEmpty)
     assert(!incremental(10000).exists(r =>
       r.head.asInstanceOf[Long] % 4 != 0 && r(1).asInstanceOf[Long] % 4 != 0))
+    // the at-rest bucket-count side-table changes the shape, not the
+    // answer — including under the truncating cap, where it IS the
+    // guard's old half; and its increment-ADD maintenance equals the
+    // union-corpus bootstrap, row for row
+    val counts = BandedHamming.bucketCountsTable(hashes.filter(!isNew))
+    def incrementalSide(cap: Int) = BandedHamming.nearDuplicatesIncremental(
+      hashes.filter(isNew), hashes.filter(!isNew), maxHamming = 3, maxBucket = cap,
+      indexBucketCounts = Some(counts))
+      .collect().map(_.toSeq).toSet
+    assert(incrementalSide(10000) === restricted(10000))
+    assert(incrementalSide(3) === restricted(3))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val advanced = counts
+      .unionByName(BandedHamming.bucketCountsTable(hashes.filter(isNew)))
+      .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
+    assert(rowsOf(advanced) === rowsOf(BandedHamming.bucketCountsTable(hashes)))
   }
 
   test("bucketCost telemetry agrees with the guard's silent drop") {

@@ -40,6 +40,22 @@ class IncrementalCrawlSpec extends AnyFunSuite {
       .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
     assert(rowsOf(inc) === rowsOf(batch))
     assert(inc.count() > 0, "fixture must produce pairs or the identity is vacuous")
+    // the at-rest df side-table changes the shape, not the answer —
+    // the increment-keyed guard must drop the same over-cap fps the
+    // union count does (maxDf = 10 provably bites on this corpus);
+    // and its increment-ADD maintenance equals the union bootstrap
+    val index = Winnow.fingerprintTable(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text")
+    val dfs = Winnow.indexDfs(index)
+    val incSide = Winnow.nearDuplicatesIncremental(
+      docs.filter(isNew), "doc_id", "text", index,
+      minShared = 5, maxDf = 10, dfs = Some(dfs))
+    assert(rowsOf(incSide) === rowsOf(batch))
+    val newIdx = Winnow.fingerprintTable(docs.filter(isNew), "doc_id", "text")
+    val advanced = dfs.unionByName(Winnow.indexDfs(newIdx))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+    assert(rowsOf(advanced) ===
+      rowsOf(Winnow.indexDfs(Winnow.fingerprintTable(docs, "doc_id", "text"))))
   }
 
   test("jaccard incremental equals the batch run restricted to new-doc pairs") {

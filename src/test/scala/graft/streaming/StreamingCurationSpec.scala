@@ -179,4 +179,56 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(rowSet(store.urlState.get.maxId.get) === rowSet(unionUrl.maxId.get))
     } finally q.stop()
   }
+
+  test("persistent store: durable parity across triggers, reopened from disk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_pstore").toString
+    val d0 = real(0, 60).unionByName(synth(Seq(100L -> t1, 101L -> t2)))
+    val store = PersistentCurationStore.bootstrap(spark, root,
+      IncrementalCuration.stateOf(d0, minQuality = 0.0, dupThreshold = threshold),
+      batchSurvivors(d0))
+    val source = MemoryStream[(Long, String, String, String, Long)]
+    val stream = source.toDF().toDF(d0.columns: _*)
+    val q = StreamingCuration.attach(stream, store,
+      minQuality = 0.0, dupThreshold = threshold, queryName = "pstore_spec")
+    try {
+      def docRows(df: DataFrame) =
+        df.as[(Long, String, String, String, Long)].collect().toIndexedSeq
+      val batches = Seq(
+        real(110, 160),
+        real(161, 200).unionByName(synth(Seq(210L -> bridge))))
+      var seen = d0
+      batches.foreach { b =>
+        source.addData(docRows(b))
+        q.processAllAvailable()
+        seen = seen.unionByName(b)
+        assert(ids(store.survivors) === ids(batchSurvivors(seen)))
+      }
+      // the bridge retraction survives the append-log composition:
+      // surv_adds \ revoked drops the bootstrap-emitted 101
+      val fin = ids(store.survivors)
+      assert(fin.contains(100L) && !fin.contains(101L) && !fin.contains(210L),
+        s"bridge retraction missing from the durable logs: $fin")
+      // REOPEN from disk — a fresh instance (restart) sees everything
+      val reopened = new PersistentCurationStore(spark, root)
+      assert(ids(reopened.survivors) === fin)
+      val unionState = IncrementalCuration.stateOf(
+        seen, minQuality = 0.0, dupThreshold = threshold)
+      def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rowSet(reopened.state.labels) === rowSet(unionState.labels))
+      assert(rowSet(reopened.state.shingleIndex) === rowSet(unionState.shingleIndex))
+      assert(rowSet(reopened.state.maxId.get) === rowSet(unionState.maxId.get))
+      assert(rowSet(reopened.state.bands.get.bandKeys) ===
+        rowSet(unionState.bands.get.bandKeys))
+      assert(rowSet(reopened.state.bands.get.bucketCounts) ===
+        rowSet(unionState.bands.get.bucketCounts))
+      assert(rowSet(reopened.state.bands.get.sizes) ===
+        rowSet(unionState.bands.get.sizes))
+      // compaction folds files, not rows
+      reopened.compact(files = 2)
+      assert(ids(reopened.survivors) === fin)
+      assert(rowSet(reopened.state.shingleIndex) === rowSet(unionState.shingleIndex))
+    } finally q.stop()
+  }
 }
