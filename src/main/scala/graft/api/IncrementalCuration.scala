@@ -1,5 +1,6 @@
 package graft.api
 
+import graft.core.CacheScope
 import graft.llm._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -176,14 +177,19 @@ object IncrementalCuration {
   private def keepStep(
       gatedNew: DataFrame,
       oldLabels: DataFrame,
-      newPairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val (labels, revoked) = DedupClusters.updateComponentsWithRevokedKeeps(
-      oldLabels, newPairs, gatedNew.select(col("doc_id")))
-    val dropped = labels.toDF("doc_id", "__comp")
+      newPairs: DataFrame): (DataFrame, DataFrame, DataFrame, DedupClusters.LabelUpdate) = {
+    val update = DedupClusters.labelUpdateOf(oldLabels, newPairs)
+    val labels = update.applyTo(oldLabels)
+    val revoked = update.revoked(gatedNew.select(col("doc_id")))
+    // a new doc survives iff it is its merged component's minimum —
+    // read the decision off the increment's own update rows, not the
+    // full merged table (newRows covers every labeled NEW doc; an
+    // unlabeled new doc is a singleton and always survives)
+    val dropped = update.newRows.toDF("doc_id", "__comp")
       .filter(col("__comp") =!= col("doc_id"))
       .select(col("doc_id"))
     val survivors = gatedNew.join(dropped, Seq("doc_id"), "left_anti")
-    (survivors, revoked.toDF("doc_id"), labels)
+    (survivors, revoked.toDF("doc_id"), labels, update)
   }
 
   /** One daily step of [[CurationPipeline.run]]'s stages 1–4: score →
@@ -206,29 +212,65 @@ object IncrementalCuration {
       state: State,
       minQuality: Double = 0.5,
       dupThreshold: Double = 0.8,
-      maxBucket: Option[Int] = Some(10000)): (DataFrame, DataFrame, State) = {
+      maxBucket: Option[Int] = Some(10000),
+      scope: CacheScope = CacheScope.untracked): (DataFrame, DataFrame, State) = {
+    val r = stepDetailed(newDocs, state, minQuality, dupThreshold, maxBucket, scope)
+    (r.survivors, r.revoked, r.nextState)
+  }
+
+  /** Everything [[step]] computes, with the internal relations a
+    * DURABLE store needs exposed instead of discarded:
+    *
+    *  - `gated` — the scored+gated batch ([[step]]'s own persisted
+    *    pass; reuse it for the state-advance appends instead of
+    *    re-scoring the raw batch);
+    *  - `update` — the increment's [[DedupClusters.LabelUpdate]]
+    *    (remap + new rows), from which [[DedupClusters.LabelUpdate
+    *    .delta]] derives the increment-sized label-table delta a
+    *    partition-scoped store writes in place of the full merged
+    *    table (`nextState.labels` is that full merge — corpus-sized
+    *    to materialize).
+    *
+    * Same contract and outputs as [[step]] otherwise. */
+  final case class StepResult(
+      survivors: DataFrame,
+      revoked: DataFrame,
+      nextState: State,
+      gated: DataFrame,
+      update: DedupClusters.LabelUpdate)
+
+  def stepDetailed(
+      newDocs: DataFrame,
+      state: State,
+      minQuality: Double = 0.5,
+      dupThreshold: Double = 0.8,
+      maxBucket: Option[Int] = Some(10000),
+      scope: CacheScope = CacheScope.untracked): StepResult = {
     val guarded = state.maxId
       .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.step"))
       .getOrElse(newDocs)
     // persist the scored batch: it feeds the pair generation, the
     // survivor anti-join, and the state-advance index rows — without
     // it each consumer re-runs score/gate (and the watermark guard's
-    // assert scan) over the raw batch. Increment-sized by contract.
-    val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
-      .persist()
+    // assert scan) over the raw batch. Increment-sized by contract;
+    // registered with `scope` so per-batch callers can unpersist
+    // after materializing.
+    val gatedNew = scope.persist(
+      CurationPipeline.gate(CurationPipeline.score(guarded), minQuality))
     val newPairs = MinHash.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
       threshold = dupThreshold, maxBucket = maxBucket,
-      sideTables = state.bands)
+      sideTables = state.bands, scope = scope)
       .select(col("id_a"), col("id_b"))
-    val (survivors, revoked, labels) = keepStep(gatedNew, state.labels, newPairs)
+    val (survivors, revoked, labels, update) =
+      keepStep(gatedNew, state.labels, newPairs)
     val newIndex = MinHash.shingleIndex(gatedNew, "doc_id", "text")
     val nextState = State(
       state.shingleIndex.unionByName(newIndex),
       labels,
       advance(state.maxId, newDocs, "doc_id"),
       state.bands.map(bi => MinHash.bandIndexAdd(bi, newIndex, "doc_id")))
-    (survivors, revoked, nextState)
+    StepResult(survivors, revoked, nextState, gatedNew, update)
   }
 
   /** [[step]] under the exact n-gram Jaccard flavor — every stage
@@ -242,19 +284,20 @@ object IncrementalCuration {
       state: JaccardState,
       minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.1,
-      maxDf: Int = 50): (DataFrame, DataFrame, JaccardState) = {
+      maxDf: Int = 50,
+      scope: CacheScope = CacheScope.untracked): (DataFrame, DataFrame, JaccardState) = {
     val guarded = state.maxId
       .map(w => Urls.requireMonotone(newDocs, "doc_id", w, "IncrementalCuration.stepJaccard"))
       .getOrElse(newDocs)
     // persisted for the same three consumers as [[step]]'s
-    val gatedNew = CurationPipeline.gate(CurationPipeline.score(guarded), minQuality)
-      .persist()
+    val gatedNew = scope.persist(
+      CurationPipeline.gate(CurationPipeline.score(guarded), minQuality))
     val newPairs = Jaccard.nearDuplicatesIncremental(
       gatedNew, "doc_id", "text", state.shingleIndex,
       threshold = jaccardThreshold, maxDf = maxDf,
       sideTables = Some((state.dfs, state.sizes)))
       .select(col("id_a"), col("id_b"))
-    val (survivors, revoked, labels) = keepStep(gatedNew, state.labels, newPairs)
+    val (survivors, revoked, labels, _) = keepStep(gatedNew, state.labels, newPairs)
     val newIndex = MinHash.shingleIndex(gatedNew, "doc_id", "text")
     val nextState = JaccardState(
       state.shingleIndex.unionByName(newIndex),

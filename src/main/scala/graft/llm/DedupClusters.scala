@@ -282,19 +282,64 @@ object DedupClusters {
       newPairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      useGraphX: Boolean = true): DataFrame = {
-    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
-    applyRemap(oldLabels, remap, newRows)
+      useGraphX: Boolean = true): DataFrame =
+    labelUpdateOf(oldLabels, newPairs, aCol, bCol, useGraphX).applyTo(oldLabels)
+
+  /** The increment's label update as a VALUE — the two increment-sized
+    * relations [[incrementalRemap]] computes, with the three ways of
+    * consuming them as methods: [[LabelUpdate.applyTo]] (the full
+    * merged table, [[updateComponents]]'s output), [[LabelUpdate
+    * .delta]] (changed+new rows only — what a partition-scoped label
+    * store writes per trigger), and [[LabelUpdate.revoked]] (the
+    * retracted old keeps). One contraction-CC pass serves all three;
+    * the relations are already materialized (the eager localCheckpoint
+    * documented on [[updateComponents]]), so consuming them repeatedly
+    * never re-runs the pair generation. */
+  final case class LabelUpdate(remap: DataFrame, newRows: DataFrame) {
+
+    /** The FULL merged label table: one broadcast-join map pass
+      * relabels merged components, new rows append. Corpus-sized to
+      * materialize — durable stores write [[delta]] instead. */
+    def applyTo(oldLabels: DataFrame): DataFrame =
+      oldLabels
+        .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"), "left")
+        .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
+        .unionByName(newRows)
+
+    /** The CHANGED rows only (see [[componentDelta]]): old rows whose
+      * component merged with a smaller one (re-labeled), plus the
+      * previously-unlabeled nodes the increment links. Output is
+      * increment-sized; reading `oldLabels` costs one broadcast-join
+      * map pass (never a shuffle of the corpus side). */
+    def delta(oldLabels: DataFrame): DataFrame =
+      oldLabels
+        .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"))
+        .select(col("node"), col("__newc").as("component"))
+        .unionByName(newRows)
+
+    /** The revoked-keep set (see
+      * [[updateComponentsWithRevokedKeeps]] for the derivation):
+      * merged old canonicals plus old singletons linked under a
+      * smaller id — `newNodes` (the increment's own ids) is what
+      * tells the latter apart from new docs. */
+    def revoked(newNodes: DataFrame): DataFrame =
+      remap.select(col("__oldc").as("node"))
+        .unionByName(newRows
+          .filter(col("node") =!= col("component"))
+          .join(Guards.broadcastBounded(newNodes.toDF("node")), Seq("node"), "left_anti")
+          .select(col("node")))
   }
 
-  /** The full-table side of [[updateComponents]]: one broadcast-join
-    * map pass relabels merged components, new rows append. */
-  private def applyRemap(
-      oldLabels: DataFrame, remap: DataFrame, newRows: DataFrame): DataFrame =
-    oldLabels
-      .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"), "left")
-      .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
-      .unionByName(newRows)
+  /** One contraction pass → the reusable [[LabelUpdate]]. */
+  def labelUpdateOf(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      useGraphX: Boolean = true): LabelUpdate = {
+    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
+    LabelUpdate(remap, newRows)
+  }
 
   /** [[updateComponents]] PLUS the revoked-keep delta, from ONE
     * contraction pass: `(labels, revoked)` where `revoked` is every
@@ -330,14 +375,8 @@ object DedupClusters {
       aCol: String = "id_a",
       bCol: String = "id_b",
       useGraphX: Boolean = true): (DataFrame, DataFrame) = {
-    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
-    val labels = applyRemap(oldLabels, remap, newRows)
-    val revoked = remap.select(col("__oldc").as("node"))
-      .unionByName(newRows
-        .filter(col("node") =!= col("component"))
-        .join(Guards.broadcastBounded(newNodes.toDF("node")), Seq("node"), "left_anti")
-        .select(col("node")))
-    (labels, revoked)
+    val u = labelUpdateOf(oldLabels, newPairs, aCol, bCol, useGraphX)
+    (u.applyTo(oldLabels), u.revoked(newNodes))
   }
 
   /** The CHANGED rows only of [[updateComponents]]: old rows whose
@@ -351,13 +390,8 @@ object DedupClusters {
       newPairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      useGraphX: Boolean = true): DataFrame = {
-    val (remap, newRows) = incrementalRemap(oldLabels, newPairs, aCol, bCol, useGraphX)
-    val changed = oldLabels
-      .join(Guards.broadcastBounded(remap), col("component") === col("__oldc"))
-      .select(col("node"), col("__newc").as("component"))
-    changed.unionByName(newRows)
-  }
+      useGraphX: Boolean = true): DataFrame =
+    labelUpdateOf(oldLabels, newPairs, aCol, bCol, useGraphX).delta(oldLabels)
 
   /** [[keepTable]] served from the incremental label update: the full
     * keep/drop decision for `docs` after an increment, with the

@@ -39,10 +39,15 @@ object Guards {
   val ConfKey = "spark.graft.guardBroadcast"
 
   /** `broadcast(df)` under `"force"` (default), bare `df` under
-    * `"auto"` — see the object doc for the semantics of each. */
+    * `"auto"` — see the object doc for the semantics of each. Any
+    * other value throws: a typo like `"Auto"` would otherwise
+    * silently keep the forced broadcast (the OOM-prone mode)
+    * precisely when the caller reached for the safety knob. */
   private[graft] def broadcastBounded(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "force") match {
-      case "auto" => df
-      case _      => broadcast(df)
+      case "auto"  => df
+      case "force" => broadcast(df)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be 'force' or 'auto', got '$other'")
     }
 }

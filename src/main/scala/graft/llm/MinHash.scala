@@ -171,41 +171,102 @@ object MinHash {
   /** The one copy of the exact-Jaccard verification tail: candidate
     * pairs × a distinct (id, h) shingle table → the
     * (id_a, id_b, inter, size_a, size_b, jaccard ≥ threshold) output.
-    * [[nearDuplicates]] and [[nearDuplicatesIncremental]] both end
-    * here, so the verify semantics exist exactly once. `sizesOpt`
-    * supplies a precomputed (id, sz) relation — the incremental arm's
-    * at-rest sizes — replacing the linear groupBy over `sh`. */
+    * [[nearDuplicates]] ends here; the incremental arm uses the
+    * role-split twin [[exactJaccardVerifySplit]] (same arithmetic,
+    * different join tree) so the corpus-side relations are never
+    * unioned away from their storage partitioning. */
   private def exactJaccardVerify(
       sh: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      threshold: Double,
-      sizesOpt: Option[DataFrame] = None): DataFrame = {
-    val sizes = sizesOpt.getOrElse(
-      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.toDF("id_a", "h"), "id_a")
       .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    scoreAndThreshold(inter
       .join(sizes.toDF("id_a", "size_a"), "id_a")
-      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .join(sizes.toDF("id_b", "size_b"), "id_b"), threshold)
+  }
+
+  /** Shared (inter, size_a, size_b) → thresholded-jaccard tail: the
+    * arithmetic exists exactly once for both verify join trees. */
+  private def scoreAndThreshold(withSizes: DataFrame, threshold: Double): DataFrame =
+    withSizes
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         round(col("jaccard"), 6).as("jaccard"))
+
+  /** The ROLE-SPLIT exact-Jaccard verify of the incremental arm —
+    * bit-identical output to [[exactJaccardVerify]] over
+    * `shNew ∪ shOld` with the canonicalized pair union (ids disjoint
+    * by the incremental contract), but every join that touches a
+    * CORPUS-SIZED relation (`shOld`, `szOld`) keys on that relation's
+    * own id (`shOld` additionally on `h`) with no union upstream, so
+    * its storage partitioning survives to the join: store the shingle
+    * index bucketed by (id, h) and the sizes by id
+    * ([[graft.core.BucketedStore]]) and the verify stage runs with
+    * ZERO exchange on the corpus side — the candidate side (pairs ×
+    * the increment's shingles) is increment-sized and shuffles into
+    * the bucket partitioning. The pre-split shape unioned
+    * `shNew ∪ shOld` before joining, which discarded the stored
+    * layout and shuffled the full index TWICE per step — the last
+    * corpus-tracking term in the composed daily journey
+    * (SCALING.md r15).
+    *
+    * `pairsNO` carries roles — (id_n ∈ new, id_o ∈ old), distinct;
+    * `pairsNN` is canonical (id_a < id_b), distinct. Role-disjoint
+    * ids mean the two sets cannot overlap, so their union needs no
+    * re-distinct. Canonicalization happens AFTER the size lookups,
+    * mapping (size_n, size_o) to (size_a, size_b) by id order. */
+  private def exactJaccardVerifySplit(
+      shNew: DataFrame,
+      szNew: DataFrame,
+      shOld: DataFrame,
+      szOld: DataFrame,
+      pairsNO: DataFrame,
+      pairsNN: DataFrame,
+      threshold: Double): DataFrame = {
+    val interNO = pairsNO
+      .join(shNew.toDF("id_n", "h"), "id_n")
+      .join(shOld.toDF("id_o", "h"), Seq("id_o", "h"))
+      .groupBy(col("id_n"), col("id_o"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szNew.toDF("id_n", "size_n"), "id_n")
+      .join(szOld.toDF("id_o", "size_o"), "id_o")
+      .select(
+        least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        col("inter"),
+        when(col("id_n") < col("id_o"), col("size_n"))
+          .otherwise(col("size_o")).as("size_a"),
+        when(col("id_n") < col("id_o"), col("size_o"))
+          .otherwise(col("size_n")).as("size_b"))
+    val interNN = pairsNN
+      .join(shNew.toDF("id_a", "h"), "id_a")
+      .join(shNew.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szNew.toDF("id_a", "size_a"), "id_a")
+      .join(szNew.toDF("id_b", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"))
+    scoreAndThreshold(interNO.unionByName(interNN), threshold)
   }
 
   /** The AT-REST dedup index of a corpus: its distinct (id, shingle
     * hash) rows — everything incremental dedup ever needs about the
     * indexed side (signatures and band keys re-derive from it with
     * one type-sized groupBy; exact-Jaccard verification reads it
-    * directly). Write it once (e.g. parquet bucketed by `h`) and feed
-    * every future increment [[nearDuplicatesIncremental]]; append the
-    * increment's own index rows afterwards. Far smaller than the text
+    * directly). Write it once — bucketed by (id, h), the verify
+    * stage's join key, via [[graft.core.BucketedStore]] so the step's
+    * exact-Jaccard verify is exchange-free on the corpus side — and
+    * feed every future increment [[nearDuplicatesIncremental]]; append
+    * the increment's own index rows afterwards. Far smaller than the text
     * it summarizes, and the 100 TB reason this exists: a daily crawl
     * increment must NOT re-shingle — or re-pair — the accumulated
     * corpus. */
@@ -328,7 +389,12 @@ object MinHash {
     *    runs over the accumulated corpus; the guard becomes an
     *    increment-keyed left join and the (band, key) join reads the
     *    at-rest table (bucket it by (band, key) to make the old side
-    *    exchange-free). Output is bit-identical with or without.
+    *    exchange-free). The exact-verify stage joins the index on
+    *    (id, h) and the sizes on id with the roles split
+    *    ([[exactJaccardVerifySplit]]) — store them bucketed by
+    *    exactly those keys and the WHOLE step runs with zero exchange
+    *    on every corpus-sized relation (plan-pinned in PlanAuditSpec).
+    *    Output is bit-identical with or without.
     *
     * Candidate volume is |new×old collisions| + |new×new collisions|
     * — never |old|². Output shape and ordering match
@@ -344,7 +410,8 @@ object MinHash {
       maxBucket: Option[Int] = None,
       bands: Int = Bands,
       rows: Int = Rows,
-      sideTables: Option[BandIndex] = None): DataFrame = {
+      sideTables: Option[BandIndex] = None,
+      scope: graft.core.CacheScope = graft.core.CacheScope.untracked): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
     // PERSIST the increment's distinct shingle relation: it feeds up to
@@ -358,8 +425,11 @@ object MinHash {
     // new-side derivation ~6× (167 s pair stage; see SCALING.md r15).
     // Increment-sized by contract, so MEMORY_AND_DISK is safe; lazy —
     // fills on the first action, unlike the edge relation's eager
-    // checkpoint in DedupClusters (documented there).
-    val shNew = shingleHashes(newDocs, idCol, textCol, n, hash).distinct().persist()
+    // checkpoint in DedupClusters (documented there). Registered with
+    // the caller's `scope` so a per-batch caller can unpersist after
+    // materializing (CacheManager entries never GC on their own).
+    val shNew = scope.persist(
+      shingleHashes(newDocs, idCol, textCol, n, hash).distinct())
     val shOld = index.toDF(idCol, "h")
     val bandNew0 = bandKeyRows(signaturesFromHashes(shNew, idCol, bands * rows),
       idCol, bands, rows)
@@ -408,24 +478,31 @@ object MinHash {
     // the new side's band keys feed three joins (new×old + both sides
     // of new×new) — persist the increment-sized relation so the
     // 12-min-agg signature groupBy runs once, not three times
-    bandNew.persist()
-    val newOld = bandNew.toDF("id_n", "band", "key")
+    scope.persist(bandNew)
+    // pairs keep their ROLES (which endpoint is new) all the way into
+    // the verify: canonicalizing here would force the verify to union
+    // shNew ∪ shOld into one lookup relation, destroying the at-rest
+    // index's storage partitioning (the pre-r16 shape — two
+    // corpus-sized shuffles per step). Ids are disjoint by contract,
+    // so the role sets cannot overlap and distinct() per set suffices.
+    val pairsNO = bandNew.toDF("id_n", "band", "key")
       .join(bandOld.toDF("id_o", "band", "key"), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_o"))
-      .select(least(col("id_n"), col("id_o")).as("id_a"),
-        greatest(col("id_n"), col("id_o")).as("id_b"))
-    val newNew = bandNew.toDF("id_a", "band", "key")
+      .select(col("id_n"), col("id_o"))
+      .distinct()
+    val pairsNN = bandNew.toDF("id_a", "band", "key")
       .join(bandNew.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val pairs = newOld.unionByName(newNew).distinct()
+      .distinct()
+    val szNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // with side tables, the verify's size lookup reads the stored
-    // relation too — the last linear pass over the index disappears
-    val sizes = sideTables.map { bi =>
-      shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-        .unionByName(bi.sizes.toDF(idCol, "sz"))
-    }
-    exactJaccardVerify(shNew.unionByName(shOld), idCol, pairs, threshold, sizes)
+    // relation directly — the last linear pass over the index
+    // disappears, and (unlike the pre-split union) its bucketing
+    // survives to the join
+    val szOld = sideTables.map(_.sizes.toDF(idCol, "sz")).getOrElse(
+      shOld.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+    exactJaccardVerifySplit(shNew, szNew, shOld, szOld, pairsNO, pairsNN, threshold)
   }
 
   /** The banded-LSH S-curve: probability that a pair with Jaccard

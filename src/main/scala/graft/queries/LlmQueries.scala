@@ -1018,6 +1018,42 @@ object LlmQueries extends QueryModule {
               |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd
               |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin)),
 
+    // ----- the SAME increment served from BUCKETED at-rest storage:
+    // every corpus-sized relation (shingle index, band keys, bucket
+    // counts, sizes) written through core.BucketedStore with its
+    // serve-join key as the bucket key, so the step's joins — the
+    // (band, key) pairing AND the exact-verify's (id, h)/(id) lookups
+    // (the role-split join tree, MinHash.exactJaccardVerifySplit) —
+    // run with zero exchange on the corpus side (plan-pinned in
+    // PlanAuditSpec). The oracle is again the identical from-scratch
+    // SQL, forcing the bucketed serve bit-identical. -----
+    GraftQuery(
+      "q_doc_minhash_incr_bucketed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = MinHash.shingleIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        val bi = MinHash.bandIndexOf(index, "doc_id")
+        val dir = java.nio.file.Files.createTempDirectory("graft_q_shidx").toString
+        graft.core.BucketedStore.write(index, "q_shb_index",
+          s"$dir/index", Seq("doc_id", "h"), 4, Seq("doc_id", "h"))
+        graft.core.BucketedStore.write(bi.bandKeys, "q_shb_bandkeys",
+          s"$dir/bandkeys", Seq("band", "key"), 4)
+        graft.core.BucketedStore.write(bi.bucketCounts, "q_shb_bucketcounts",
+          s"$dir/bucketcounts", Seq("band", "key"), 4)
+        graft.core.BucketedStore.write(bi.sizes, "q_shb_sizes",
+          s"$dir/sizes", Seq("doc_id"), 4, Seq("doc_id"))
+        MinHash.nearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          s.table("q_shb_index"), n = 3, threshold = 0.01,
+          sideTables = Some(MinHash.BandIndex(
+            s.table("q_shb_bandkeys"), s.table("q_shb_bucketcounts"),
+            s.table("q_shb_sizes"))))
+      },
+      Some(s"""WITH ${minhashNdCtes(0.01)}
+              |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd
+              |WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin)),
+
     // ----- dedup clustering: connected components → keep/drop decision -----
     // Pairwise near-dup output alone doesn't say which docs to delete;
     // the actionable artifact is one row per doc with its duplicate

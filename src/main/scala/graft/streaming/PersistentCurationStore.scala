@@ -1,132 +1,215 @@
 package graft.streaming
 
-import graft.api.{CurationPipeline, IncrementalCuration}
+import graft.api.IncrementalCuration
 import graft.api.IncrementalCuration.State
-import graft.llm.{Jaccard, MinHash, Urls}
+import graft.core.CacheScope
+import graft.llm.{Guards, Jaccard, MinHash}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The DURABLE twin of [[StreamingCuration.CurationStore]]: the
-  * journey's state lives at `root` as the at-rest parquet artifacts
-  * [[IncrementalCuration]]'s Scaladoc prescribes, and each micro-batch
-  * advances it with I/O proportional to the batch wherever the
-  * maintenance rule is append-shaped:
+  * journey's state lives at `root` as at-rest parquet, and each
+  * micro-batch advances it with write I/O proportional to the BATCH
+  * for every table — a log-structured layout where the only
+  * corpus-sized I/O is the scheduled [[compact]].
   *
-  *  - `index/` (id, h), `bandkeys/` (id, band, key), `sizes/`
-  *    (id, sz), `surv_adds/` (survivor rows), `revoked/` (doc_id) —
-  *    pure APPEND of the increment's own rows (disjoint ids ⇒
-  *    disjoint rows; the accumulated corpus is never rewritten);
-  *  - `labels/eN`, `bucketcounts/eN`, `maxid/eN` — keyed merges,
-  *    written as a NEW epoch directory each trigger (the merge plan
-  *    reads the previous epoch, so in-place overwrite would read its
-  *    own output; epochs also make a crash between writes recoverable
-  *    — the previous epoch is intact until the new one is complete).
-  *    The labels rewrite is the one corpus-sized write per trigger;
-  *    [[graft.llm.DedupClusters.componentDelta]] + a
-  *    component-bucketed table is the partition-scoped remedy when
-  *    that write becomes the bottleneck.
+  * == Layout ==
   *
-  * Reads reconstruct everything from disk, so a NEW store instance
-  * over the same `root` — a restart, or another application — sees
-  * the full journey state; there is no executor-memory state to lose
-  * (the contrast with the in-memory twin's localCheckpoint blocks).
+  * Every table is a set of data directories `\<table\>/g{G}_a{N}`
+  * (generation G, trigger epoch N) plus a commit log under
+  * `_commits/`:
+  *
+  *  - a marker file `_commits/\<N\>` (content: the foreachBatch
+  *    batchId that produced it) makes trigger N visible — readers
+  *    only ever see directories with N ≤ the max marker, so a crash
+  *    anywhere inside [[advance]] leaves the previous trigger as the
+  *    consistent state (uncommitted `a{N}` directories are invisible
+  *    garbage, overwritten by the replay);
+  *  - a marker `_commits/gen_\<table\>_{G}` makes compaction
+  *    generation G current — [[compact]] writes the folded table into
+  *    a NEW generation's directories before bumping the marker, so a
+  *    compaction crash never loses data (the old generation serves
+  *    until the marker lands; stale generations are GC'd later).
+  *
+  * == Per-table write rule (all increment-sized per trigger) ==
+  *
+  *  - `index` (id, h), `bandkeys` (id, band, key), `sizes` (id, sz),
+  *    `surv_adds`, `revoked` — pure APPEND of the increment's own
+  *    rows (disjoint ids ⇒ disjoint rows);
+  *  - `labels` — a LAST-WINS delta log: trigger N writes only the
+  *    [[graft.llm.DedupClusters.LabelUpdate.delta]] (changed + new
+  *    rows — increment-sized); reads resolve base ∖ delta-nodes ∪
+  *    latest-delta-per-node with one broadcast anti-join map pass
+  *    over the base (never a corpus shuffle). [[compact]] folds the
+  *    log into a new base CLUSTERED BY COMPONENT — the componentDelta
+  *    store recipe: the full label table is rewritten only at
+  *    compaction cadence, never per trigger;
+  *  - `bucketcounts` — an ADDITIVE delta log: trigger N appends the
+  *    increment's per-(band, key) counts; reads resolve
+  *    base + Σdeltas with broadcast joins (two map passes over the
+  *    base, no shuffle);
+  *  - `maxid` — last-wins (read the newest committed directory).
+  *
+  * == Idempotency (at-least-once foreachBatch) ==
+  *
+  * A crash or task retry replays the current micro-batch. [[advance]]
+  * compares the incoming batchId against the one recorded in the
+  * newest commit marker: a replay of an already-committed trigger is
+  * SKIPPED (otherwise its appends would land twice, silently
+  * inflating exact-Jaccard intersections); a replay of a trigger that
+  * crashed before its marker re-runs and OVERWRITES the partial
+  * `a{N}` directories. Negative batchIds (direct non-stream callers)
+  * never skip. The protection assumes one batchId sequence per store
+  * root — reattaching an UNCHECKPOINTED stream to an existing root
+  * restarts batchIds at 0 and must use a fresh root.
+  *
+  * == Readers ==
+  *
+  * Reads reconstruct everything from disk, so a new instance over the
+  * same `root` (a restart, another application) sees the full journey
+  * state. [[advance]] never deletes or rewrites a committed
+  * directory, so a DataFrame obtained from [[state]]/[[survivors]]
+  * stays valid — and keeps seeing its own consistent snapshot —
+  * across later triggers (spec-pinned). Only [[compact]] deletes
+  * data directories; plans held across a compaction may fail and
+  * must be re-read.
+  *
   * `survivors` = `surv_adds` anti-join `revoked`: a revoked doc never
-  * re-survives (the keep rule is min-label, and a node that loses its
-  * minimum never regains it), so the two append-only logs compose to
-  * exactly the retraction-correct accumulated set the in-memory store
-  * maintains (parity spec-pinned across a bridging trigger, including
-  * after reopening from disk).
+  * re-survives (min-label keep rule), so the two append-only logs
+  * compose to exactly the retraction-correct accumulated set.
   *
   * Scope: the dedup journey ([[IncrementalCuration.step]]). A
   * pre-hygiene URL stage persists by the same recipe (`seenUrls`
-  * append, `hostCounts` epoch-merged) next to this layout;
-  * [[StreamingCuration.CurationStore]] demonstrates the composition
-  * in memory.
+  * append, `hostCounts` additive-delta) next to this layout.
   *
-  * Append erosion: every trigger adds one small file per append table
-  * — run [[compact]] on a cadence (the same loop any log-structured
-  * store schedules) to fold them into few clustered files. */
+  * Append erosion: every trigger adds one directory (few small
+  * files) per table, and the labels/bucketcounts resolution
+  * broadcasts grow with the deltas since the last fold — run
+  * [[compact]] on a cadence (the loop any log-structured store
+  * schedules; [[fileStats]] is the erosion telemetry to drive it). */
 final class PersistentCurationStore(spark: SparkSession, root: String)
     extends StreamingCuration.JourneyStore {
   import PersistentCurationStore._
 
+  private val log = new Layout(spark, root)
+
   def state: State = State(
-    read(spark, root, "index"),
-    readLatestEpoch(spark, root, "labels"),
-    Some(readLatestEpoch(spark, root, "maxid")),
+    log.appendRead("index"),
+    log.labelsRead(),
+    Some(log.maxIdRead()),
     Some(MinHash.BandIndex(
-      read(spark, root, "bandkeys"),
-      readLatestEpoch(spark, root, "bucketcounts"),
-      read(spark, root, "sizes"))))
+      log.appendRead("bandkeys"),
+      log.bucketCountsRead(),
+      log.appendRead("sizes"))))
 
   def survivors: DataFrame =
-    read(spark, root, "surv_adds")
-      .join(read(spark, root, "revoked"), Seq("doc_id"), "left_anti")
+    log.appendRead("surv_adds")
+      .join(log.appendRead("revoked"), Seq("doc_id"), "left_anti")
 
-  private[streaming] def advance(
+  /** One trigger (public — a daily-batch cron job calls this directly;
+    * a stream drives it through [[StreamingCuration.attach]]).
+    * `maxPerHost` is accepted for [[StreamingCuration.JourneyStore]]
+    * conformance but unused — this store scopes the dedup journey
+    * (no URL state). `batchId ≥ 0` enables replay skipping (see the
+    * idempotency section of the class doc). */
+  def advance(
       batch: DataFrame,
-      minQuality: Double,
-      dupThreshold: Double,
-      maxBucket: Option[Int],
-      maxPerHost: Int): Unit = synchronized {
-    val st = state
-    val (sv, revoked, next) =
-      IncrementalCuration.step(batch, st, minQuality, dupThreshold, maxBucket)
-    // materialize every output BEFORE mutating the directories their
-    // plans read: an un-materialized plan re-reading `index/` after
-    // the append below would double-count the increment's rows
-    val survCols = read(spark, root, "surv_adds").columns
-    val svM = sv.select(survCols.map(col): _*).localCheckpoint()
-    val rvM = revoked.localCheckpoint()
-    val labelsM = next.labels.localCheckpoint()
-    val bcM = next.bands.get.bucketCounts.localCheckpoint()
-    val maxIdM = next.maxId.get.localCheckpoint()
-    // the increment's OWN append rows, recomputed from the batch
-    // (increment-sized; the scored pass is what step just persisted)
-    val gated = CurationPipeline.gate(CurationPipeline.score(
-      Urls.requireMonotone(batch, "doc_id", st.maxId.get,
-        "PersistentCurationStore.advance")), minQuality)
-    val newIndex = MinHash.shingleIndex(gated, "doc_id", "text").localCheckpoint()
-    append(newIndex, s"$root/index")
-    append(MinHash.indexBandKeys(newIndex, "doc_id"), s"$root/bandkeys")
-    append(Jaccard.indexSizes(newIndex, "doc_id"), s"$root/sizes")
-    append(svM, s"$root/surv_adds")
-    append(rvM.toDF("doc_id"), s"$root/revoked")
-    writeNextEpoch(spark, root, "labels", labelsM)
-    writeNextEpoch(spark, root, "bucketcounts", bcM)
-    writeNextEpoch(spark, root, "maxid", maxIdM)
-    // the step's internal persists are dead weight once everything is
-    // on disk (see CurationStore.advance's note)
-    spark.catalog.clearCache()
+      minQuality: Double = 0.5,
+      dupThreshold: Double = 0.8,
+      maxBucket: Option[Int] = Some(10000),
+      maxPerHost: Int = 10000,
+      batchId: Long = -1L): Unit = synchronized {
+    val committed = log.committedEpoch
+    if (batchId >= 0L && log.committedBatchId.contains(batchId)) return // replay
+    val epoch = committed + 1
+    val st = state // resolves at `committed`; immune to the writes below
+    val scope = new CacheScope
+    try {
+      val res = IncrementalCuration.stepDetailed(
+        batch, st, minQuality, dupThreshold, maxBucket, scope)
+      // every write below targets the NEW epoch's directories, so the
+      // lazy plans reading ≤ `committed` stay consistent throughout —
+      // no defensive materialization needed (the step's internal
+      // persists already collapse the fan-out)
+      val survCols = log.appendRead("surv_adds").columns
+      log.write("surv_adds", epoch, res.survivors.select(survCols.map(col): _*))
+      log.write("revoked", epoch, res.revoked)
+      // the label DELTA (changed + new rows) — the full merged table
+      // (res.nextState.labels) is corpus-sized and is exactly what
+      // this layout exists to never write per trigger
+      log.write("labels", epoch, res.update.delta(st.labels))
+      val newIndex = scope.persist(
+        MinHash.shingleIndex(res.gated, "doc_id", "text"))
+      log.write("index", epoch, newIndex)
+      val nbk = scope.persist(MinHash.indexBandKeys(newIndex, "doc_id"))
+      log.write("bandkeys", epoch, nbk)
+      log.write("sizes", epoch, Jaccard.indexSizes(newIndex, "doc_id"))
+      log.write("bucketcounts", epoch, MinHash.bandBucketCounts(nbk))
+      log.write("maxid", epoch, res.nextState.maxId.get)
+      log.commit(epoch, batchId) // the atomic point: trigger N is now visible
+    } finally scope.unpersistAll() // precise lifecycle — never clearCache
   }
 
-  /** Fold each append table's accumulated small files into `files`
-    * clustered ones (index/bandkeys/sizes by their join keys; the
-    * survivor/retraction logs by id). Corpus-sized I/O by design —
-    * schedule it, don't run it per trigger. The table is materialized
-    * to executor memory before its directory is overwritten (the
-    * rewrite would otherwise read its own output). */
+  /** Fold each table's accumulated directories into one new-GENERATION
+    * directory of `files` clustered parquet files (index by (id, h)
+    * and sizes by id — the verify stage's serve keys; bandkeys/
+    * bucketcounts by (band, key); labels by COMPONENT, making the
+    * folded base the component-clustered table the delta recipe
+    * prescribes). Corpus-sized I/O by design — schedule it, don't run
+    * it per trigger.
+    *
+    * Crash-safe by generations: the fold WRITES into `g{G+1}_a{C}`
+    * directories while the old generation keeps serving, then bumps
+    * the per-table generation markers, then deletes the old
+    * directories — a failure at any point leaves a complete
+    * generation serving (no executor-memory materialization is
+    * involved, unlike an in-place overwrite). Concurrent readers
+    * holding pre-compact plans can hit deleted files once the old
+    * generation is GC'd — re-read after a compaction. */
   def compact(files: Int = 32): Unit = synchronized {
-    def rewrite(name: String, keys: Seq[String]): Unit = {
-      val m = read(spark, root, name).localCheckpoint()
-      m.repartitionByRange(files, keys.map(col): _*)
-        .sortWithinPartitions(keys.map(col): _*)
-        .write.mode("overwrite").parquet(s"$root/$name")
+    val epoch = log.committedEpoch
+    log.gcStaleGenerations() // leftovers from a previously crashed compact
+    val folded: Seq[(String, DataFrame, Seq[Column])] = Seq(
+      ("index", log.appendRead("index"), Seq(col("doc_id"), col("h"))),
+      ("bandkeys", log.appendRead("bandkeys"), Seq(col("band"), col("key"))),
+      ("sizes", log.appendRead("sizes"), Seq(col("doc_id"))),
+      ("surv_adds", log.appendRead("surv_adds"), Seq(col("doc_id"))),
+      ("revoked", log.appendRead("revoked"), Seq(col("doc_id"))),
+      ("labels", log.labelsRead(), Seq(col("component"))),
+      ("bucketcounts", log.bucketCountsRead(), Seq(col("band"), col("key"))),
+      ("maxid", log.maxIdRead(), Seq(col("max_id"))))
+    val nextGen = folded.map { case (t, df, keys) =>
+      val g = log.generation(t) + 1
+      df.repartitionByRange(files, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite").parquet(log.dataDir(t, g, epoch))
+      t -> g
     }
-    rewrite("index", Seq("h"))
-    rewrite("bandkeys", Seq("band", "key"))
-    rewrite("sizes", Seq("doc_id"))
-    rewrite("surv_adds", Seq("doc_id"))
-    rewrite("revoked", Seq("doc_id"))
+    nextGen.foreach { case (t, g) => log.bumpGeneration(t, g) }
+    log.gcStaleGenerations()
   }
+
+  /** Erosion telemetry: per table, the number of committed data
+    * directories, parquet files, and total bytes — what a production
+    * scheduler reads to decide when [[compact]] is due (directory and
+    * file counts grow per trigger; the labels/bucketcounts delta
+    * resolution also deepens with directory count). */
+  def fileStats: Seq[TableStats] = log.fileStats
 }
 
 object PersistentCurationStore {
 
+  private[streaming] val Tables = Seq(
+    "index", "bandkeys", "sizes", "surv_adds", "revoked",
+    "labels", "bucketcounts", "maxid")
+
+  final case class TableStats(table: String, dirs: Int, files: Int, bytes: Long)
+
   /** Initialize `root` from a bootstrap batch run: the [[State]]
     * (bands REQUIRED — [[IncrementalCuration.stateOf]] carries them)
-    * and its survivor set. Epoch-merged tables start at `e0`. */
+    * and its survivor set, written as generation-0 epoch-0 bases and
+    * committed. */
   def bootstrap(
       spark: SparkSession,
       root: String,
@@ -135,53 +218,188 @@ object PersistentCurationStore {
     val bands = state.bands.getOrElse(throw new IllegalArgumentException(
       "PersistentCurationStore needs the banded side-tables; build the " +
         "state with IncrementalCuration.stateOf (bands = Some(...))"))
-    state.shingleIndex.write.mode("overwrite").parquet(s"$root/index")
-    bands.bandKeys.write.mode("overwrite").parquet(s"$root/bandkeys")
-    bands.sizes.write.mode("overwrite").parquet(s"$root/sizes")
-    survivors.write.mode("overwrite").parquet(s"$root/surv_adds")
-    survivors.select(col("doc_id")).limit(0)
-      .write.mode("overwrite").parquet(s"$root/revoked")
-    state.labels.write.mode("overwrite").parquet(s"$root/labels/e0")
-    bands.bucketCounts.write.mode("overwrite").parquet(s"$root/bucketcounts/e0")
-    state.maxId.getOrElse(throw new IllegalArgumentException(
-      "PersistentCurationStore needs the id watermark (stateOf carries it)"))
-      .write.mode("overwrite").parquet(s"$root/maxid/e0")
+    val log = new Layout(spark, root)
+    log.write("index", 0L, state.shingleIndex)
+    log.write("bandkeys", 0L, bands.bandKeys)
+    log.write("sizes", 0L, bands.sizes)
+    log.write("surv_adds", 0L, survivors)
+    log.write("revoked", 0L, survivors.select(col("doc_id")).limit(0))
+    log.write("labels", 0L, state.labels)
+    log.write("bucketcounts", 0L, bands.bucketCounts)
+    log.write("maxid", 0L, state.maxId.getOrElse(throw new IllegalArgumentException(
+      "PersistentCurationStore needs the id watermark (stateOf carries it)")))
+    log.commit(0L, -1L)
     new PersistentCurationStore(spark, root)
   }
 
-  private def read(spark: SparkSession, root: String, name: String): DataFrame =
-    spark.read.parquet(s"$root/$name")
+  /** The commit-log + directory mechanics shared by every table. */
+  private[streaming] final class Layout(spark: SparkSession, root: String) {
+    private def fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def commitsDir = new Path(s"$root/_commits")
 
-  private def epochs(spark: SparkSession, root: String, name: String): Seq[Long] = {
-    val dir = new Path(s"$root/$name")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("e") && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong }
+    private def markerNames: Seq[String] = {
+      if (!fs.exists(commitsDir)) return Seq.empty
+      fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+    }
+
+    /** The newest committed trigger epoch (−1 before bootstrap). */
+    def committedEpoch: Long =
+      markerNames.filter(_.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(-1L)(math.max)
+
+    /** The batchId recorded in the newest commit marker. */
+    def committedBatchId: Option[Long] = {
+      val e = committedEpoch
+      if (e < 0L) None
+      else {
+        val in = fs.open(new Path(commitsDir, e.toString))
+        try {
+          val s = scala.io.Source.fromInputStream(in).mkString.trim
+          if (s.isEmpty) None else Some(s.toLong)
+        } finally in.close()
+      }
+    }
+
+    /** Write marker `epoch` (content: batchId) via create-then-rename
+      * so a half-written marker is never visible. */
+    def commit(epoch: Long, batchId: Long): Unit = {
+      fs.mkdirs(commitsDir)
+      val tmp = new Path(commitsDir, s".tmp_$epoch")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(commitsDir, epoch.toString))
+    }
+
+    /** Current compaction generation of `table` (0 until first fold). */
+    def generation(table: String): Long =
+      markerNames.collect {
+        case n if n.startsWith(s"gen_${table}_") => n.drop(s"gen_${table}_".length)
+      }.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(0L)(math.max)
+
+    def bumpGeneration(table: String, g: Long): Unit = {
+      fs.mkdirs(commitsDir)
+      val tmp = new Path(commitsDir, s".tmp_gen_${table}_$g")
+      val out = fs.create(tmp, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(commitsDir, s"gen_${table}_$g"))
+    }
+
+    def dataDir(table: String, gen: Long, epoch: Long): String =
+      s"$root/$table/g${gen}_a$epoch"
+
+    /** Committed data directories of `table`'s current generation,
+      * as (epoch, path), unsorted. */
+    def committedDirs(table: String): Seq[(Long, Path)] = {
+      val c = committedEpoch
+      val g = generation(table)
+      val dir = new Path(s"$root/$table")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap { p =>
+          p.getName match {
+            case s if s.startsWith(s"g${g}_a") =>
+              val n = s.drop(s"g${g}_a".length)
+              if (n.nonEmpty && n.forall(_.isDigit) && n.toLong <= c)
+                Some(n.toLong -> p)
+              else None
+            case _ => None
+          }
+        }
+    }
+
+    def write(table: String, epoch: Long, df: DataFrame): Unit =
+      df.write.mode("overwrite")
+        .parquet(dataDir(table, generation(table), epoch))
+
+    /** Union of all committed directories — the append tables. */
+    def appendRead(table: String): DataFrame = {
+      val ds = committedDirs(table)
+      require(ds.nonEmpty, s"no committed data under $root/$table — bootstrap first")
+      spark.read.parquet(ds.map(_._2.toString): _*)
+    }
+
+    /** Last-wins delta-log resolution for `labels`: the oldest
+      * directory is the base; newer directories are increment-sized
+      * deltas, resolved latest-epoch-per-node, then merged with ONE
+      * broadcast anti-join map pass over the base. */
+    def labelsRead(): DataFrame = {
+      val ds = committedDirs("labels").sortBy(_._1)
+      require(ds.nonEmpty, s"no committed data under $root/labels — bootstrap first")
+      val base = spark.read.parquet(ds.head._2.toString)
+      if (ds.sizeIs == 1) base
+      else {
+        val tagged = ds.tail.map { case (n, p) =>
+          spark.read.parquet(p.toString).select(col("node"),
+            struct(lit(n).as("__e"), col("component").as("__c")).as("__m"))
+        }.reduce(_ unionByName _)
+        val resolved = tagged.groupBy(col("node")).agg(max(col("__m")).as("__m"))
+          .select(col("node"), col("__m").getField("__c").as("component"))
+        base
+          .join(Guards.broadcastBounded(resolved.select(col("node"))),
+            Seq("node"), "left_anti")
+          .unionByName(resolved)
+      }
+    }
+
+    /** Additive delta-log resolution for `bucketcounts`: totals =
+      * base + Σdeltas per (band, key) with two broadcast-join map
+      * passes over the base (matched keys add; unmatched delta keys
+      * append) — the base is never shuffled. */
+    def bucketCountsRead(): DataFrame = {
+      val ds = committedDirs("bucketcounts").sortBy(_._1)
+      require(ds.nonEmpty, s"no committed data under $root/bucketcounts — bootstrap first")
+      val base = spark.read.parquet(ds.head._2.toString)
+      if (ds.sizeIs == 1) base
+      else {
+        val dsum = ds.tail.map(p => spark.read.parquet(p._2.toString))
+          .reduce(_ unionByName _)
+          .groupBy(col("band"), col("key")).agg(sum(col("n")).as("__dn"))
+        val merged = base
+          .join(Guards.broadcastBounded(dsum), Seq("band", "key"), "left")
+          .select(col("band"), col("key"),
+            (col("n") + coalesce(col("__dn"), lit(0L))).as("n"))
+        val inBase = base
+          .join(Guards.broadcastBounded(dsum.select(col("band"), col("key"))),
+            Seq("band", "key"), "left_semi")
+          .select(col("band"), col("key"))
+        val fresh = dsum
+          .join(Guards.broadcastBounded(inBase), Seq("band", "key"), "left_anti")
+          .select(col("band"), col("key"), col("__dn").as("n"))
+        merged.unionByName(fresh)
+      }
+    }
+
+    /** Last-wins single-row table: read only the newest directory. */
+    def maxIdRead(): DataFrame = {
+      val ds = committedDirs("maxid")
+      require(ds.nonEmpty, s"no committed data under $root/maxid — bootstrap first")
+      spark.read.parquet(ds.maxBy(_._1)._2.toString)
+    }
+
+    /** Delete data directories from superseded generations (and any
+      * ABANDONED newer-generation directories a crashed compact left
+      * behind — their markers never landed). */
+    def gcStaleGenerations(): Unit = Tables.foreach { t =>
+      val g = generation(t)
+      val dir = new Path(s"$root/$t")
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+          .foreach { p =>
+            val name = p.getName
+            if (name.startsWith("g") && !name.startsWith(s"g${g}_a"))
+              fs.delete(p, true)
+          }
+    }
+
+    def fileStats: Seq[TableStats] = Tables.map { t =>
+      val ds = committedDirs(t)
+      val files = ds.flatMap(d => fs.listStatus(d._2).toSeq)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      TableStats(t, ds.size, files.size, files.map(_.getLen).sum)
+    }
   }
-
-  private def readLatestEpoch(
-      spark: SparkSession, root: String, name: String): DataFrame = {
-    val es = epochs(spark, root, name)
-    require(es.nonEmpty, s"no epoch directory under $root/$name — bootstrap first")
-    spark.read.parquet(s"$root/$name/e${es.max}")
-  }
-
-  private def writeNextEpoch(
-      spark: SparkSession, root: String, name: String, df: DataFrame): Unit = {
-    val es = epochs(spark, root, name)
-    val next = es.max + 1
-    df.write.mode("overwrite").parquet(s"$root/$name/e$next")
-    // previous epochs are garbage once the new one is complete; a
-    // crash BEFORE this point leaves the old epoch as the valid state
-    val dir = new Path(s"$root/$name")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    es.foreach(e => fs.delete(new Path(s"$root/$name/e$e"), true))
-  }
-
-  private def append(df: DataFrame, dir: String): Unit =
-    df.write.mode("append").parquet(dir)
 }

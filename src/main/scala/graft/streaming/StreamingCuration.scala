@@ -58,12 +58,17 @@ object StreamingCuration {
     * durable parquet layout (increment-sized appends, epoch-versioned
     * keyed merges). */
   trait JourneyStore {
+    /** `batchId` is foreachBatch's replay-detection key: durable
+      * stores use it to make a re-delivered micro-batch idempotent
+      * (at-least-once → effectively-once); pass a negative value from
+      * direct non-stream callers to opt out. */
     private[streaming] def advance(
         batch: DataFrame,
         minQuality: Double,
         dupThreshold: Double,
         maxBucket: Option[Int],
-        maxPerHost: Int): Unit
+        maxPerHost: Int,
+        batchId: Long): Unit
   }
 
   /** The journey state + accumulated survivors a document stream
@@ -110,7 +115,8 @@ object StreamingCuration {
         minQuality: Double,
         dupThreshold: Double,
         maxBucket: Option[Int],
-        maxPerHost: Int): Unit = synchronized {
+        maxPerHost: Int,
+        batchId: Long): Unit = synchronized {
       val hygienic = ust match {
         case Some(u) =>
           val (kept, nextU) = IncrementalCuration.urlHygieneStep(
@@ -119,23 +125,24 @@ object StreamingCuration {
           kept
         case None => batch
       }
-      val (sv, revoked, next) =
-        IncrementalCuration.step(hygienic, st, minQuality, dupThreshold, maxBucket)
-      surv = surv
-        .unionByName(sv.select(surv.columns.map(col): _*))
-        .join(revoked, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      st = checkpointed(next)
       // the step's internal persists (scored batch, shingle/band-key
       // relations — increment-sized each) live in the session's
-      // CacheManager, which never GCs entries: without this a
-      // long-running stream accumulates one set per trigger. Safe
-      // here because every snapshot above is already materialized as
-      // localCheckpoint blocks (clearCache does not touch those);
-      // the store assumes it owns its session's plan cache — callers
-      // sharing a session with other cached work should clear
-      // selectively instead.
-      batch.sparkSession.catalog.clearCache()
+      // CacheManager, which never GCs entries: without the scoped
+      // unpersist a long-running stream accumulates one set per
+      // trigger. Safe to drop once every snapshot below is
+      // materialized as localCheckpoint blocks (unpersist does not
+      // touch those); precise — unrelated caches in a shared session
+      // are untouched.
+      val scope = new graft.core.CacheScope
+      try {
+        val (sv, revoked, next) = IncrementalCuration.step(
+          hygienic, st, minQuality, dupThreshold, maxBucket, scope)
+        surv = surv
+          .unionByName(sv.select(surv.columns.map(col): _*))
+          .join(revoked, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        st = checkpointed(next)
+      } finally scope.unpersistAll()
     }
   }
 
@@ -156,10 +163,11 @@ object StreamingCuration {
     docs.writeStream
       .outputMode("append")
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty trigger must not pay a step
         if (!batch.isEmpty)
-          store.advance(batch, minQuality, dupThreshold, maxBucket, maxPerHost)
+          store.advance(batch, minQuality, dupThreshold, maxBucket, maxPerHost,
+            batchId)
       }
       .start()
 }

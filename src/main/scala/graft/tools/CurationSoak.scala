@@ -104,6 +104,17 @@ object CurationSoak {
       concat(lit("common t"), (col("id") % 97).cast("string"),
         lit(" u"), col("id").cast("string")).as("text"))
 
+    // guard-knob A/B corpus (see the guard_overcap arms): 2M over-cap
+    // (band, key) buckets of 22 rows each (cap 20) + 4M singletons;
+    // 2000000 % 4 == 0 makes key determine band, so the bucket count
+    // is exactly 2M — an over-cap key set just past the broadcast
+    // threshold
+    def guardCorpus = spark.range(48000000L).select(
+      col("id").as("media_id"),
+      (col("id") % 4).as("band"),
+      when(col("id") < 44000000L, col("id") % 2000000L)
+        .otherwise(col("id")).as("key"))
+
     // serving-sized synthetic corpus for the ranking A/B: 1M 16-dim
     // vectors of deterministic pseudo-random floats (pure projection —
     // no fixture i/o; identical cost in both arms)
@@ -184,6 +195,40 @@ object CurationSoak {
       bi.bandKeys.write.mode("overwrite").parquet(s"$journeyDir4/bandkeys")
       bi.bucketCounts.write.mode("overwrite").parquet(s"$journeyDir4/bucketcounts")
       bi.sizes.write.mode("overwrite").parquet(s"$journeyDir4/sizes")
+    }
+
+    // the ~1%-increment tier — the production daily ratio itself
+    // (completes the 20% → 4% → 1% measured ladder; r15 stopped at
+    // 4%). Bootstrapped BOTH ways: plain parquet (the journey4 shape)
+    // AND through core.BucketedStore with each side-table bucketed by
+    // its serve-join key — the layout under which the step's pairing
+    // and role-split verify run with zero exchange on the corpus side
+    // (PlanAuditSpec pins the plan; this measures it).
+    lazy val journeyCut1 =
+      docs.stat.approxQuantile("doc_id", Array(0.99), 0.0).head.toLong
+    val journeyDir1 = "/tmp/graft_journey1_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (only.forall(_.exists(_.contains("journey1_step")))) {
+      val st = graft.api.IncrementalCuration.stateOf(
+        docs.filter(col("doc_id") < journeyCut1), dupThreshold = 0.01)
+      st.shingleIndex.write.mode("overwrite").parquet(s"$journeyDir1/index")
+      st.labels.write.mode("overwrite").parquet(s"$journeyDir1/labels")
+      st.maxId.get.write.mode("overwrite").parquet(s"$journeyDir1/maxid")
+      val bi = st.bands.get
+      bi.bandKeys.write.mode("overwrite").parquet(s"$journeyDir1/bandkeys")
+      bi.bucketCounts.write.mode("overwrite").parquet(s"$journeyDir1/bucketcounts")
+      bi.sizes.write.mode("overwrite").parquet(s"$journeyDir1/sizes")
+      // the bucketed twins (read back from the plain write so the
+      // bucketed write does not re-run the bootstrap derivation)
+      import graft.core.BucketedStore
+      BucketedStore.write(spark.read.parquet(s"$journeyDir1/index"),
+        "j1_index", s"$journeyDir1/b_index", Seq("doc_id", "h"), 32,
+        Seq("doc_id", "h"))
+      BucketedStore.write(spark.read.parquet(s"$journeyDir1/bandkeys"),
+        "j1_bandkeys", s"$journeyDir1/b_bandkeys", Seq("band", "key"), 32)
+      BucketedStore.write(spark.read.parquet(s"$journeyDir1/bucketcounts"),
+        "j1_bucketcounts", s"$journeyDir1/b_bucketcounts", Seq("band", "key"), 32)
+      BucketedStore.write(spark.read.parquet(s"$journeyDir1/sizes"),
+        "j1_sizes", s"$journeyDir1/b_sizes", Seq("doc_id"), 32, Seq("doc_id"))
     }
 
     // substring match: BOTH journey arms (banded + nosides) share this
@@ -312,6 +357,55 @@ object CurationSoak {
             spark.read.parquet(s"$journeyDir4/bandkeys"),
             spark.read.parquet(s"$journeyDir4/bucketcounts"),
             spark.read.parquet(s"$journeyDir4/sizes"))))
+        val (sv, rv, _) = graft.api.IncrementalCuration.step(
+          nw, state, dupThreshold = 0.01)
+        val append = graft.llm.MinHash.shingleIndex(
+          graft.api.CurationPipeline.gate(graft.api.CurationPipeline.score(nw)),
+          "doc_id", "text")
+        sv.select(col("doc_id")).unionByName(rv)
+          .unionByName(append.select(col("doc_id")))
+          .unionByName(graft.llm.MinHash.indexBandKeys(append, "doc_id")
+            .select(col("doc_id")))
+      },
+      // the production-daily tier: a ~1% increment against the 99%
+      // at-rest corpus, banded side-tables on — with the r16
+      // role-split verify, every term of this step should track the
+      // INCREMENT (the r15 `weak` item was the verify stage's two
+      // corpus-index shuffles; this arm is where their removal prices)
+      "journey1_step_incremental" -> { () =>
+        val nw = docs.filter(col("doc_id") >= journeyCut1)
+        val state = graft.api.IncrementalCuration.State(
+          spark.read.parquet(s"$journeyDir1/index"),
+          spark.read.parquet(s"$journeyDir1/labels"),
+          Some(spark.read.parquet(s"$journeyDir1/maxid")),
+          Some(graft.llm.MinHash.BandIndex(
+            spark.read.parquet(s"$journeyDir1/bandkeys"),
+            spark.read.parquet(s"$journeyDir1/bucketcounts"),
+            spark.read.parquet(s"$journeyDir1/sizes"))))
+        val (sv, rv, _) = graft.api.IncrementalCuration.step(
+          nw, state, dupThreshold = 0.01)
+        val append = graft.llm.MinHash.shingleIndex(
+          graft.api.CurationPipeline.gate(graft.api.CurationPipeline.score(nw)),
+          "doc_id", "text")
+        sv.select(col("doc_id")).unionByName(rv)
+          .unionByName(append.select(col("doc_id")))
+          .unionByName(graft.llm.MinHash.indexBandKeys(append, "doc_id")
+            .select(col("doc_id")))
+      },
+      // the SAME 1% step served from the BUCKETED at-rest layout:
+      // identical relational plan, but the corpus-side scans satisfy
+      // the join distributions natively — what the stored-layout
+      // prescription buys at the measured tier
+      "journey1_step_bucketed" -> { () =>
+        val state = graft.api.IncrementalCuration.State(
+          spark.table("j1_index"),
+          spark.read.parquet(s"$journeyDir1/labels"),
+          Some(spark.read.parquet(s"$journeyDir1/maxid")),
+          Some(graft.llm.MinHash.BandIndex(
+            spark.table("j1_bandkeys"),
+            spark.table("j1_bucketcounts"),
+            spark.table("j1_sizes"))))
+        val nw = docs.filter(col("doc_id") >= journeyCut1)
         val (sv, rv, _) = graft.api.IncrementalCuration.step(
           nw, state, dupThreshold = 0.01)
         val append = graft.llm.MinHash.shingleIndex(
@@ -532,6 +626,28 @@ object CurationSoak {
       "semdedup_batch_rerun" -> { () =>
         Similarity.semDeDupWithCodebook(emb, "vec_id", "embedding", 0.4,
           spark.read.parquet(s"$semIdxDir/codebook"))
+      },
+      // the Guards.broadcastBounded force|auto A/B, measured at the
+      // regime where the modes actually diverge: the over-cap guard
+      // set is ~2M (band, key) rows — ABOVE the 10 MB broadcast
+      // threshold — so `force` broadcasts it anyway (the hint ignores
+      // the threshold; driver + executors each hold the set) while
+      // `auto` lets AQE's byte-accurate accounting degrade both
+      // anti-joins to shuffles. The corpus: 2M over-cap buckets of 22
+      // rows (cap 20) + 4M singletons, generated inline (both arms
+      // pay identically)
+      "guard_overcap_force" -> { () =>
+        graft.llm.BandedHamming.dropOverCap(
+          guardCorpus, Seq("band", "key"), 20)
+      },
+      "guard_overcap_auto" -> { () =>
+        spark.conf.set(graft.llm.Guards.ConfKey, "auto")
+        // the knob is read at PLAN-BUILD time, so the reset below
+        // cannot un-choose the shuffled join; it just keeps the
+        // session default for every later arm
+        try graft.llm.BandedHamming.dropOverCap(
+          guardCorpus, Seq("band", "key"), 20)
+        finally spark.conf.unset(graft.llm.Guards.ConfKey)
       },
       // per-host crawl cap under a manufactured Zipf head (half the
       // corpus on ONE host): the bounded-agg survivor pick (production

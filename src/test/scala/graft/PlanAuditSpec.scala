@@ -66,6 +66,89 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("incremental journey verify: zero shuffle of any corpus-sized at-rest relation when served bucketed") {
+    import graft.core.BucketedStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx_bkt").toString
+    val docs = Tables.documents(spark, sf)
+    val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val index = MinHash.shingleIndex(oldDocs, "doc_id", "text", n = 3)
+    val bi = MinHash.bandIndexOf(index, "doc_id")
+    // each corpus-sized relation bucketed by exactly its serve-join key
+    BucketedStore.write(index, "shb_index", s"$dir/index",
+      Seq("doc_id", "h"), 4, Seq("doc_id", "h"))
+    BucketedStore.write(bi.bandKeys, "shb_bandkeys", s"$dir/bandkeys",
+      Seq("band", "key"), 4)
+    BucketedStore.write(bi.bucketCounts, "shb_bucketcounts", s"$dir/bucketcounts",
+      Seq("band", "key"), 4)
+    BucketedStore.write(bi.sizes, "shb_sizes", s"$dir/sizes",
+      Seq("doc_id"), 4, Seq("doc_id"))
+    // force the SMJ path (see the bucketed-join test above): at test
+    // scale AQE would broadcast the tiny corpus side, which hides the
+    // property under audit — at 100 TB the corpus side never broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = MinHash.nearDuplicatesIncremental(
+        newDocs, "doc_id", "text", spark.table("shb_index"),
+        n = 3, threshold = 0.01, maxBucket = Some(10000),
+        sideTables = Some(MinHash.BandIndex(
+          spark.table("shb_bandkeys"), spark.table("shb_bucketcounts"),
+          spark.table("shb_sizes"))))
+      val rows = served.collect()
+      // bit-parity with the in-memory serve
+      val plain = MinHash.nearDuplicatesIncremental(
+        newDocs, "doc_id", "text", index, n = 3, threshold = 0.01,
+        maxBucket = Some(10000), sideTables = Some(bi)).collect()
+      assert(rows.map(_.toSeq).toSet === plain.map(_.toSeq).toSet)
+      assert(rows.nonEmpty, "fixture must produce near-dup pairs")
+
+      // walk the FINAL adaptive plan: no exchange (shuffle OR
+      // broadcast) may move the stored relations' RAW rows — i.e.
+      // reach a stored scan through row-preserving nodes only
+      // (project/filter/sort/codegen plumbing/union). Once the stored
+      // rows pass a JOIN (candidate-matched: bounded by the
+      // increment-sized pair set) or an AGGREGATE, the data on the
+      // wire is increment-sized and repartitioning it is exactly what
+      // should happen — the pre-r16 defect was the full index itself
+      // shuffling twice per step.
+      import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, ProjectExec, SortExec, UnionExec, WholeStageCodegenExec}
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+      def isStored(s: FileSourceScanExec): Boolean =
+        s.relation.location.rootPaths.exists(_.toString.contains(dir))
+      def rawStoredScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case s: FileSourceScanExec if isStored(s) => Seq(s)
+        case _: ProjectExec | _: FilterExec | _: SortExec | _: UnionExec |
+             _: WholeStageCodegenExec | _: InputAdapter | _: ColumnarToRowExec =>
+          p.children.flatMap(rawStoredScans)
+        case _ => Seq.empty
+      }
+      val all = subtree(served.queryExecution.executedPlan)
+      val scans = all.collect {
+        case s: FileSourceScanExec if isStored(s) => s
+      }
+      assert(scans.nonEmpty, "stored relations must actually be read")
+      assert(scans.forall(_.bucketedScan),
+        s"stored-relation scan not bucket-aware:\n${scans.mkString("\n")}")
+      val offending = all.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if rawStoredScans(e.child).nonEmpty => e
+      }
+      assert(offending.isEmpty,
+        s"corpus-sized stored relation's raw rows on the wire:\n" +
+          offending.mkString("\n\n"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("graphFramesBucketed: zero exchange downstream of the bucketed materialization, same result") {
     import graft.tracking._
     import graft.graphs.{GraphConverter, GraphSettings}

@@ -56,6 +56,14 @@ class GuardBroadcastSpec extends AnyFunSuite {
     }
   }
 
+  test("an unrecognized knob value throws instead of silently forcing") {
+    spark.conf.set(Guards.ConfKey, "Auto")
+    try {
+      val e = intercept[IllegalArgumentException](guarded)
+      assert(e.getMessage.contains("Auto"))
+    } finally spark.conf.unset(Guards.ConfKey)
+  }
+
   test("auto with the default threshold recovers the broadcast at runtime via AQE") {
     spark.conf.set(Guards.ConfKey, "auto")
     try {
