@@ -28,10 +28,12 @@ class CacheScope {
     df.persist()
   }
 
-  /** Unpersist everything tracked (non-blocking) and forget it. Safe
-    * to call more than once. */
-  def unpersistAll(): Unit = synchronized {
-    tracked.foreach(_.unpersist(false))
+  /** Unpersist everything tracked and forget it. Safe to call more
+    * than once. `blocking = true` frees the blocks synchronously —
+    * use it when corpus-scale work follows immediately (a lazy free
+    * leaves the evictions to race the next job's memory demand). */
+  def unpersistAll(blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking))
     tracked.clear()
   }
 }
@@ -43,7 +45,7 @@ object CacheScope {
     * cache lifecycle. */
   val untracked: CacheScope = new CacheScope {
     override def persist(df: DataFrame): DataFrame = df.persist()
-    override def unpersistAll(): Unit = ()
+    override def unpersistAll(blocking: Boolean): Unit = ()
   }
 
   /** Run `f` with a fresh scope, unpersisting its intermediates in

@@ -32,7 +32,20 @@ import org.apache.spark.sql.functions.broadcast
   *    increment-sized.
   *
   * The knob is read at PLAN-BUILD time from the DataFrame's session,
-  * so callers flip it with `spark.conf.set(...)` around the call. */
+  * so callers flip it with `spark.conf.set(...)` around the call.
+  *
+  * Measured (sf1 soak, r16 — `guard_overcap_{force,auto}` in
+  * CurationSoak): on a 48M-row corpus whose over-cap guard set is 2M
+  * (band, key) rows — deliberately ABOVE the 10 MB auto-broadcast
+  * threshold — `force` runs 12.9 s vs `auto` 47.6 s (3.7×): past the
+  * threshold, auto degrades BOTH anti-joins to shuffles of the
+  * guarded corpus, which costs far more than broadcasting a
+  * tens-of-MB key set. Recommendation: keep the `force` default
+  * wherever the cap/increment geometry bound is trusted (the guard
+  * set grows like |rows|/cap — driver-safe until the corpus is
+  * billions of rows per cap unit); reach for `auto` only when
+  * increments are genuinely untrusted, and price it as "the guarded
+  * relation shuffles twice". */
 object Guards {
 
   /** Session conf key selecting `"force"` (default) or `"auto"`. */

@@ -219,6 +219,24 @@ object PersistentCurationStore {
       "PersistentCurationStore needs the banded side-tables; build the " +
         "state with IncrementalCuration.stateOf (bands = Some(...))"))
     val log = new Layout(spark, root)
+    // persist the shingle index for the DURATION of the bootstrap
+    // writes: bandkeys/bucketcounts/sizes all embed its plan (stateOf
+    // derives them from it), and without the cache each table write
+    // re-runs the full score→gate→tokenize corpus pipeline — measured
+    // at the sf1 store soak as ~8 corpus passes for one bootstrap
+    val scope = new CacheScope
+    try {
+      scope.persist(state.shingleIndex)
+      bootstrapWrites(log, state, bands, survivors)
+    } finally scope.unpersistAll(blocking = true) // free BEFORE the first trigger's jobs
+    new PersistentCurationStore(spark, root)
+  }
+
+  private def bootstrapWrites(
+      log: Layout,
+      state: State,
+      bands: MinHash.BandIndex,
+      survivors: DataFrame): Unit = {
     log.write("index", 0L, state.shingleIndex)
     log.write("bandkeys", 0L, bands.bandKeys)
     log.write("sizes", 0L, bands.sizes)
@@ -229,7 +247,6 @@ object PersistentCurationStore {
     log.write("maxid", 0L, state.maxId.getOrElse(throw new IllegalArgumentException(
       "PersistentCurationStore needs the id watermark (stateOf carries it)")))
     log.commit(0L, -1L)
-    new PersistentCurationStore(spark, root)
   }
 
   /** The commit-log + directory mechanics shared by every table. */
