@@ -3,7 +3,7 @@ package graft.streaming
 import graft.api.IncrementalCuration
 import graft.api.IncrementalCuration.State
 import graft.core.CacheScope
-import graft.llm.{Guards, Jaccard, MinHash}
+import graft.llm.{Guards, Jaccard, MinHash, Urls}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,9 +79,13 @@ import org.apache.spark.sql.functions._
   * re-survives (min-label keep rule), so the two append-only logs
   * compose to exactly the retraction-correct accumulated set.
   *
-  * Scope: the dedup journey ([[IncrementalCuration.step]]). A
-  * pre-hygiene URL stage persists by the same recipe (`seenUrls`
-  * append, `hostCounts` additive-delta) next to this layout.
+  * Scope: the dedup journey ([[IncrementalCuration.step]]), plus —
+  * when bootstrapped with a [[IncrementalCuration.UrlState]] — the
+  * pre-hygiene URL stage by the same recipe: `seenurls` is a pure
+  * append log (each trigger writes only its FRESH canonical URLs,
+  * resolved by one broadcast semi-join map pass over the at-rest
+  * set), `hostcounts` an additive delta log keyed by host, and the
+  * id watermark is one shared `maxid` table guarding both stages.
   *
   * Append erosion: every trigger adds one directory (few small
   * files) per table, and the labels/bucketcounts resolution
@@ -107,11 +111,28 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
     log.appendRead("surv_adds")
       .join(log.appendRead("revoked"), Seq("doc_id"), "left_anti")
 
+  /** The at-rest crawl-hygiene state, when the store was bootstrapped
+    * with one ([[bootstrap]]'s `urlState`): `seenUrls` is a pure
+    * append log of each trigger's FRESH canonical URLs (so the union
+    * stays distinct by construction), `hostCounts` an additive delta
+    * log keyed by host, and the watermark is SHARED with the dedup
+    * state (one `maxid` table guards both stages). `None` when the
+    * store scopes the bare dedup journey. */
+  def urlState: Option[IncrementalCuration.UrlState] =
+    if (!log.hasTable("seenurls")) None
+    else Some(IncrementalCuration.UrlState(
+      log.appendRead("seenurls"),
+      log.additiveRead("hostcounts", Seq("host"), "n_seen"),
+      Some(log.maxIdRead())))
+
   /** One trigger (public — a daily-batch cron job calls this directly;
-    * a stream drives it through [[StreamingCuration.attach]]).
-    * `maxPerHost` is accepted for [[StreamingCuration.JourneyStore]]
-    * conformance but unused — this store scopes the dedup journey
-    * (no URL state). `batchId ≥ 0` enables replay skipping (see the
+    * a stream drives it through [[StreamingCuration.attach]]). When
+    * the store carries URL state, the batch flows through incremental
+    * URL hygiene (first-crawl-wins dedup against the at-rest seen set,
+    * then the per-host cap against the at-rest counts — both
+    * increment-keyed) BEFORE score/gate/dedup, exactly like the batch
+    * composition `urlHygiene → run`; otherwise `maxPerHost` is
+    * unused. `batchId ≥ 0` enables replay skipping (see the
     * idempotency section of the class doc). */
   def advance(
       batch: DataFrame,
@@ -126,8 +147,33 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
     val st = state // resolves at `committed`; immune to the writes below
     val scope = new CacheScope
     try {
+      val hygienic = urlState match {
+        case Some(u) =>
+          // survivors mirror IncrementalCuration.urlHygieneStep; the
+          // STATE updates are the store's delta-log rules instead of
+          // the in-memory corpus-sized union/distinct re-aggregates
+          val deduped = scope.persist(Urls
+            .dedupByUrlIncremental(batch, "doc_id", "url", u.seenUrls, u.maxId)
+            .drop("host", "canonical_url"))
+          // fresh canonical URLs only (keeps the append log distinct):
+          // one broadcast semi-join map pass over the at-rest set
+          // resolves which batch URLs are already seen — the at-rest
+          // side is never shuffled
+          val newUrls = Urls.seenUrls(batch, "url")
+          val inStore = u.seenUrls.toDF("canonical_url")
+            .join(Guards.broadcastBounded(newUrls), Seq("canonical_url"), "left_semi")
+          log.write("seenurls", epoch,
+            newUrls.join(Guards.broadcastBounded(inStore),
+              Seq("canonical_url"), "left_anti"))
+          // additive per-host delta of the URL-DEDUPED stream (the
+          // batch composition's intermediate — what hostCap ranks over)
+          log.write("hostcounts", epoch, Urls.hostSeenCounts(deduped, "url"))
+          Urls.hostCapIncremental(deduped, "doc_id", "url", maxPerHost,
+            u.hostCounts, u.maxId)
+        case None => batch
+      }
       val res = IncrementalCuration.stepDetailed(
-        batch, st, minQuality, dupThreshold, maxBucket, scope)
+        hygienic, st, minQuality, dupThreshold, maxBucket, scope)
       // every write below targets the NEW epoch's directories, so the
       // lazy plans reading ≤ `committed` stay consistent throughout —
       // no defensive materialization needed (the step's internal
@@ -146,7 +192,12 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
       log.write("bandkeys", epoch, nbk)
       log.write("sizes", epoch, Jaccard.indexSizes(newIndex, "doc_id"))
       log.write("bucketcounts", epoch, MinHash.bandBucketCounts(nbk))
-      log.write("maxid", epoch, res.nextState.maxId.get)
+      // the watermark advances over the RAW batch (not the hygiene
+      // survivors): monotone ids are a property of arrival order, and
+      // a dropped max-id doc must still move the guard forward
+      log.write("maxid", epoch, st.maxId.get
+        .unionByName(Urls.idWatermark(batch, "doc_id"))
+        .agg(max(col("max_id")).as("max_id")))
       log.commit(epoch, batchId) // the atomic point: trigger N is now visible
     } finally scope.unpersistAll() // precise lifecycle — never clearCache
   }
@@ -170,6 +221,12 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
   def compact(files: Int = 32): Unit = synchronized {
     val epoch = log.committedEpoch
     log.gcStaleGenerations() // leftovers from a previously crashed compact
+    val urlFolds: Seq[(String, DataFrame, Seq[Column])] =
+      if (!log.hasTable("seenurls")) Seq.empty
+      else Seq(
+        ("seenurls", log.appendRead("seenurls"), Seq(col("canonical_url"))),
+        ("hostcounts", log.additiveRead("hostcounts", Seq("host"), "n_seen"),
+          Seq(col("host"))))
     val folded: Seq[(String, DataFrame, Seq[Column])] = Seq(
       ("index", log.appendRead("index"), Seq(col("doc_id"), col("h"))),
       ("bandkeys", log.appendRead("bandkeys"), Seq(col("band"), col("key"))),
@@ -178,7 +235,7 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
       ("revoked", log.appendRead("revoked"), Seq(col("doc_id"))),
       ("labels", log.labelsRead(), Seq(col("component"))),
       ("bucketcounts", log.bucketCountsRead(), Seq(col("band"), col("key"))),
-      ("maxid", log.maxIdRead(), Seq(col("max_id"))))
+      ("maxid", log.maxIdRead(), Seq(col("max_id")))) ++ urlFolds
     val nextGen = folded.map { case (t, df, keys) =>
       val g = log.generation(t) + 1
       df.repartitionByRange(files, keys: _*)
@@ -204,17 +261,25 @@ object PersistentCurationStore {
     "index", "bandkeys", "sizes", "surv_adds", "revoked",
     "labels", "bucketcounts", "maxid")
 
+  /** Present only when the store carries crawl-hygiene state. */
+  private[streaming] val UrlTables = Seq("seenurls", "hostcounts")
+
   final case class TableStats(table: String, dirs: Int, files: Int, bytes: Long)
 
   /** Initialize `root` from a bootstrap batch run: the [[State]]
     * (bands REQUIRED — [[IncrementalCuration.stateOf]] carries them)
     * and its survivor set, written as generation-0 epoch-0 bases and
-    * committed. */
+    * committed. Pass `urlState = Some(urlStateOf(...))` to run the
+    * FULL durable journey — every subsequent [[PersistentCurationStore
+    * .advance]] then applies incremental URL hygiene before the dedup
+    * step (its watermark is ignored: the store shares one `maxid`
+    * table between the stages). */
   def bootstrap(
       spark: SparkSession,
       root: String,
       state: State,
-      survivors: DataFrame): PersistentCurationStore = {
+      survivors: DataFrame,
+      urlState: Option[IncrementalCuration.UrlState] = None): PersistentCurationStore = {
     val bands = state.bands.getOrElse(throw new IllegalArgumentException(
       "PersistentCurationStore needs the banded side-tables; build the " +
         "state with IncrementalCuration.stateOf (bands = Some(...))"))
@@ -227,7 +292,11 @@ object PersistentCurationStore {
     val scope = new CacheScope
     try {
       scope.persist(state.shingleIndex)
-      bootstrapWrites(log, state, bands, survivors)
+      urlState.foreach { u =>
+        log.write("seenurls", 0L, u.seenUrls)
+        log.write("hostcounts", 0L, u.hostCounts)
+      }
+      bootstrapWrites(log, state, bands, survivors) // commits epoch 0 last
     } finally scope.unpersistAll(blocking = true) // free BEFORE the first trigger's jobs
     new PersistentCurationStore(spark, root)
   }
@@ -362,33 +431,41 @@ object PersistentCurationStore {
       }
     }
 
-    /** Additive delta-log resolution for `bucketcounts`: totals =
-      * base + Σdeltas per (band, key) with two broadcast-join map
+    def bucketCountsRead(): DataFrame =
+      additiveRead("bucketcounts", Seq("band", "key"), "n")
+
+    /** Additive delta-log resolution (bucketcounts, hostcounts):
+      * totals = base + Σdeltas per key with two broadcast-join map
       * passes over the base (matched keys add; unmatched delta keys
       * append) — the base is never shuffled. */
-    def bucketCountsRead(): DataFrame = {
-      val ds = committedDirs("bucketcounts").sortBy(_._1)
-      require(ds.nonEmpty, s"no committed data under $root/bucketcounts — bootstrap first")
+    def additiveRead(table: String, keys: Seq[String], valueCol: String): DataFrame = {
+      val ds = committedDirs(table).sortBy(_._1)
+      require(ds.nonEmpty, s"no committed data under $root/$table — bootstrap first")
       val base = spark.read.parquet(ds.head._2.toString)
       if (ds.sizeIs == 1) base
       else {
+        val kc = keys.map(col)
         val dsum = ds.tail.map(p => spark.read.parquet(p._2.toString))
           .reduce(_ unionByName _)
-          .groupBy(col("band"), col("key")).agg(sum(col("n")).as("__dn"))
+          .groupBy(kc: _*).agg(sum(col(valueCol)).as("__dn"))
         val merged = base
-          .join(Guards.broadcastBounded(dsum), Seq("band", "key"), "left")
-          .select(col("band"), col("key"),
-            (col("n") + coalesce(col("__dn"), lit(0L))).as("n"))
+          .join(Guards.broadcastBounded(dsum), keys, "left")
+          .select(kc :+
+            (col(valueCol) + coalesce(col("__dn"), lit(0L))).as(valueCol): _*)
         val inBase = base
-          .join(Guards.broadcastBounded(dsum.select(col("band"), col("key"))),
-            Seq("band", "key"), "left_semi")
-          .select(col("band"), col("key"))
+          .join(Guards.broadcastBounded(dsum.select(kc: _*)), keys, "left_semi")
+          .select(kc: _*)
         val fresh = dsum
-          .join(Guards.broadcastBounded(inBase), Seq("band", "key"), "left_anti")
-          .select(col("band"), col("key"), col("__dn").as("n"))
+          .join(Guards.broadcastBounded(inBase), keys, "left_anti")
+          .select(kc :+ col("__dn").as(valueCol): _*)
         merged.unionByName(fresh)
       }
     }
+
+    /** Whether `table` has any committed data (the URL tables exist
+      * only when the store was bootstrapped with a [[IncrementalCuration
+      * .UrlState]]). */
+    def hasTable(table: String): Boolean = committedDirs(table).nonEmpty
 
     /** Last-wins single-row table: read only the newest directory. */
     def maxIdRead(): DataFrame = {
@@ -400,7 +477,7 @@ object PersistentCurationStore {
     /** Delete data directories from superseded generations (and any
       * ABANDONED newer-generation directories a crashed compact left
       * behind — their markers never landed). */
-    def gcStaleGenerations(): Unit = Tables.foreach { t =>
+    def gcStaleGenerations(): Unit = (Tables ++ UrlTables).foreach { t =>
       val g = generation(t)
       val dir = new Path(s"$root/$t")
       if (fs.exists(dir))
@@ -412,11 +489,12 @@ object PersistentCurationStore {
           }
     }
 
-    def fileStats: Seq[TableStats] = Tables.map { t =>
-      val ds = committedDirs(t)
-      val files = ds.flatMap(d => fs.listStatus(d._2).toSeq)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      TableStats(t, ds.size, files.size, files.map(_.getLen).sum)
-    }
+    def fileStats: Seq[TableStats] =
+      (Tables ++ UrlTables.filter(hasTable)).map { t =>
+        val ds = committedDirs(t)
+        val files = ds.flatMap(d => fs.listStatus(d._2).toSeq)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        TableStats(t, ds.size, files.size, files.map(_.getLen).sum)
+      }
   }
 }

@@ -180,6 +180,66 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("persistent store runs the FULL journey: durable URL hygiene + dedup, reopened from disk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 25
+    // same URL fixture as the in-memory full-journey test above: one
+    // shared canonical url crossing triggers, one hot host crossing
+    // the cap mid-stream, unique urls elsewhere
+    def withUrl(df: DataFrame) = df.withColumn("url",
+      when(col("doc_id") % 10 === 7, lit("https://dup.example.com/same"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("https://hot.example.com/p/"), col("doc_id")))
+        .otherwise(concat(lit("https://h"), col("doc_id"),
+          lit(".example.com/p/"), col("doc_id"))))
+    def batchFull(all: DataFrame): DataFrame = {
+      val hyg = CurationPipeline.urlHygiene(all, maxPerHost = cap)
+      val gated = CurationPipeline.gate(CurationPipeline.score(hyg), 0.0)
+      CurationPipeline.dedup(gated,
+        CurationPipeline.nearDuplicatePairs(gated, threshold = threshold))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_pstore_full").toString
+    val d0 = withUrl(real(0, 60))
+    val store = PersistentCurationStore.bootstrap(spark, root,
+      IncrementalCuration.stateOf(
+        CurationPipeline.urlHygiene(d0, maxPerHost = cap),
+        minQuality = 0.0, dupThreshold = threshold),
+      batchFull(d0),
+      Some(IncrementalCuration.urlStateOf(d0)))
+    val source = MemoryStream[(Long, String, String, String, Long, String)]
+    val stream = source.toDF().toDF(d0.columns: _*)
+    val q = StreamingCuration.attach(stream, store,
+      minQuality = 0.0, dupThreshold = threshold, maxPerHost = cap,
+      queryName = "pstore_full_journey_spec")
+    try {
+      def docRows(df: DataFrame) =
+        df.as[(Long, String, String, String, Long, String)].collect().toIndexedSeq
+      var seen = d0
+      Seq(withUrl(real(110, 160)), withUrl(real(161, 200))).foreach { b =>
+        source.addData(docRows(b))
+        q.processAllAvailable()
+        seen = seen.unionByName(b)
+        assert(ids(store.survivors) === ids(batchFull(seen)))
+      }
+      // the durable url state, reopened from disk, equals the
+      // union-built state — the append log stayed distinct and the
+      // additive host deltas sum to the batch counts
+      val reopened = new PersistentCurationStore(spark, root)
+      assert(ids(reopened.survivors) === ids(batchFull(seen)))
+      val unionUrl = IncrementalCuration.urlStateOf(seen)
+      def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rowSet(reopened.urlState.get.seenUrls) === rowSet(unionUrl.seenUrls))
+      assert(rowSet(reopened.urlState.get.hostCounts) === rowSet(unionUrl.hostCounts))
+      assert(rowSet(reopened.urlState.get.maxId.get) === rowSet(unionUrl.maxId.get))
+      // compaction folds the url tables too
+      reopened.compact(files = 2)
+      assert(rowSet(reopened.urlState.get.seenUrls) === rowSet(unionUrl.seenUrls))
+      assert(rowSet(reopened.urlState.get.hostCounts) === rowSet(unionUrl.hostCounts))
+      assert(ids(reopened.survivors) === ids(batchFull(seen)))
+    } finally q.stop()
+  }
+
   test("persistent store: durable parity across triggers, reopened from disk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
