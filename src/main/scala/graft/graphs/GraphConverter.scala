@@ -117,9 +117,10 @@ object GraphConverter {
     val isBall = col(TeamId) === Ball
     val isOwning = col(TeamId) === col(BallOwningTeamId)
     padded
-      .withColumn("__nb", sum(isBall.cast("int")).over(wFrame))
-      .withColumn("__no", sum(isOwning.cast("int")).over(wFrame))
-      .withColumn("__nd", sum((!isBall && !isOwning).cast("int")).over(wFrame))
+      .select(col("*"),
+        sum(isBall.cast("int")).over(wFrame).as("__nb"),
+        sum(isOwning.cast("int")).over(wFrame).as("__no"),
+        sum((!isBall && !isOwning).cast("int")).over(wFrame).as("__nd"))
       .filter(col("__nb") === 1 && col("__no") === 11 && col("__nd") === 11)
       .drop("__nb", "__no", "__nd")
   }
@@ -153,9 +154,10 @@ object GraphConverter {
     val isBall = col(TeamId) === Ball
     // ball position default (0,0,0) when absent (features/utils.py:235-242)
     val base = df
-      .withColumn("__ball_x", coalesce(max(when(isBall, nanvl(col(X), lit(1e-10)))).over(wFrame), lit(0.0)))
-      .withColumn("__ball_y", coalesce(max(when(isBall, nanvl(col(Y), lit(1e-10)))).over(wFrame), lit(0.0)))
-      .withColumn("__ball_z", coalesce(max(when(isBall, nanvl(col(Z), lit(1e-10)))).over(wFrame), lit(0.0)))
+      .select(col("*"),
+        coalesce(max(when(isBall, nanvl(col(X), lit(1e-10)))).over(wFrame), lit(0.0)).as("__ball_x"),
+        coalesce(max(when(isBall, nanvl(col(Y), lit(1e-10)))).over(wFrame), lit(0.0)).as("__ball_y"),
+        coalesce(max(when(isBall, nanvl(col(Z), lit(1e-10)))).over(wFrame), lit(0.0)).as("__ball_z"))
     withNodeIndex(base)
       .withColumn("x_features", array(Features.nodeFeatureColumns(settings, feats): _*))
       .drop("__ball_x", "__ball_y", "__ball_z")
@@ -264,6 +266,18 @@ object GraphConverter {
       labelCol: String = Label,
       graphIdCol: String = GraphId,
       nativeAgg: Boolean = true): DataFrame = {
+    // Fast path (optimization round 17): the whole conversion — padding,
+    // completeness, node order, node features, adjacency, edge features
+    // — is frame-local, so ONE TypedImperativeAggregate keyed on the
+    // frame does it in compiled Scala ([[graft.functions.GraphTensorAgg]]),
+    // with zero caches, zero self-joins and zero exchanges beyond the
+    // one that clusters the input by frame (none at all when the
+    // upstream possession window already did). The staged path below
+    // remains for Delaunay (needs the per-frame geometric edge table)
+    // and as the `nativeAgg = false` generic A/B; output is
+    // bit-identical (q_graph_frames oracle hash + GraphTensorAggSpec).
+    if (nativeAgg && settings.adjacencyMatrixType != GraphSettings.Delaunay)
+      return graphFramesFused(df, settings, labelCol, graphIdCol)
     // Both persists are load-bearing at scale: padFrames reads its
     // input 4× (counts, frame list, ball check, union) and the
     // node/pair aggregations each scan `prepared` — without caching,
@@ -281,6 +295,32 @@ object GraphConverter {
       else removeIncompleteFrames(input))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assembleGraphFrames(prepared, settings, labelCol, graphIdCol, nativeAgg)
+  }
+
+  /** The fused single-aggregation [[graphFrames]] body (non-Delaunay
+    * default feature registry only — exactly what `graphFrames` can
+    * ever use). Output schema/ordering matches the staged path:
+    * keys, [label?, graph_id?, ball_owning_team_id?], x, object_ids,
+    * a, e. */
+  private def graphFramesFused(
+      df: DataFrame,
+      settings: GraphSettings,
+      labelCol: String,
+      graphIdCol: String): DataFrame = {
+    val optCols = Seq(labelCol, graphIdCol, BallOwningTeamId).filter(df.columns.contains)
+    val agg = graft.functions.GraphTensorAgg.graphTensor(settings,
+      col(ObjectId), col(TeamId), col(PositionName),
+      col(X), col(Y), col(Z), col(Vx), col(Vy), col(Vz), col(Speed),
+      col(BallOwningTeamId), col(IsBallCarrier))
+    df.groupBy(frameKeys.map(col): _*)
+      .agg(agg.as("__g"), optCols.map(c => first(col(c)).as(c)): _*)
+      // null = frame dropped by the completeness rules
+      .filter(col("__g").isNotNull)
+      .select(frameKeys.map(col) ++ optCols.map(col) ++ Seq(
+        col("__g").getField("x").as("x"),
+        col("__g").getField("object_ids").as("object_ids"),
+        col("__g").getField("a").as("a"),
+        col("__g").getField("e").as("e")): _*)
   }
 
   /** The 100 TB variant of [[graphFrames]]: instead of double-caching,

@@ -107,12 +107,25 @@ object MinHash {
       idCol: String,
       bands: Int,
       rows: Int): DataFrame =
-    (0 until bands).map { b =>
-      sig.select(
-        col(idCol),
-        lit(b).as("band"),
-        struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"k$r")): _*).as("key"))
-    }.reduce(_ unionByName _)
+    // ONE explode over an array of band structs instead of a per-band
+    // union of projections (optimization round 17): the union gave each
+    // band its own copy of the signature subtree with its own column
+    // pruning, so none of the exchanges matched and the whole
+    // scan→shingle→signature pipeline re-executed once per band per
+    // consumer (24 parquet scans in q_doc_minhash_dedup's plan). With
+    // the explode, every consumer projects the SAME (id, mh0..mhN)
+    // signature relation, and ReusedExchange serves them from one
+    // shuffle write. Row order within the band key is irrelevant (the
+    // join/count consumers are order-insensitive); values identical.
+    sig.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          struct((0 until rows).map(r =>
+            col(s"mh${b * rows + r}").as(s"k$r")): _*).as("key"))
+      }: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.key").as("key"))
 
   def candidatePairs(
       sig: DataFrame,
@@ -158,10 +171,19 @@ object MinHash {
       rows: Int = Rows): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= A.length,
       s"bands=$bands rows=$rows needs bands*rows in 1..${A.length}")
-    // the distinct (id, shingle-hash) table feeds four consumers
-    // (signatures, sizes, both intersection sides); all four build on
-    // the SAME distinct() subtree so Catalyst's ReusedExchange serves
-    // them from one shuffle write instead of four corpus scans
+    // The distinct (id, shingle-hash) table feeds four consumers
+    // (signatures, sizes, both intersection sides). ReusedExchange
+    // cannot serve all of them from one shuffle write (AQE broadcasts
+    // the verify-side joins, and a broadcast side reuses no shuffle
+    // stage), so parts of the scan → tokenize → shingle pipeline
+    // re-execute per consumer. Measured A/B (r17, sf0.1, honest sink,
+    // min-of-3 × 3 JVMs): persisting this table costs MORE than the
+    // re-scans save — 2.2–3.7 s cached vs 1.6–1.8 s uncached — because
+    // the cache write + the AQE-cache partitioning loss outweigh
+    // re-reading a small input. At warehouse scale the duplicate-scan
+    // problem is solved structurally instead: the at-rest shingle
+    // index ([[shingleIndex]] + [[nearDuplicatesIncremental]]'s
+    // BucketedStore serve) makes every consumer read a bucketed table.
     val sh = shingleHashes(docs, idCol, textCol, n, hash).distinct()
     val sigs = signaturesFromHashes(sh, idCol, bands * rows)
     val pairs = candidatePairs(sigs, idCol, maxBucket, bands, rows)

@@ -117,12 +117,16 @@ object PressingIntensity {
       }
       case _ => when(isBall, 2).when(isOwning, 0).otherwise(1)
     }
-    val wF = Window.partitionBy(frameKeys.map(col): _*)
-    val gidx = row_number().over(wF.orderBy(sideRank.asc, col(ObjectId).asc)) - 1
-    val nOwn = sum((isOwning && !isBall).cast("int")).over(wF)
+    val wOrdered = Window.partitionBy(frameKeys.map(col): _*)
+      .orderBy(sideRank.asc, col(ObjectId).asc)
+    val gidx = row_number().over(wOrdered) - 1
+    // same (partition, order) spec with an explicit whole-partition
+    // frame so both expressions land in ONE Window node (an unordered
+    // spec would force a second Window pass; the value is identical)
+    val nOwn = sum((isOwning && !isBall).cast("int")).over(
+      wOrdered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     df.filter(colSide || rowSide)
-      .withColumn("__gidx", gidx)
-      .withColumn("__nown", nOwn)
+      .select(col("*"), gidx.as("__gidx"), nOwn.as("__nown"))
       .withColumn("__cmem", colSide)
       .withColumn("__rmem", rowSide)
   }

@@ -192,6 +192,30 @@ object Efpi {
     side(isAttack = true).toSeq ++ side(isAttack = false).toSeq
   }
 
+  /** The stateless (always-update) per-segment resolution — the former
+    * `flatMapGroups` body, shared by [[EfpiSegmentAgg]]. Key columns of
+    * the returned [[OutRow]]s are left at their defaults (the caller
+    * re-attaches the grouping columns). */
+  private[formations] def resolveStatelessSegment(
+      rows: Seq[SegRow], lib: Templates.Library): Seq[OutRow] = {
+    val cands = detectSegment(rows, lib)
+    val byTeam = cands.map(c => c.team_id -> c).toMap
+    val labelOf = cands.flatMap(c => c.ids.zip(c.labels).map {
+      case (id, l) => id -> (l, c.formation) }).toMap
+    val owning = rows.head.ball_owning_team_id
+    rows.sortBy(_.id).map { r =>
+      if (r.team_id == ballId)
+        OutRow("", 0, 0L, r.id, r.team_id, ballId, ballId, None)
+      else {
+        val lf = labelOf.get(r.id)
+        OutRow("", 0, 0L, r.id, r.team_id,
+          lf.map(_._1).orNull,
+          lf.map(_._2).orElse(byTeam.get(r.team_id).map(_.formation)).orNull,
+          Some(r.team_id == owning))
+      }
+    }
+  }
+
   /** Template matching for one team: joint bounding-box scaling
     * (`efpi.py:150-164`), per-formation assignment cost, argmin with
     * first-index tie-break (np.argmin semantics, `efpi.py:203-205`). */
@@ -374,29 +398,28 @@ object Efpi {
       }
 
     if (cfg.changeThreshold.isEmpty) {
-      // stateless: always-update (efpi.py:228-230) ⇒ fully parallel
-      segRows
-        .groupByKey(r => (r.game_id, r.period_id, r.segment_id, r.ball_owning_team_id))
-        .flatMapGroups { (key: (String, Int, Long, String), it: Iterator[SegRow]) =>
-          val (game, period, seg, _) = key
-          val rows = it.toSeq
-          val cands = detectSegment(rows, lib)
-          val byTeam = cands.map(c => c.team_id -> c).toMap
-          val labelOf = cands.flatMap(c => c.ids.zip(c.labels).map {
-            case (id, l) => id -> (l, c.formation) }).toMap
-          val owning = rows.head.ball_owning_team_id
-          rows.sortBy(_.id).map { r =>
-            if (r.team_id == ballId)
-              OutRow(game, period, seg, r.id, r.team_id, ballId, ballId, None)
-            else {
-              val lf = labelOf.get(r.id)
-              OutRow(game, period, seg, r.id, r.team_id,
-                lf.map(_._1).orNull,
-                lf.map(_._2).orElse(byTeam.get(r.team_id).map(_.formation)).orNull,
-                Some(r.team_id == owning))
-            }
-          }
-        }.toDF()
+      // stateless: always-update (efpi.py:228-230) ⇒ fully parallel.
+      // Native-column groupBy + EfpiSegmentAgg instead of the typed
+      // groupByKey(lambda).flatMapGroups: the lambda key forced an
+      // AppendColumns + Exchange + Sort (Catalyst cannot equate the
+      // serialized tuple with the upstream partitioning columns) plus a
+      // per-row encoder round-trip; the native grouping reuses the
+      // possession window's frame partitioning — zero detection-side
+      // exchange in "frame" mode — and the detection logic runs
+      // unchanged inside the aggregate's eval.
+      val df0 = segRows.toDF()
+      df0
+        .groupBy(col(Cols.GameId), col(Cols.PeriodId), col("segment_id"),
+          col("ball_owning_team_id"))
+        .agg(EfpiSegmentAgg(lib, col("id"), col("team_id"),
+          col("position_name"), col("x"), col("y"),
+          col("ball_owning_team_id")).as("__out"))
+        .select(Seq(col(Cols.GameId), col(Cols.PeriodId), col("segment_id")) :+
+          explode(col("__out")).as("__o"): _*)
+        .select(col(Cols.GameId), col(Cols.PeriodId), col("segment_id"),
+          col("__o.id").as("id"), col("__o.team_id").as("team_id"),
+          col("__o.position").as("position"), col("__o.formation").as("formation"),
+          col("__o.is_attacking").as("is_attacking"))
     } else {
       // parallel detection, then per-game sequential hysteresis fold
       val detected = segRows

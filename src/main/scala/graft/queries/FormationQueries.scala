@@ -29,7 +29,7 @@ object FormationQueries extends QueryModule {
 
   private def efpiInput(s: SparkSession, d: String): DataFrame =
     Orientation.toBallOwning(
-      Possession.inferBallCarrier(SyntheticTracking.df(s, d)), "home")
+      Possession.inferBallCarrier(SyntheticTracking.df(s, d, Cols.ByFrame)), "home")
 
   // =====================================================================
   // Oracle SQL generation

@@ -187,7 +187,7 @@ object GraphQueries extends QueryModule {
       |FROM ea""".stripMargin
 
   private def pipeline(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val trk = SyntheticTracking.df(s, d)
+    val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
     // graph features never read acceleration — dropping the 4 columns
     // lets Catalyst prune the second kinematics window pass entirely
@@ -204,7 +204,7 @@ object GraphQueries extends QueryModule {
   private def gnnGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq(GameId, FrameId)
-    val base = SyntheticTracking.df(s, d)
+    val base = SyntheticTracking.df(s, d, Seq(GameId, FrameId))
       .select(col(GameId), col(FrameId), col(ObjectId).as("id"),
         (col(X) / 105.0 + 0.5).as("fx"), (col(Y) / 68.0 + 0.5).as("fy"))
       .withColumn("idx", row_number().over(
@@ -684,7 +684,7 @@ object GraphQueries extends QueryModule {
     * completion itself). Public: [[graft.tools.BucketedSoak]] times the
     * two graphFrames materialization strategies over this exact input. */
   def paddedInput(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val trk = SyntheticTracking.df(s, d)
+    val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
     val kin = Kinematics(trk, TrackingSettings(), None, None)
     // accel is unused by features (see pipeline()); ball_state and
     // timestamp are pure passthrough the nested output never emits —

@@ -1035,20 +1035,25 @@ object LlmQueries extends QueryModule {
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
         val bi = MinHash.bandIndexOf(index, "doc_id")
         val dir = java.nio.file.Files.createTempDirectory("graft_q_shidx").toString
-        graft.core.BucketedStore.write(index, "q_shb_index",
+        // table names carry the temp-dir suffix so concurrent runs in
+        // one session can't clobber each other's catalog entries
+        // (fixed q_shb_* names + a fresh dir per invocation raced)
+        val tag = dir.substring(dir.lastIndexOf("graft_q_shidx"))
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        graft.core.BucketedStore.write(index, s"${tag}_index",
           s"$dir/index", Seq("doc_id", "h"), 4, Seq("doc_id", "h"))
-        graft.core.BucketedStore.write(bi.bandKeys, "q_shb_bandkeys",
+        graft.core.BucketedStore.write(bi.bandKeys, s"${tag}_bandkeys",
           s"$dir/bandkeys", Seq("band", "key"), 4)
-        graft.core.BucketedStore.write(bi.bucketCounts, "q_shb_bucketcounts",
+        graft.core.BucketedStore.write(bi.bucketCounts, s"${tag}_bucketcounts",
           s"$dir/bucketcounts", Seq("band", "key"), 4)
-        graft.core.BucketedStore.write(bi.sizes, "q_shb_sizes",
+        graft.core.BucketedStore.write(bi.sizes, s"${tag}_sizes",
           s"$dir/sizes", Seq("doc_id"), 4, Seq("doc_id"))
         MinHash.nearDuplicatesIncremental(
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
-          s.table("q_shb_index"), n = 3, threshold = 0.01,
+          s.table(s"${tag}_index"), n = 3, threshold = 0.01,
           sideTables = Some(MinHash.BandIndex(
-            s.table("q_shb_bandkeys"), s.table("q_shb_bucketcounts"),
-            s.table("q_shb_sizes"))))
+            s.table(s"${tag}_bandkeys"), s.table(s"${tag}_bucketcounts"),
+            s.table(s"${tag}_sizes"))))
       },
       Some(s"""WITH ${minhashNdCtes(0.01)}
               |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM nd

@@ -53,7 +53,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_pairs",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         PressingIntensity.pairs(dat, TrackingSettings(), PressingIntensity.Params())
@@ -102,7 +102,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_pairs_full",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         PressingIntensity.pairs(dat, TrackingSettings(),
@@ -143,7 +143,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_pairs_include",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         PressingIntensity.pairs(dat, TrackingSettings(homeTeamId = Some("home")),
@@ -187,7 +187,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_pairs_threshold",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         PressingIntensity.pairs(dat, TrackingSettings(homeTeamId = Some("home")),
@@ -246,7 +246,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_pairs_window",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = PressingIntensity.filterTimeRange(
           Possession.inferBallCarrier(kin, TrackingSettings()),
@@ -307,7 +307,7 @@ object ModelQueries extends QueryModule {
     GraftQuery(
       "q_pi_matrices",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         val kin = Kinematics(trk, TrackingSettings(), None, None)
         val dat = Possession.inferBallCarrier(kin, TrackingSettings())
         val pairs = PressingIntensity.pairs(dat, TrackingSettings(), PressingIntensity.Params())

@@ -19,7 +19,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_kinematics",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         Kinematics(trk, TrackingSettings(), None, None)
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
             col(Vx), col(Vy), col(Speed).as("v"), col(Ax), col(Ay), col(Acceleration).as("a"))
@@ -32,7 +32,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_savgol",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByObjectPeriod)
         Kinematics.withVelocity(trk, Some(SavGol.DefaultPlayer), Some(SavGol.DefaultBall))
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
             col(Vx).as("vx_s"))
@@ -57,7 +57,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_possession",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByFrame)
         Possession.inferBallCarrier(trk, TrackingSettings())
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
             col(BallOwningTeamId), col(IsBallCarrier))
@@ -73,7 +73,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_gk",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByFrame)
         val withPoss = Possession.inferBallCarrier(trk, TrackingSettings())
         Goalkeepers.infer(withPoss, TrackingSettings())
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
@@ -106,7 +106,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_flip",
       (s, d) => {
-        val trk = SyntheticTracking.df(s, d)
+        val trk = SyntheticTracking.df(s, d, Cols.ByFrame)
         val withPoss = Possession.inferBallCarrier(trk, TrackingSettings())
         Orientation.toBallOwning(withPoss, homeTeamId = "home")
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
@@ -156,7 +156,7 @@ object TrackingQueries extends QueryModule {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(GameId), col(PeriodId)).orderBy(col(Timestamp))
-        SyntheticTracking.df(s, d)
+        SyntheticTracking.df(s, d, Seq(GameId, PeriodId))
           .withColumn("rnk", rank().over(w))
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
             col("rnk").cast("long").as("rnk"))
@@ -198,7 +198,7 @@ object TrackingQueries extends QueryModule {
     GraftQuery(
       "q_trk_ray_rotate",
       (s, d) => {
-        val kin = Kinematics(SyntheticTracking.df(s, d), TrackingSettings(), None, None)
+        val kin = Kinematics(SyntheticTracking.df(s, d, Cols.ByObjectPeriod), TrackingSettings(), None, None)
         graft.models.RayRotation.rotateAroundLine(kin, 52.5, -34.0, 52.5, 34.0)
           .select(col(GameId), col(PeriodId), col(FrameId), col(ObjectId).as("id"),
             round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),

@@ -62,7 +62,20 @@ import org.apache.spark.sql.functions._
   * `a{N}` directories. Negative batchIds (direct non-stream callers)
   * never skip. The protection assumes one batchId sequence per store
   * root — reattaching an UNCHECKPOINTED stream to an existing root
-  * restarts batchIds at 0 and must use a fresh root.
+  * restarts batchIds at 0 and must use a fresh root; [[advance]] now
+  * fails fast when a non-negative batchId is BEHIND the newest
+  * committed one (batchIds are monotone within one sequence), turning
+  * that misuse into an error instead of a silent double-append.
+  *
+  * == Single writer process ==
+  *
+  * [[advance]]/[[compact]] are `synchronized` per INSTANCE only: the
+  * design assumes exactly one writer JVM per store root at a time. Do
+  * NOT run an external compaction cron against a root a live stream
+  * is writing — `gcStaleGenerations` in one process can delete
+  * directories the other is mid-write, and concurrent commits can
+  * interleave epochs. Schedule compaction from the writer process
+  * (e.g. inside foreachBatch every N triggers).
   *
   * == Readers ==
   *
@@ -129,10 +142,14 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
     * a stream drives it through [[StreamingCuration.attach]]). When
     * the store carries URL state, the batch flows through incremental
     * URL hygiene (first-crawl-wins dedup against the at-rest seen set,
-    * then the per-host cap against the at-rest counts — both
-    * increment-keyed) BEFORE score/gate/dedup, exactly like the batch
-    * composition `urlHygiene → run`; otherwise `maxPerHost` is
-    * unused. `batchId ≥ 0` enables replay skipping (see the
+    * then the per-host cap against the at-rest counts) BEFORE
+    * score/gate/dedup, exactly like the batch composition
+    * `urlHygiene → run`; otherwise `maxPerHost` is unused. The host
+    * counts resolve increment-keyed; the seen-set anti-join still
+    * SHUFFLES the at-rest `seenurls` append log when it outgrows the
+    * broadcast threshold (it is stored as plain appended parquet, not
+    * bucketed by canonical_url — the known residual, see Urls.scala's
+    * bucketing prescription for the at-scale layout). `batchId ≥ 0` enables replay skipping (see the
     * idempotency section of the class doc). */
   def advance(
       batch: DataFrame,
@@ -143,6 +160,18 @@ final class PersistentCurationStore(spark: SparkSession, root: String)
       batchId: Long = -1L): Unit = synchronized {
     val committed = log.committedEpoch
     if (batchId >= 0L && log.committedBatchId.contains(batchId)) return // replay
+    // batchIds are monotone within one stream's lifetime, so a LOWER id
+    // than the newest committed one means a different (uncheckpointed)
+    // stream re-attached to this root and restarted at 0 — the exact
+    // double-append corruption the replay skip exists to prevent. Fail
+    // fast instead of silently appending the whole history again.
+    log.committedBatchId.filter(c => batchId >= 0L && batchId < c).foreach { c =>
+      throw new IllegalStateException(
+        s"batchId $batchId is behind the newest committed batchId $c for this " +
+          "store root: reattaching a fresh (uncheckpointed) stream to an " +
+          "existing root would silently double-append; use the original " +
+          "checkpoint or a new root")
+    }
     val epoch = committed + 1
     val st = state // resolves at `committed`; immune to the writes below
     val scope = new CacheScope
@@ -355,7 +384,12 @@ object PersistentCurationStore {
       val tmp = new Path(commitsDir, s".tmp_$epoch")
       val out = fs.create(tmp, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(commitsDir, epoch.toString))
+      val dst = new Path(commitsDir, epoch.toString)
+      // the rename IS the atomic commit point: a false return (dest
+      // exists, FS quirk, concurrent writer) must surface as a
+      // retryable error — returning success here would let the stream
+      // checkpoint advance past a trigger whose data stays invisible
+      require(fs.rename(tmp, dst), s"commit rename failed for $dst")
     }
 
     /** Current compaction generation of `table` (0 until first fold). */
@@ -370,7 +404,8 @@ object PersistentCurationStore {
       val tmp = new Path(commitsDir, s".tmp_gen_${table}_$g")
       val out = fs.create(tmp, true)
       try out.write("1".getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(commitsDir, s"gen_${table}_$g"))
+      val dst = new Path(commitsDir, s"gen_${table}_$g")
+      require(fs.rename(tmp, dst), s"generation-bump rename failed for $dst")
     }
 
     def dataDir(table: String, gen: Long, epoch: Long): String =

@@ -36,12 +36,20 @@ object Kinematics {
     val w = wObj
     // Polars dt.total_milliseconds() truncates to ms; replicate exactly.
     val sec = (col(Timestamp).cast("long") / 1000L).cast("long") / lit(1000.0)
-    val dt = sec - lag(sec, 1).over(w)
+    // the four lags share one window spec and are mutually independent —
+    // defining them in ONE select plans ONE Window pass (chained
+    // withColumns would interleave Projects and leave four)
     val raw = df
-      .withColumn("__dt", dt)
-      .withColumn(Vx, coalesce((col(X) - lag(col(X), 1).over(w)) / col("__dt"), lit(0.0)))
-      .withColumn(Vy, coalesce((col(Y) - lag(col(Y), 1).over(w)) / col("__dt"), lit(0.0)))
-      .withColumn(Vz, coalesce((col(Z) - lag(col(Z), 1).over(w)) / col("__dt"), lit(0.0)))
+      .select(col("*"),
+        lag(sec, 1).over(w).as("__lsec"),
+        lag(col(X), 1).over(w).as("__lx"),
+        lag(col(Y), 1).over(w).as("__ly"),
+        lag(col(Z), 1).over(w).as("__lz"))
+      .withColumn("__dt", sec - col("__lsec"))
+      .withColumn(Vx, coalesce((col(X) - col("__lx")) / col("__dt"), lit(0.0)))
+      .withColumn(Vy, coalesce((col(Y) - col("__ly")) / col("__dt"), lit(0.0)))
+      .withColumn(Vz, coalesce((col(Z) - col("__lz")) / col("__dt"), lit(0.0)))
+      .drop("__lsec", "__lx", "__ly", "__lz")
 
     val smoothed =
       if (playerSmoothing.isEmpty && ballSmoothing.isEmpty) raw
@@ -63,10 +71,16 @@ object Kinematics {
   /** Requires the `__dt` helper column from [[withVelocity]]. */
   def withAcceleration(df: DataFrame): DataFrame = {
     val w = wObj
-    df.withColumn(Ax, coalesce((col(Vx) - lag(col(Vx), 1).over(w)) / col("__dt"), lit(0.0)))
-      .withColumn(Ay, coalesce((col(Vy) - lag(col(Vy), 1).over(w)) / col("__dt"), lit(0.0)))
-      .withColumn(Az, coalesce((col(Vz) - lag(col(Vz), 1).over(w)) / col("__dt"), lit(0.0)))
+    // one select = one Window pass for the three velocity lags
+    df.select(col("*"),
+        lag(col(Vx), 1).over(w).as("__lvx"),
+        lag(col(Vy), 1).over(w).as("__lvy"),
+        lag(col(Vz), 1).over(w).as("__lvz"))
+      .withColumn(Ax, coalesce((col(Vx) - col("__lvx")) / col("__dt"), lit(0.0)))
+      .withColumn(Ay, coalesce((col(Vy) - col("__lvy")) / col("__dt"), lit(0.0)))
+      .withColumn(Az, coalesce((col(Vz) - col("__lvz")) / col("__dt"), lit(0.0)))
       .withColumn(Acceleration, mag(col(Ax), col(Ay), col(Az)))
+      .drop("__lvx", "__lvy", "__lvz")
   }
 
   /** Magnitude capping (`soccer/dataset/utils.py:6-39`): ball and player

@@ -31,11 +31,16 @@ object Possession {
     val wf = Window.partitionBy(ByFrame.map(col): _*)
     val isBall = col(TeamId) === Ball
 
-    // per-frame ball position via conditional window agg (no join)
+    // per-frame ball position via conditional window agg (no join).
+    // All three aggregates are defined in ONE select so Catalyst plans
+    // ONE Window node (sequential withColumns interleave Projects that
+    // block the CollapseWindow rule → three single-expression Window
+    // passes over every row).
     val withBall = df
-      .withColumn("__bx", max(when(isBall, col(X))).over(wf))
-      .withColumn("__by", max(when(isBall, col(Y))).over(wf))
-      .withColumn("__bz", max(when(isBall, col(Z))).over(wf))
+      .select(col("*"),
+        max(when(isBall, col(X))).over(wf).as("__bx"),
+        max(when(isBall, col(Y))).over(wf).as("__by"),
+        max(when(isBall, col(Z))).over(wf).as("__bz"))
       .withColumn("__dist",
         when(isBall, lit(null).cast("double")).otherwise(
           sqrt((col(X) - col("__bx")) * (col(X) - col("__bx"))

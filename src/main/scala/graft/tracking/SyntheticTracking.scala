@@ -14,33 +14,64 @@ import org.apache.spark.sql.functions._
 object SyntheticTracking {
   import Cols._
 
-  def df(spark: SparkSession, sfDir: String): DataFrame = {
+  def df(spark: SparkSession, sfDir: String): DataFrame = df(spark, sfDir, Nil)
+
+  /** As [[df]], but pre-clustered: when `clusterBy` (a subset of this
+    * table's key columns, e.g. [[Cols.ByObjectPeriod]] or
+    * [[Cols.ByFrame]]) names the partitioning the FIRST downstream
+    * window/aggregation needs, one explicit repartition serves both the
+    * dedup groupBy and that window — the plan carries exactly one
+    * exchange up to the first window instead of two (dedup key, window
+    * key), and the single-task parquet scan stage (the sf0.1 file is
+    * one row group) sheds its per-row aggregation work entirely.
+    *
+    * Why this is safe: every clusterable key derives from `l_orderkey`
+    * alone (`game_id`/`period_id`/`frame_id`) or from `(l_orderkey,
+    * l_linenumber)` (`id`), so ANY partitioning over them co-locates
+    * all duplicates of a given (orderkey, linenumber) pair; the dedup
+    * groupBy lists the derived key columns (bijective in (orderkey,
+    * linenumber)) so Catalyst can prove the clustering is satisfied.
+    *
+    * The dedup itself takes `min(l_partkey*2^32 + l_suppkey)` — a
+    * plain BIGINT min (hash-aggregable, codegen) instead of the former
+    * `min(struct(partkey, suppkey, extendedprice))`, which forced a
+    * SortAggregate (struct buffers are not hash-agg mutable types) and
+    * a full in-task sort. Dropping `l_extendedprice` from the minimum
+    * is exact: the emitted values read only partkey/suppkey, and the
+    * lexicographic (partkey, suppkey, extendedprice) minimum has the
+    * same (partkey, suppkey) as the (partkey, suppkey) minimum. */
+  def df(spark: SparkSession, sfDir: String, clusterBy: Seq[String]): DataFrame = {
     // The synthetic lineitem has duplicate (orderkey, linenumber) pairs;
     // a tracking table needs one row per (frame, object). Deterministic
-    // representative: smallest (partkey, suppkey, extendedprice) —
-    // expressed as a partial-aggregable min(struct) groupBy (map-side
-    // combine, no sort) rather than a row_number window: every value
-    // below derives from (orderkey, linenumber, partkey, suppkey), so
-    // the lexicographic struct minimum IS the row_number=1 row.
-    val li = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(min(struct(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))).as("__m"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("__m.l_partkey").as("l_partkey"), col("__m.l_suppkey").as("l_suppkey"))
-    li.select(
+    // representative: smallest (partkey, suppkey) — see scaladoc above.
+    val keyed = Tables.lineitem(spark, sfDir).select(
       (col("l_orderkey") % 3).cast("string").as(GameId),
       (col("l_orderkey") % 2 + 1).cast("int").as(PeriodId),
       col("l_orderkey").cast("long").as(FrameId),
-      (col("l_orderkey") * 40000L).cast("long").as(Timestamp),
       when(col("l_linenumber") === 7, lit(Ball))
         .otherwise(col("l_linenumber").cast("string")).as(ObjectId),
       when(col("l_linenumber") === 7, lit(Ball))
         .when(col("l_linenumber") % 2 === 0, lit("home"))
         .otherwise(lit("away")).as(TeamId),
+      (col("l_partkey") * 4294967296L + col("l_suppkey")).as("__pksk"))
+    val parted =
+      if (clusterBy.nonEmpty) keyed.repartition(clusterBy.map(col): _*) else keyed
+    val dedup = parted
+      .groupBy(col(GameId), col(PeriodId), col(FrameId), col(ObjectId), col(TeamId))
+      .agg(min(col("__pksk")).as("__m"))
+    val pk = shiftright(col("__m"), 32)
+    val sk = col("__m").bitwiseAND(4294967295L)
+    dedup.select(
+      col(GameId),
+      col(PeriodId),
+      col(FrameId),
+      (col(FrameId) * 40000L).cast("long").as(Timestamp),
+      col(ObjectId),
+      col(TeamId),
       lit(null).cast("string").as(PositionName),
-      ((col("l_partkey") % 1050).cast("double") / 10.0 - 52.5).as(X),
-      (((col("l_suppkey") * 97 + col("l_partkey") * 31) % 680).cast("double") / 10.0 - 34.0).as(Y),
-      when(col("l_linenumber") === 7, (col("l_partkey") % 30).cast("double") / 10.0)
+      ((pk % 1050).cast("double") / 10.0 - 52.5).as(X),
+      (((sk * 97 + pk * 31) % 680).cast("double") / 10.0 - 34.0).as(Y),
+      when(col(ObjectId) === Ball, (pk % 30).cast("double") / 10.0)
         .otherwise(lit(0.0)).as(Z),
       lit("alive").as(BallState),
       lit(null).cast("string").as(BallOwningTeamId))

@@ -206,18 +206,37 @@ class PlanAuditSpec extends AnyFunSuite {
     val aggs = flatten(df.queryExecution.executedPlan)
       .filter(_.nodeName.contains("ObjectHashAggregate"))
       .map(_.simpleString(10000))
-    // the direct-to-tensor TypedImperativeAggregates must run as
+    // the fused whole-graph TypedImperativeAggregate (r17) must run as
     // ObjectHashAggregate with a partial (map-side) phase, exactly
-    // like collect_list did — losing the partial phase would shuffle
-    // raw node/pair rows instead of per-frame buffers
+    // like the staged tensor aggregates did — losing the partial phase
+    // would shuffle raw node rows instead of per-frame buffers
     assert(aggs.nonEmpty, "tensor agg lost ObjectHashAggregate")
-    assert(aggs.exists(_.contains("partial_ordered_nodes")),
-      s"node assembly lost map-side combine:\n${aggs.mkString("\n")}")
-    assert(aggs.exists(_.contains("partial_adjacency_edges")),
-      s"pair assembly lost map-side combine:\n${aggs.mkString("\n")}")
-    assert(aggs.exists(a => a.contains("ordered_nodes(") && !a.contains("partial_")) &&
-      aggs.exists(a => a.contains("adjacency_edges(") && !a.contains("partial_")),
-      s"missing final-phase tensor aggregates:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(_.contains("partial_graph_tensor")),
+      s"fused graph assembly lost map-side combine:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(a => a.contains("graph_tensor(") && !a.contains("partial_")),
+      s"missing final-phase graph aggregate:\n${aggs.mkString("\n")}")
+    // and the fused query must carry no shuffle join — the staged
+    // path's node⋈pair SortMergeJoin is gone by construction (the
+    // input's own label broadcast join is allowed)
+    val all = flatten(df.queryExecution.executedPlan).map(_.nodeName)
+    assert(!all.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      s"fused graphFrames still shuffle-joins:\n${all.mkString("\n")}")
+
+    // the staged tensor aggregates (the Delaunay/bucketed/A-B path)
+    // keep their own map-side combine — audited via the generic
+    // entry point on the same input
+    val staged = GraphConverter.graphFrames(trk, GraphSettings(
+      adjacencyMatrixType = GraphSettings.Delaunay,
+      adjacencyMatrixConnectType = GraphSettings.ConnectNone, pad = false))
+    staged.collect()
+    val stagedAggs = flatten(staged.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("ObjectHashAggregate"))
+      .map(_.simpleString(10000))
+    assert(stagedAggs.exists(_.contains("partial_ordered_nodes")),
+      s"staged node assembly lost map-side combine:\n${stagedAggs.mkString("\n")}")
+    assert(stagedAggs.exists(_.contains("partial_adjacency_edges")),
+      s"staged pair assembly lost map-side combine:\n${stagedAggs.mkString("\n")}")
+    spark.catalog.clearCache()
   }
 
   test("sportec load: per-match aggregates broadcast, one frame-key window shuffle") {
