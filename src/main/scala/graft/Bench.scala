@@ -5,6 +5,31 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract → BENCH_r{N}.json). */
 object Bench {
+
+  /** Fixed-work box-speed sentinel (r17): a deterministic CPU loop plus
+    * a 1k-row shuffle, timed like a query (min of 3). Its cost is
+    * independent of the engine's code and of the scale factor, so an
+    * inflated bench artifact self-identifies — calibration flat vs
+    * prior rounds ⇒ code; calibration elevated ⇒ box (see BASELINE.md).
+    * Added as an EXTRA `queries` entry per the driver contract (adding
+    * entries is allowed; existing entries are untouched). */
+  private def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def work(): Unit = {
+      var acc = 0L
+      var i = 0
+      while (i < 50000000) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42L) println("") // defeat dead-code elimination
+      spark.range(1000).groupBy(col("id") % 7).count().count()
+    }
+    work() // warm-up
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      work()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,7 +52,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       q.name -> times.min
-    }
+    } :+ ("cal_fixed_work" -> calibration(spark))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -206,7 +206,15 @@ object GraphConverter {
       features: Seq[Features.EdgeFeature] = Nil): DataFrame = {
     import GraphSettings._
     val feats = if (features.nonEmpty) features else Features.defaultEdgeFeatures(settings)
-    val indexed = withNodeIndex(df)
+    // when the node-index window actually runs here, add an explicit
+    // frame-key exchange below the self-join: both pair sides then
+    // reuse ONE execution of the upstream+window stage instead of
+    // re-running it per side (stage reuse needs an exchange boundary —
+    // the PressingIntensity pattern). A pre-indexed input (the bucketed
+    // graphFrames path) skips it, keeping that plan zero-exchange.
+    val indexed =
+      if (df.columns.contains("node_idx")) withNodeIndex(df)
+      else withNodeIndex(df).repartition(frameKeys.map(col): _*)
     val cols = Seq(ObjectId, TeamId, BallOwningTeamId, IsBallCarrier,
       X, Y, Z, Vx, Vy, Vz, Speed, "node_idx")
     def sided(prefix: String): DataFrame =

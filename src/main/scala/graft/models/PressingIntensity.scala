@@ -129,6 +129,15 @@ object PressingIntensity {
       .select(col("*"), gidx.as("__gidx"), nOwn.as("__nown"))
       .withColumn("__cmem", colSide)
       .withColumn("__rmem", rowSide)
+      // explicit frame-key exchange = an AQE stage boundary right here:
+      // both pair-join sides are filters over this subtree, and stage
+      // reuse only happens at exchange boundaries — without this, the
+      // whole possession+index window chain (which rides the upstream
+      // exchange's partitioning, so no boundary of its own) re-executes
+      // once PER SIDE (verified in the r17 executed plan). One narrow
+      // re-shuffle of the indexed base buys single execution of the
+      // window chain; the join itself still reuses this stage's output.
+      .repartition(frameKeys.map(col): _*)
   }
 
   /** Stage 2 of [[pairs]] — the per-frame pair fan-out: both join
