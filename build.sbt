@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The default `test` target is the driver's verify gate and must finish
+// inside its time budget: heavyweight soak/journey suites (annotated
+// @graft.SlowTest) are excluded here and run via `sbt slowTest`. The
+// oracle surface (203 queries vs DuckDB) is checked by graft.Verify,
+// not by ScalaTest, so the fast gate loses no correctness coverage.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
+addCommandAlias("slowTest",
+  "; set Test/testOptions -= Tests.Argument(TestFrameworks.ScalaTest, \"-l\", \"graft.SlowTest\"); test")
 // Forked run must inherit sbt's real stdout: the default LoggedOutput
 // strategy prefixes every line with "[info] ", which breaks any caller
 // that parses the one-line JSON metrics Bench/Verify print.

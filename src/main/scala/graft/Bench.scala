@@ -44,7 +44,7 @@ object Bench {
     }
     // min of three timed runs per query: single-run numbers on a shared
     // 32-core box swing by seconds; the minimum is the stable estimator
-    val results = headline.map { q =>
+    val timed = headline.map { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -52,11 +52,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       q.name -> times.min
-    } :+ ("cal_fixed_work" -> calibration(spark))
+    }
+    val cal = calibration(spark)
+    // the sentinel stays a `queries` entry (driver contract: additions
+    // only), but is EXCLUDED from the total: `value` measures the
+    // engine's queries, the sentinel measures the box — summing a
+    // box-dependent constant into the total re-introduces exactly the
+    // noise the sentinel exists to factor out (r17 verdict item 3;
+    // reading rule in BASELINE.md)
+    val results = timed :+ ("cal_fixed_work" -> cal)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cal_fixed_work":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

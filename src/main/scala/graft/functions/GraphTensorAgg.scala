@@ -190,7 +190,21 @@ private[graft] case class GraphTensorAgg(
         if (!found) groups += ((nd.team, nd.owning, 1))
         i += 1
       }
-      val firstOwning = nodes(0).owning
+      // synthetic-ball owning: a DEFINED reduction (minimum non-null
+      // owning, UTF8String binary order) instead of `nodes(0).owning` —
+      // buffer order after a partial-aggregate merge is
+      // shuffle-fetch-order-dependent, so "first" would be
+      // nondeterministic on a frame with mixed owning values. Identical
+      // on every per-frame-constant input (the possession invariant);
+      // pinned for the mixed case in GraphTensorAggSpec.
+      var firstOwning: UTF8String = null
+      i = 0
+      while (i < nodes.length) {
+        val o = nodes(i).owning
+        if (o != null && (firstOwning == null || o.compareTo(firstOwning) < 0))
+          firstOwning = o
+        i += 1
+      }
       var g = 0
       while (g < groups.length) {
         val (t, o, c) = groups(g)

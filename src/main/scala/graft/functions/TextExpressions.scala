@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native polynomial string hash: `fold(codePoints, 0, (acc, cp) =>
@@ -58,9 +58,85 @@ object PolyHash {
   }
 }
 
+/** Native distinct token-n-gram shingles: one imperative pass over the
+  * token array producing `array_distinct(Shingles.shingles(toks, n))`
+  * exactly — space-joined windows of n tokens (null tokens skipped by
+  * `concatWs`, matching `array_join`'s null handling), de-duplicated in
+  * first-occurrence order, empty array below n tokens.
+  *
+  * Why (optimization round 18, guide per-task work / §4.1): the
+  * composable form is `transform(sequence(...), i → array_join(slice(
+  * toks, i, n), " "))` + `array_distinct` — every higher-order function
+  * is CodegenFallback (interpreted), `slice` allocates an n-element
+  * array per shingle and `sequence` a position array per document, and
+  * the whole chain re-executes once per plan consumer in the dedup
+  * family. This expression is one loop with a LinkedHashSet, emitting
+  * shingles via `UTF8String.concatWs` with zero intermediate arrays —
+  * the same treatment [[PolyHash]] got for the hash itself.
+  * Value-identical by construction; property-pinned against the
+  * composable form in LlmSpec (random unicode/whitespace documents).
+  */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width n=$n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleArray.shingle(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleArray.shingle($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def shingle(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = toks.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val all = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      all(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= len - n) {
+      System.arraycopy(all, i, window, 0, n)
+      seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]))
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd polynomial hash of a STRING column. */
   def polyHashNative(c: Column): Column =
     ColumnShim.column(PolyHash(ColumnShim.expression(c)))
+
+  /** Native `array_distinct(shingles(toks, n))` — one pass, no
+    * interpreted HOFs. */
+  def shingleArrayNative(toks: Column, n: Int): Column =
+    ColumnShim.column(ShingleArray(ColumnShim.expression(toks), n))
 }

@@ -42,9 +42,17 @@ object MinHash {
 
   /** Distinct (id, shingle hash) pairs for a document table. The token
     * array is materialized in its own projection before the shingle
-    * lambda touches it — interpreted HOF lambdas re-evaluate embedded
-    * subtrees per element, so the fused form would re-tokenize the
-    * document once per shingle (O(tokens²) per doc). */
+    * step — interpreted HOF lambdas re-evaluate embedded subtrees per
+    * element, so a fused form would re-tokenize the document once per
+    * shingle (O(tokens²) per doc).
+    *
+    * r18: the shingle step is the native one-pass
+    * [[graft.functions.ShingleArray]] instead of the interpreted
+    * `transform(sequence)/slice/array_join` + `array_distinct` chain —
+    * value-identical (ShingleArraySpec property test), several times
+    * cheaper per execution, and this subtree re-executes once per plan
+    * consumer in the dedup family (the signature/sizes/verify branches
+    * AQE-broadcasts can't share), so the per-task saving multiplies. */
   def shingleHashes(
       docs: DataFrame,
       idCol: String,
@@ -54,7 +62,8 @@ object MinHash {
     docs
       .select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(array_distinct(Shingles.shingles(col("__toks"), n))).as("shingle"))
+        explode(graft.functions.TextExpressions.shingleArrayNative(
+          col("__toks"), n)).as("shingle"))
       .select(col(idCol), hash(col("shingle")).as("h"))
 
   /** One row per document: `idCol, mh0..mh{numHashes-1}`. Documents with
@@ -76,7 +85,7 @@ object MinHash {
     * (id, shingle-hash) table into `idCol, mh0..mh{numHashes-1}` with a
     * single partial-agg groupBy. [[signatures]] and [[nearDuplicates]]
     * both build on this so the min-hash formula exists exactly once. */
-  private def signaturesFromHashes(
+  private[graft] def signaturesFromHashes(
       sh: DataFrame,
       idCol: String,
       numHashes: Int): DataFrame = {
@@ -102,7 +111,7 @@ object MinHash {
     * both the LSH join ([[candidatePairs]]) and the cost measurement
     * ([[bandCostTable]]) bucket on, kept in one place so the measured
     * cost is the cost of the join that will actually run. */
-  private def bandKeyRows(
+  private[graft] def bandKeyRows(
       sig: DataFrame,
       idCol: String,
       bands: Int,
@@ -197,7 +206,7 @@ object MinHash {
     * role-split twin [[exactJaccardVerifySplit]] (same arithmetic,
     * different join tree) so the corpus-side relations are never
     * unioned away from their storage partitioning. */
-  private def exactJaccardVerify(
+  private[graft] def exactJaccardVerify(
       sh: DataFrame,
       idCol: String,
       pairs: DataFrame,

@@ -55,8 +55,54 @@ object PressingIntensity {
     * with `tti`/`pti`, plus the 0-based matrix indices `row_idx`/
     * `col_idx` that reproduce the reference's node ordering (possession
     * side ordered players-then-ball by id; defending side by id). This
-    * is the scalable core; [[matrices]] folds it to the nested form. */
+    * is the scalable core; [[matrices]] folds it to the nested form.
+    *
+    * Optimization round 18 (guide §1.2/§2.4): the whole model is
+    * frame-local, so ONE per-frame TypedImperativeAggregate
+    * ([[graft.functions.PiPairsAgg]]) replaces the staged
+    * window → repartition → self-join → window chain — the plan is the
+    * upstream lineage plus one ObjectHashAggregate and an explode, with
+    * no exchange of its own (the possession window upstream already
+    * clusters by the frame key). Output is bit-identical to
+    * [[pairsStaged]] (six q_pi_* oracle hashes + PiPairsFusedSpec). */
   def pairs(
+      df: DataFrame,
+      settings: TrackingSettings = TrackingSettings(),
+      params: Params = Params()): DataFrame = {
+    require(!Set("home_away", "away_home")(params.orient) || settings.homeTeamId.isDefined,
+      s"orient='${params.orient}' requires TrackingSettings.homeTeamId to be set")
+    val isBall = col(TeamId) === Ball
+    val isOwning = col(TeamId) === col(BallOwningTeamId)
+    // the staged `.filter(colSide || rowSide)` — pre-filter outside the
+    // aggregate so non-member rows are not shuffled (the agg re-checks
+    // membership in eval, so the two are exactly equivalent)
+    val (colSide, rowSide) = params.method match {
+      case "teams" => params.ballMethod match {
+        case "exclude" => (isOwning && !isBall, !isOwning && !isBall)
+        case _         => (isOwning || isBall, !(isOwning || isBall))
+      }
+      case "full" =>
+        val all = if (params.ballMethod == "exclude") !isBall else lit(true)
+        (all, all)
+    }
+    df.filter(colSide || rowSide)
+      .groupBy(frameKeys.map(col): _*)
+      .agg(graft.functions.PiPairsAgg.piPairs(settings, params,
+        col(Timestamp), col(ObjectId), col(TeamId), col(BallOwningTeamId),
+        col(IsBallCarrier), col(X), col(Y), col(Z),
+        col(Vx), col(Vy), col(Vz), col(Speed)).as("__pp"))
+      .select(frameKeys.map(col) :+ explode(col("__pp")).as("__pr"): _*)
+      .select(frameKeys.map(col) ++ Seq(
+        col("__pr.ts").as(Timestamp),
+        col("__pr.row_id").as("row_id"), col("__pr.col_id").as("col_id"),
+        col("__pr.row_idx").as("row_idx"), col("__pr.col_idx").as("col_idx"),
+        col("__pr.tti").as("tti"), col("__pr.pti").as("pti")): _*)
+  }
+
+  /** The pre-r18 staged pipeline (window → stage-boundary repartition →
+    * pair self-join → ball-merge window), kept as the honest A/B for
+    * [[pairs]] and for PiPairsFusedSpec's staged-vs-fused equality. */
+  def pairsStaged(
       df: DataFrame,
       settings: TrackingSettings = TrackingSettings(),
       params: Params = Params()): DataFrame =

@@ -32,15 +32,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), s"no exchange reuse in:\n$p")
   }
 
-  test("pi pairs: both join sides feed from one reused exchange, no join exchange") {
+  test("pi pairs: fused per-frame aggregate — no join, map-side combine, two exchanges") {
     import graft.tracking._
-    val trk = SyntheticTracking.df(spark, sf)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val trk = SyntheticTracking.df(spark, sf, Cols.ByObjectPeriod)
     val dat = Possession.inferBallCarrier(
       Kinematics(trk, TrackingSettings(), None, None), TrackingSettings())
     val df = graft.models.PressingIntensity.pairs(dat)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"), s"pair sides don't share the side exchange:\n$p")
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // r18 fuse: the pair self-join and both PI windows are gone
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(n => n.contains("Join")),
+      s"fused PI pairs still joins:\n${names.mkString("\n")}")
+    // the aggregate keeps its partial (map-side) phase
+    val aggs = nodes.filter(_.nodeName.contains("ObjectHashAggregate"))
+      .map(_.simpleString(10000))
+    assert(aggs.exists(_.contains("partial_pi_pairs")),
+      s"fused PI pairs lost map-side combine:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(a => a.contains("pi_pairs(") && !a.contains("partial_")),
+      s"missing final-phase PI aggregate:\n${aggs.mkString("\n")}")
+    // exactly two exchanges: the kinematics object-period key and the
+    // possession frame key (the aggregate rides the possession window's
+    // partitioning — no exchange of its own)
+    val exchanges = nodes.count(n =>
+      n.nodeName.contains("Exchange") && !n.nodeName.contains("Reused"))
+    assert(exchanges <= 2, s"fused PI pairs gained exchanges ($exchanges):\n${names.mkString("\n")}")
   }
 
   test("bucketed tables join with zero exchange") {

@@ -17,6 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * exactly what production does by persisting them as the at-rest
   * parquet artifacts; chaining raw lazy plans instead would carry the
   * whole history into every downstream plan. */
+@graft.SlowTest
 class IncrementalCurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -129,6 +129,37 @@ class GraphTensorAggSpec extends AnyFunSuite {
       adjacencyMatrixConnectType = GraphSettings.ConnectBallCarrier))
   }
 
+  test("ball-less frame with mixed owning: synthetic-ball owning is a defined reduction") {
+    // r18 hardening (r17 verdict #4): the fused agg used to take
+    // `nodes(0).owning` for the synthetic ball row of a ball-less
+    // padded frame — buffer order after a partial-aggregate merge is
+    // shuffle-fetch-order-dependent. Now it is the minimum non-null
+    // owning (UTF8String binary order), so the output is identical
+    // under ANY input row order. The frame below is emitted (11 owning
+    // "home" rows + 11 defenders whose owning is a DIFFERENT string,
+    // so the reduction has two candidates) — the staged path's
+    // `first(owning)` is nondeterministic here, so the property is
+    // pinned on the fused path alone.
+    import spark.implicits._
+    val rows = Seq.tabulate(11)(i => (s"h$i", "home", "home")) ++
+      Seq.tabulate(11)(i => (s"a$i", "away", "bbb"))
+    val base = rows.toDF(ObjectId, TeamId, BallOwningTeamId)
+      .withColumn(GameId, lit("g")).withColumn(PeriodId, lit(1))
+      .withColumn(FrameId, lit(7L))
+      .withColumn(X, lit(1.0)).withColumn(Y, lit(2.0)).withColumn(Z, lit(0.0))
+      .withColumn(Vx, lit(0.1)).withColumn(Vy, lit(0.0)).withColumn(Vz, lit(0.0))
+      .withColumn(Speed, lit(0.1))
+      .withColumn(PositionName, lit(null).cast("string"))
+      .withColumn(IsBallCarrier, lit(false))
+    val forward = GraphConverter.graphFrames(base, GraphSettings(pad = true))
+      .collect().map(_.toString).sorted.toSeq
+    val reversed = GraphConverter.graphFrames(
+      base.orderBy(col(ObjectId).desc), GraphSettings(pad = true))
+      .collect().map(_.toString).sorted.toSeq
+    assert(forward.nonEmpty, "mixed-owning ball-less frame must survive padding")
+    assert(forward === reversed)
+  }
+
   test("delaunay settings still route to the staged geometric path") {
     val df = GraphConverter.graphFrames(realInput,
       GraphSettings(pad = false, adjacencyMatrixType = GraphSettings.Delaunay))

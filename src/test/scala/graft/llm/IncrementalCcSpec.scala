@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ever seen — label for label — including under merges of multiple
   * old components, new-node bridges, old-singleton links, and new ids
   * smaller than existing labels. */
+@graft.SlowTest
 class IncrementalCcSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -27,6 +27,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *     before its generation marker leaves the old generation
   *     serving (unmarked generations are ignored).
   */
+@graft.SlowTest
 class PersistentStoreCrashSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 

@@ -21,6 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * near-dup of BOTH, merging them under the smaller id and revoking
   * the larger. minQuality = 0 keeps the gate out of the fixture's way
   * (the quality path is pinned by CurationPipelineSpec). */
+@graft.SlowTest
 class StreamingCurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
